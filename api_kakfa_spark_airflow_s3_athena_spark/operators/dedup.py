@@ -1,0 +1,303 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — the driver-mandated training-data-pipeline extensions
+(SURVEY.md §2f; the reference itself has no dedup beyond Athena's
+duplicate-email GROUP BY/HAVING audit,
+``docs/athena-integrity-check.md:60``).
+
+Scale design notes (the point of each implementation):
+
+- *Exact*: one hash-shuffle on a 16-byte digest, never on the full
+  text. ``min(id)`` keeps a deterministic survivor.
+- *MinHash+LSH*: signatures are computed per-row with higher-order
+  functions (no explode => no row blowup), then only the b band keys
+  are exploded (b ~ 8-16 rows per doc, each a tiny struct). Candidate
+  generation is a self-join on the band key — a shuffle on small keys
+  — and exact verification runs only on candidates, never all pairs.
+  O(n·b) shuffle instead of O(n²) compare.
+- *SimHash*: 64-bit signature per doc via bit-vote over token hashes,
+  computed entirely with built-ins; near-dup = identical signature
+  (or banded prefixes for Hamming<k).
+- *Embedding near-dup*: random-hyperplane LSH buckets (deterministic
+  seed), cosine verified within buckets only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+from ..functions.vectors import cosine
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_candidates",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_dedup_pairs",
+    "jaccard",
+    "embedding_dedup_pairs",
+]
+
+_HASH_PRIME = 2147483647  # 2^31 - 1; Carter-Wegman universe for MinHash
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct text digest.
+
+    Hashes before grouping so the shuffle moves 16-byte digests, not
+    documents; at 100 TB this is the difference between shipping the
+    corpus and shipping a key column.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 1) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    Universal-hash family h_i(x) = (a_i * x64 + b_i) mod p over the
+    xxhash64 of each shingle. Implemented as ONE ``aggregate`` fold over
+    the shingle array with an array-of-running-minima accumulator —
+    each shingle is hashed once and updates all K minima via
+    ``zip_with`` — instead of K separate transform+array_min passes
+    (which made codegen K× larger and re-evaluated the shingling K
+    times). Zero shuffle; per-row work O(shingles * K).
+    """
+    coeff_a = F.array(
+        *[
+            F.lit((seed * 1_000_003 + i * 2_147_483_629) % _HASH_PRIME or 1)
+            for i in range(num_hashes)
+        ]
+    )
+    coeff_b = F.array(
+        *[F.lit((seed * 998_244_353 + i * 1_000_000_007) % _HASH_PRIME) for i in range(num_hashes)]
+    )
+    base = F.transform(
+        F.array_distinct(word_shingles(text, shingle_n)),
+        lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_HASH_PRIME)),
+    )
+    init = F.array_repeat(F.lit(_HASH_PRIME).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.zip_with(coeff_a, coeff_b, lambda a, b: F.pmod(x * a + b, F.lit(_HASH_PRIME))),
+            lambda cur, cand: F.least(cur, cand),
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >=1 band of the signature.
+
+    Returns ``(id_a, id_b)`` with id_a < id_b, distinct. The only wide
+    operations are the band-key self-join and the final distinct — both
+    shuffle small fixed-width keys.
+    """
+    rows_per_band = num_hashes // bands
+    # Materialize the signature once per row; the band expansion below
+    # references the column, not the (expensive) expression.
+    with_sig = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n, seed).alias("sig"),
+    )
+    banded = with_sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a_tokens: Column, b_tokens: Column) -> Column:
+    """Exact Jaccard over two token/shingle arrays (set semantics)."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens)).cast("double")
+    union = F.size(F.array_union(a_tokens, b_tokens)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash LSH candidates, exact-Jaccard verified at ``threshold``.
+
+    Verification re-joins the (small) candidate pair list back to the
+    corpus twice to fetch shingle sets — only candidate rows pay the
+    array cost, the 100 TB remainder is never touched after banding.
+    """
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    shingled = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    return (
+        cands.join(a, cands.id_a == F.col(f"a.{id_col}"))
+        .join(b, cands.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column, bits: int = 64, shingle_n: int = 2, seed: int = 7) -> Column:
+    """SimHash signature (bigint): sign of the per-bit vote over
+    shingle hashes. Bit b of the signature is 1 iff more shingle hashes
+    have bit b set than unset.
+
+    Single ``aggregate`` fold: the accumulator is the array of per-bit
+    set-counts, each hash updates all bits via ``zip_with`` against a
+    literal power-of-two mask array (hash each shingle once, one pass —
+    not one filtered count per bit). All codegen, no shuffle, no UDF.
+    """
+    # Two's-complement masks; bit 63 is the sign bit.
+    masks = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(bits)]
+    )
+    hashed = F.transform(
+        F.array_distinct(word_shingles(text, shingle_n)), lambda s: F.xxhash64(s, F.lit(seed))
+    )
+    n = F.size(hashed)
+    counts = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(0)
+        ),
+    )
+    # Majority vote per bit -> OR the masks (disjoint bits => sum == OR).
+    return F.aggregate(
+        F.zip_with(counts, masks, lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Docs with identical 64-bit SimHash (strong near-dup signal).
+
+    Groups on the signature — one shuffle of (int64, id) pairs. For
+    Hamming-distance-k matching, band the signature into k+1 chunks and
+    join per chunk (same LSH trick as MinHash); identical-signature
+    grouping is the conservative default.
+    """
+    sigs = df.select(F.col(id_col), simhash(F.col(text_col), 64, shingle_n, seed).alias("sig"))
+    return (
+        sigs.groupBy("sig")
+        .agg(F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("sig", F.array_sort("ids").alias("ids"), "n")
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 5,
+    max_bucket: Optional[int] = 10_000,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold, LSH-bucketed.
+
+    Random-hyperplane signature: bit i = sign(<v, r_i>) with r_i a
+    deterministic ±1 hyperplane derived from (seed, i, dim index) — so
+    the bucketing is reproducible with no stored model. Cosine is
+    verified only within buckets. ``planes`` trades recall (more
+    buckets => fewer collisions => lower recall, fewer comparisons).
+    """
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def plane_bit(i: int) -> Column:
+        signed = F.zip_with(
+            F.col(vec_col),
+            dim_idx,
+            lambda v, d: v.cast("double")
+            * F.when(F.pmod(F.xxhash64(d, F.lit(seed), F.lit(i)), 2) == 0, 1.0).otherwise(-1.0),
+        )
+        s = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = F.lit(0).cast("long")
+    for i in range(planes):
+        bucket = bucket * 2 + plane_bit(i)
+
+    bucketed = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs

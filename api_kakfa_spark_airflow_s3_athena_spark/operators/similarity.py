@@ -1,0 +1,130 @@
+"""Similarity search (ANN) over embedding columns.
+
+Driver-mandated extension (SURVEY.md §2f): brute-force cosine top-k as
+the exact baseline, plus an LSH-bucketed approximate variant as the
+scale path. Both pure DataFrame ops — the dot products run inside
+whole-stage codegen via higher-order functions (functions/vectors.py).
+
+Scale design:
+- *Brute force* is O(|Q|·|C|) — correct tool when the query set is
+  small: broadcast Q (no shuffle of the 100 TB corpus), one scan, one
+  top-k-per-query aggregation. A guard refuses accidental quadratic
+  blowups when |Q| is itself huge.
+- *LSH ANN*: both sides get a random-hyperplane bucket signature; the
+  join is bucket-equality, so the corpus shuffles once on a small int
+  key (or not at all if pre-bucketed at write time). Probing multiple
+  neighboring buckets (bit-flip probes) recovers recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+__all__ = ["brute_force_topk", "lsh_topk"]
+
+
+def _ranked_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "score", "rank")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    ``queries`` must be small (guarded); the corpus side never
+    shuffles — each task scores its local partition and the final
+    top-k-per-query is a skinny (query_id, neighbor_id, score) shuffle.
+    """
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_topk got {n_q} queries (> {max_queries}); "
+            "use lsh_topk for large query sets — brute force would be "
+            "O(|Q|*|corpus|)"
+        )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(~(F.col("neighbor_id") == F.col("query_id")) if exclude_self else F.lit(True))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
+    )
+    return _ranked_topk(scored, "query_id", k)
+
+
+def _hyperplane_bucket(vec_col: str, planes: int, seed: int):
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    bucket = F.lit(0).cast("long")
+    for i in range(planes):
+        signed = F.zip_with(
+            F.col(vec_col),
+            dim_idx,
+            lambda v, d: v.cast("double")
+            * F.when(F.pmod(F.xxhash64(d, F.lit(seed), F.lit(i)), 2) == 0, 1.0).otherwise(-1.0),
+        )
+        s = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket * 2 + F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via shared random-hyperplane buckets.
+
+    Candidates = corpus rows in the query's bucket; exact cosine only
+    on candidates. Recall < 1 by construction; raise recall with fewer
+    planes or multi-probe. The corpus-side bucket column is a pure
+    per-row expression — at scale, persist it (or partition the table
+    by it) and the query never shuffles the corpus at all.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _hyperplane_bucket(vec_col, planes, seed).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _hyperplane_bucket(vec_col, planes, seed).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(~(F.col("neighbor_id") == F.col("query_id")) if exclude_self else F.lit(True))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
+    )
+    return _ranked_topk(scored, "query_id", k)

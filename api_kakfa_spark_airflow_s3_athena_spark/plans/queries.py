@@ -1,0 +1,970 @@
+"""The engine's query inventory: every entry pairs a Spark DataFrame
+builder with an equivalent ANSI-SQL oracle for the driver's DuckDB
+dual-run (CORRECTNESS gate). Callables take ``(spark, sf_dir)``.
+
+Sections:
+1. Athena surface (reference ``docs/athena-integrity-check.md:47-61``)
+   applied to the driver testdata's analogous columns.
+2. Relational/analytical extension: joins, semi/anti, windows, set
+   ops, rollup/cube, distinct agg, subqueries, pivot, date functions
+   (SURVEY.md §2f scope, all Spark built-ins).
+3. Text / dedup / similarity / multimodal extension (BASELINE.json
+   north star).
+4. Streaming (bounded replay) — result identical to its batch oracle.
+
+Conventions for oracle parity:
+- every computed column aliased identically on both sides;
+- float aggregates rounded (2 dp money, 4 dp means, 6 dp ratios) —
+  Spark sums in partition order, DuckDB sequentially; rounding
+  absorbs the <=1-ulp divergence;
+- integer sums cast to BIGINT in DuckDB (its SUM(int) yields HUGEINT);
+- extracted date parts cast to INTEGER on both sides;
+- string splits use a literal single space on both sides (testdata
+  text is single-space separated), keeping Spark ``split`` and DuckDB
+  ``string_split`` semantics identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.transforms import parse_kafka_value, synthetic_users, to_kafka_value
+from ..functions.vectors import cosine, l2_norm
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..sources.tables import load_table
+from ..streaming import pipeline as SP
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]  # None => driver runs rows-only check
+    tags: Tuple[str, ...] = ()
+
+
+REGISTRY: Dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, tags: Tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# 1. Athena surface (docs/athena-integrity-check.md:47-61)
+# =====================================================================
+
+@register(
+    "athena_q1_topk_scan",
+    oracle="SELECT * FROM customer ORDER BY c_name LIMIT 20",
+    tags=("athena", "sort", "limit"),
+)
+def athena_q1_topk_scan(spark, sf_dir):
+    """Full scan + ORDER BY + LIMIT (Q1 shape: ``SELECT * FROM
+    names_stream ORDER BY name LIMIT 20``). Catalyst plans
+    TakeOrderedAndProject — per-partition top-k then a k-row merge, no
+    full sort even at 100 TB."""
+    return _t(spark, sf_dir, "customer").orderBy("c_name").limit(20)
+
+
+@register(
+    "athena_q2_count",
+    oracle="SELECT count(*) AS cnt FROM lineitem",
+    tags=("athena", "agg"),
+)
+def athena_q2_count(spark, sf_dir):
+    """Ungrouped COUNT(*) (Q2). Parquet-metadata-driven when possible;
+    otherwise partial counts + single final combine."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "athena_q3_null_blank_audit",
+    oracle="""
+        SELECT count(*) AS total,
+               count(*) FILTER (WHERE text IS NULL OR text = '') AS n_null_blank,
+               count(*) FILTER (WHERE lang IS NULL OR lang = '') AS n_null_lang
+        FROM documents
+    """,
+    tags=("athena", "filter", "agg"),
+)
+def athena_q3_null_blank_audit(spark, sf_dir):
+    """NULL/empty-string data-quality audit (Q3 shape: ``WHERE name IS
+    NULL OR name = ''``), as conditional counts in one pass."""
+    d = _t(spark, sf_dir, "documents")
+    bad_text = F.col("text").isNull() | (F.col("text") == "")
+    bad_lang = F.col("lang").isNull() | (F.col("lang") == "")
+    return d.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(bad_text, 1)).alias("n_null_blank"),
+        F.count(F.when(bad_lang, 1)).alias("n_null_lang"),
+    )
+
+
+@register(
+    "athena_q4_duplicate_keys",
+    oracle="""
+        SELECT user_id, count(*) AS cnt
+        FROM events GROUP BY user_id HAVING count(*) > 1
+    """,
+    tags=("athena", "agg", "having"),
+)
+def athena_q4_duplicate_keys(spark, sf_dir):
+    """Duplicate detection via GROUP BY/HAVING (Q4 shape: duplicate
+    emails). Partial+final hash aggregate; AQE splits skewed keys."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+@register(
+    "athena_q5_range_violations",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity NOT BETWEEN 5 AND 45
+           OR l_extendedprice NOT BETWEEN 1000 AND 90000
+    """,
+    tags=("athena", "filter"),
+)
+def athena_q5_range_violations(spark, sf_dir):
+    """NOT BETWEEN ... OR NOT BETWEEN range validation (Q5 shape: geo
+    coordinate checks). The disjunction of negated ranges still pushes
+    to the parquet scan as row-group min/max skipping."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice").filter(
+        ~F.col("l_quantity").between(5, 45)
+        | ~F.col("l_extendedprice").between(1000, 90000)
+    )
+
+
+@register(
+    "athena_q6_partition_pruned_agg",
+    oracle="""
+        SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    tags=("athena", "pruning", "agg"),
+)
+def athena_q6_partition_pruned_agg(spark, sf_dir):
+    """Date-bounded aggregation (Q6: the partition-pruning practice the
+    reference recommends). On an ingest-date-partitioned table this
+    predicate prunes directories; on raw parquet it min/max-skips row
+    groups. Either way only one year of data is read."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.month("o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
+# 2. Relational / analytical extension
+# =====================================================================
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("analytics", "agg"),
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pricing summary: the flagship wide aggregation. One
+    scan (3 columns pruned from 11), map-side partial aggregation into
+    a tiny final exchange — the canonical shape that survives 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+        SELECT r_name, n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def revenue_by_nation(spark, sf_dir):
+    """Five-table star join -> revenue rollup. Join order: fact table
+    last-shuffled; nation/region (25/5 rows) broadcast explicitly,
+    customer broadcast under the threshold at small SF and
+    shuffle-joined beyond it (AQE decides) — the same code is the right
+    plan at every scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    enriched_cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(enriched_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+        SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal, rnk
+        FROM (
+            SELECT n_name, c_name, c_acctbal,
+                   CAST(row_number() OVER (
+                       PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+                   ) AS INTEGER) AS rnk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE rnk <= 3
+    """,
+    tags=("analytics", "window", "join"),
+)
+def top_customers_per_nation(spark, sf_dir):
+    """Top-k per group: ranking window + filter. One shuffle on the
+    partition key; ties broken deterministically by c_custkey."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("analytics", "join", "semi"),
+)
+def semi_join_customers_with_orders(spark, sf_dir):
+    """EXISTS as a left-semi join: probe side streams, no row
+    duplication, orders' payload columns never read."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("analytics", "join", "anti"),
+)
+def anti_join_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "priority_orders_with_discounted_lines",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+        )
+        GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "join", "semi", "agg"),
+)
+def priority_orders_with_discounted_lines(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS -> semi join -> aggregate. The
+    l_discount filter is pushed below the join so the semi-join build
+    side is pre-shrunk."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "setop_nations_without_suppliers",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("analytics", "setop"),
+)
+def setop_nations_without_suppliers(spark, sf_dir):
+    """EXCEPT (distinct set difference)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "setop_nations_with_both",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("analytics", "setop"),
+)
+def setop_nations_with_both(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_union_all_parties",
+    oracle="""
+        SELECT nationkey, count(*) AS n
+        FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        GROUP BY nationkey
+    """,
+    tags=("analytics", "setop", "agg"),
+)
+def setop_union_all_parties(spark, sf_dir):
+    """UNION ALL + aggregate: union is a zero-shuffle concatenation;
+    the single shuffle happens once at the aggregate."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "rollup_lineitem_status",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("analytics", "rollup"),
+)
+def rollup_lineitem_status(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (Expand + single aggregate —
+    not one pass per level)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "cube_order_status_priority",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("analytics", "cube"),
+)
+def cube_order_status_priority(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "distinct_agg_per_flag",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_suppliers,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("analytics", "agg", "distinct"),
+)
+def distinct_agg_per_flag(spark, sf_dir):
+    """Multiple exact COUNT(DISTINCT)s: Catalyst expands to a two-stage
+    aggregate; at extreme scale swap in approx_count_distinct."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "monthly_order_stats",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value,
+               round(avg(o_totalprice), 4) AS avg_value
+        FROM orders GROUP BY 1
+    """,
+    tags=("analytics", "date", "agg"),
+)
+def monthly_order_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "running_customer_revenue",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_total
+        FROM orders
+    """,
+    tags=("analytics", "window"),
+)
+def running_customer_revenue(spark, sf_dir):
+    """Running (prefix) sum per customer: both engines accumulate in
+    the same deterministic order, so values agree bit-for-bit before
+    rounding."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "order_gap_days",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                   CAST(lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+        FROM orders
+        QUALIFY gap_days IS NOT NULL
+    """,
+    tags=("analytics", "window", "date"),
+)
+def order_gap_days(spark, sf_dir):
+    """LAG + date arithmetic: days since the customer's previous order."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .withColumn(
+            "gap_days", F.datediff(F.to_date("o_orderdate"), F.to_date("prev_date")).cast("int")
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .select("o_custkey", "o_orderkey", "gap_days")
+    )
+
+
+@register(
+    "parts_above_avg_price",
+    oracle="""
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+    tags=("analytics", "subquery"),
+)
+def parts_above_avg_price(spark, sf_dir):
+    """Scalar subquery, kept declarative: the 1-row aggregate is
+    broadcast-joined against the scan (no driver collect), which is
+    exactly how Catalyst plans an uncorrelated scalar subquery."""
+    p = _t(spark, sf_dir, "part")
+    avg_price = p.agg(F.avg("p_retailprice").alias("avg_price"))
+    return (
+        p.join(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .select("p_partkey", "p_brand", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@register(
+    "pivot_quantity_by_linestatus",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("analytics", "pivot"),
+)
+def pivot_quantity_by_linestatus(spark, sf_dir):
+    """Pivot as conditional aggregation (explicit CASE keeps output
+    column names oracle-stable; semantically what ``.pivot()`` plans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)), 2).alias("qty_open"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)), 2).alias("qty_filled"),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "json"),
+)
+def json_props_extract(spark, sf_dir):
+    """JSON parse with declared schema (P2 parity surface:
+    ``from_json`` with a fixed StructType, permissive) over the events
+    table's JSON props column."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select("event_type", F.from_json("props", "k INT").alias("p"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "hourly_event_stats",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("analytics", "date", "agg"),
+)
+def hourly_event_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# =====================================================================
+# 3. Text / dedup / similarity / multimodal extension
+# =====================================================================
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+        SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup: group on a 16-byte digest, keep min id — the
+    shuffle carries hashes, never document bodies."""
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_exact_events",
+    oracle="""
+        SELECT user_id, event_type, min(event_id) AS event_id, count(*) AS n_copies
+        FROM events GROUP BY user_id, event_type
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_events(spark, sf_dir):
+    """Keep-first semantics on a composite business key."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("event_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "doc_fingerprint_dedup",
+    oracle="""
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   list_transform(string_split(text, ' '), x -> lower(x)))), ' ')) AS fp,
+               min(doc_id) AS doc_id,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("dedup", "text"),
+)
+def doc_fingerprint_dedup(spark, sf_dir):
+    """Bag-of-words fingerprint dedup: md5 over the sorted distinct
+    lowercase token set — catches reordered/duplicated-word copies that
+    exact hashing misses."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.transform(toks, F.lower))), " "))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "text_stats_by_lang",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(length(text)), 4) AS avg_chars,
+               round(avg(len(list_filter(string_split(text, ' '), x -> x <> ''))), 4) AS avg_tokens,
+               round(avg(length(replace(text, ' ', '')) * 1.0 /
+                     greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)), 4)
+                   AS avg_token_len
+        FROM documents GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def text_stats_by_lang(spark, sf_dir):
+    """Corpus statistics per language: char/token counts and mean token
+    length — the quality-scoring feature family, one scan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.round(
+            F.avg(
+                F.length(F.regexp_replace("text", " ", "")).cast("double")
+                / F.greatest(n_tok, F.lit(1))
+            ),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "token_histogram",
+    oracle="""
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+              FROM documents)
+        GROUP BY token
+    """,
+    tags=("text", "explode"),
+)
+def token_histogram(spark, sf_dir):
+    """Vocabulary histogram: explode + count. At 100 TB: partial
+    aggregation absorbs the explosion map-side; hot tokens (Zipf skew)
+    are exactly what AQE skew handling + partial aggs exist for."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+@register(
+    "language_id_heuristic",
+    oracle=None,  # marker-table heuristic is not concisely SQL-portable
+    tags=("text",),
+)
+def language_id_heuristic(spark, sf_dir):
+    """Stopword-marker language ID vs the labeled lang column:
+    confusion counts per (actual, predicted). Rows-only check; the
+    operator itself is pure built-ins (array filters, no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.detect_language(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle="""
+        SELECT doc_id,
+               round(CAST(length(text) AS DOUBLE), 2) AS n_chars,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+                     greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 6)
+                   AS stopword_ratio
+        FROM documents
+    """,
+    tags=("text",),
+)
+def doc_quality_scores(spark, sf_dir):
+    """Per-document quality features (length, tokens, stopword ratio) —
+    row-local, zero-shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    lower_toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    return d.select(
+        "doc_id",
+        F.round(F.length("text").cast("double"), 2).alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.filter(lower_toks, lambda t: F.array_contains(stop, t))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "binary_payload_meta",
+    oracle="""
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def binary_payload_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: text encoded to a binary payload
+    column, typed metadata computed without decoding (the catalog-query
+    path of the multimodal design — payload column never shuffled)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.octet_length(F.encode("text", "UTF-8")).cast("int").alias("n_bytes")
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                   AS score,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                         c.embedding::DOUBLE[]), 6) DESC,
+                            c.vec_id
+               ) AS INTEGER) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+        QUALIFY rank <= 10
+    """,
+    tags=("similarity",),
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): tiny query set
+    broadcast against the corpus; corpus never shuffles; ranking on the
+    rounded score with id tie-break keeps both engines deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return SIM.brute_force_topk(queries, emb, k=10)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+        SELECT vec_id, label,
+               round(sqrt(list_aggregate(
+                   list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6) AS norm
+        FROM embeddings
+    """,
+    tags=("similarity",),
+)
+def embedding_norms(spark, sf_dir):
+    """L2 norms via higher-order aggregate — JVM-side vector math."""
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.round(l2_norm(F.col("embedding")), 6).alias("norm")
+    )
+
+
+@register("minhash_near_dup_pairs", oracle=None, tags=("dedup", "lsh"))
+def minhash_near_dup_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified at 0.5.
+    Rows-only check (banded LSH has no concise SQL twin); determinism
+    guaranteed by seeded xxhash64."""
+    return DD.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=32, bands=8
+    )
+
+
+@register("simhash_clusters", oracle=None, tags=("dedup", "lsh"))
+def simhash_clusters(spark, sf_dir):
+    """Identical-SimHash clusters (64-bit signature over 2-shingles)."""
+    return DD.simhash_dedup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("embedding_near_dup_lsh", oracle=None, tags=("dedup", "similarity", "lsh"))
+def embedding_near_dup_lsh(spark, sf_dir):
+    """Random-hyperplane-bucketed embedding near-dups (cos >= 0.9)."""
+    return DD.embedding_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, planes=8
+    )
+
+
+@register("ann_cosine_topk_lsh", oracle=None, tags=("similarity", "lsh"))
+def ann_cosine_topk_lsh(spark, sf_dir):
+    """Approximate ANN via shared hyperplane buckets (the scale path;
+    recall measured against ann_cosine_topk in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return SIM.lsh_topk(queries, emb, k=10, planes=6)
+
+
+@register("names_pipeline_roundtrip", oracle=None, tags=("streaming", "parity"))
+def names_pipeline_roundtrip(spark, sf_dir):
+    """Reference-pipeline parity demo, end to end and fully
+    distributed: synthesize user records (P9) -> serialize to the
+    Kafka JSON wire shape (P8) -> parse back through the streaming
+    job's transform (P1-P3) -> audit aggregate. Row counts and schema
+    must survive the roundtrip."""
+    users = synthetic_users(spark, 2000, seed=42)
+    wire = to_kafka_value(users)
+    parsed = parse_kafka_value(wire)
+    return parsed.groupBy("gender", "city").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("zip").alias("n_zips"),
+    )
+
+
+# =====================================================================
+# 4. Streaming (bounded replay == batch oracle)
+# =====================================================================
+
+@register(
+    "streaming_hourly_counts",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def streaming_hourly_counts(spark, sf_dir):
+    """The reference's flagship shape — unbounded source -> windowed
+    state -> sink — run as a bounded replay: file streaming source over
+    the events table, 1-hour tumbling event-time windows, complete mode
+    into an in-memory sink, read back as a DataFrame. Identical result
+    to the batch date_trunc oracle by construction."""
+    import tempfile
+
+    # FileStreamSource needs a directory: stage the events table into a
+    # scratch dir (also re-encodes the ns timestamps as micros).
+    stage_dir = tempfile.mkdtemp(prefix="stream_src_")
+    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(stage_dir)
+    src = SP.parquet_stream(spark, stage_dir)
+    agg = (
+        src.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    name = "streaming_hourly_counts_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def queries() -> Dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,107 @@
+"""Batch table access: the engine's equivalent of the reference's
+"external table over S3 files" surface.
+
+Reference parity:
+- S7 external table over object-store files
+  (``docs/athena-integrity-check.md:26-39``): here
+  :func:`read_json_table` — an explicit-schema, malformed-row-skipping
+  JSON scan (DROPMALFORMED matches Athena's
+  ``ignore.malformed.json='true'`` skip semantics), and
+  :func:`create_external_table` — session-catalog DDL over a path.
+- S8 namespace DDL (``docs/athena-integrity-check.md:17``):
+  :func:`ensure_database`.
+
+Scale notes: prefer parquet (columnar, predicate pushdown + row-group
+skipping); pass explicit schemas for JSON (schema inference is a full
+extra scan at 100 TB); never infer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import NAMES_STREAM, TESTDATA_TABLES
+
+__all__ = [
+    "table_path",
+    "load_table",
+    "load_tables",
+    "register_testdata_views",
+    "read_json_table",
+    "ensure_database",
+    "create_external_table",
+]
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one testdata table. Filters/projections applied by
+    the caller push down to the parquet reader via Catalyst.
+
+    TIMESTAMP(NANOS) parquet columns arrive as nano longs (session conf
+    ``spark.sql.legacy.parquet.nanosAsLong``) and are floor-converted to
+    microsecond timestamps here — matching how nanosecond values
+    truncate everywhere else in the comparison chain.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # integer division: ns values exceed double's 2^53 mantissa
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Optional[Iterable[str]] = None):
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every testdata table as a temp view so ``spark.sql`` works
+    exactly like the reference's Athena console entry point."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = NAMES_STREAM,
+    drop_malformed: bool = True,
+) -> DataFrame:
+    """Newline-delimited JSON scan with a declared schema.
+
+    ``drop_malformed=True`` skips unparseable lines — Athena-skip parity
+    (reference ``docs/athena-integrity-check.md:38,44``); ``False`` uses
+    Spark's PERMISSIVE mode (null columns) like the streaming job's
+    ``from_json`` (``spark_processing.py:146``).
+    """
+    mode = "DROPMALFORMED" if drop_malformed else "PERMISSIVE"
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def ensure_database(spark: SparkSession, name: str) -> None:
+    """``CREATE DATABASE IF NOT EXISTS`` — S8 parity."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def create_external_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema: T.StructType = NAMES_STREAM,
+    fmt: str = "parquet",
+) -> None:
+    """Catalog table over existing files (the Athena external-table
+    equivalent). Parquet by default; JSON kept for reference parity."""
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING {fmt} "
+        f"OPTIONS (path '{path}')"
+    )
