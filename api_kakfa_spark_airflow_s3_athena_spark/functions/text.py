@@ -66,18 +66,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     dedup. Sliding window over the token array via transform+slice —
     no explode, no shuffle."""
     toks = tokens(text)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    count = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) would DESCEND ([1, 0]); short docs need an empty array
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
     )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Character n-grams (SimHash/near-dup unit for CJK-ish text)."""
     norm = F.lower(text)
-    count = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
-    return F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, n))
+    count = F.length(norm) - F.lit(n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.substring(norm, i, n))
 
 
 def quality_features(text: Column) -> Mapping[str, Column]:

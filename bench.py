@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution,
+no driver-side result transfer), timed after a warmup query has paid
+the session/codegen startup cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "athena_q1_topk_scan",
+    "athena_q4_duplicate_keys",
+    "top_customers_per_nation",
+    "running_customer_revenue",
+    "hourly_event_stats",
+    "dedup_exact_documents",
+    "doc_fingerprint_dedup",
+    "token_histogram",
+    "minhash_near_dup_pairs",
+    "ann_cosine_topk",
+    "streaming_hourly_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
+    from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
+
+    spark = local_test_session("bench")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # Warmup: pay JVM/codegen startup outside the measurement.
+    REGISTRY["athena_q2_count"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings = {}
+    for name in HEADLINE:
+        try:
+            timings[name] = round(run(name), 3)
+        except Exception as exc:  # a broken query should show up, not hide
+            timings[name] = None
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

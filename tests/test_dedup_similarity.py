@@ -1,0 +1,128 @@
+"""Dedup and similarity operators on constructed corpora with planted
+duplicates/near-duplicates, verified against exact computations."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators import dedup as DD
+from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import brute_force_topk, lsh_topk
+
+BASE = (
+    "spark shuffles data between stages when wide dependencies require "
+    "repartitioning across the cluster nodes during query execution"
+)
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),  # exact dup of 0
+        Row(doc_id=2, text=BASE.replace("cluster", "compute")),  # near dup
+        Row(doc_id=3, text="completely different content about cooking pasta al dente"),
+        Row(doc_id=4, text="another unrelated document describing mountain hiking trails"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    out = DD.exact_dedup(_docs(spark)).collect()
+    assert len(out) == 4  # 0 and 1 collapse
+    collapsed = [r for r in out if r.n_copies == 2][0]
+    assert collapsed.doc_id == 0  # keeps min id
+
+
+def test_jaccard_exact(spark):
+    df = spark.createDataFrame([Row(a=["x", "y", "z"], b=["y", "z", "w"])])
+    got = df.select(DD.jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0].j
+    assert got == 0.5  # |{y,z}| / |{x,y,z,w}|
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = DD.minhash_dedup_pairs(
+        _docs(spark), threshold=0.5, num_hashes=32, bands=16, shingle_n=3
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found  # exact dup always survives
+    assert (0, 2) in found or (1, 2) in found  # near dup caught
+    for r in pairs:
+        assert not (r.id_a in (3, 4) or r.id_b in (3, 4))  # no false positives
+
+
+def test_minhash_jaccard_estimate_close_to_exact(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.minhash_dedup_pairs(
+            _docs(spark), threshold=0.0, num_hashes=32, bands=16
+        ).collect()
+    }
+    # the reported jaccard is EXACT (verification stage), so dup pair = 1.0
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_simhash_identical_for_exact_dups(spark):
+    sigs = {
+        r.doc_id: r.sig
+        for r in _docs(spark).select("doc_id", DD.simhash(F.col("text")).alias("sig")).collect()
+    }
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    clusters = DD.simhash_dedup_pairs(_docs(spark)).collect()
+    assert any(set(c.ids) >= {0, 1} for c in clusters)
+
+
+def _embeddings(spark, n=40, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    vecs[1] = vecs[0] + rng.randn(dim).astype(np.float32) * 0.01  # planted near-dup of 0
+    return (
+        spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(n)]
+        ),
+        vecs,
+    )
+
+
+def test_embedding_near_dup_lsh_finds_planted_pair(spark):
+    df, _ = _embeddings(spark)
+    pairs = DD.embedding_dedup_pairs(df, threshold=0.95, planes=6).collect()
+    assert any((r.id_a, r.id_b) == (0, 1) for r in pairs)
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _embeddings(spark)
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(q, df, k=5).collect()
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms[0]
+    sims[0] = -np.inf  # exclude self
+    expected = list(np.argsort(-sims)[:5])
+    assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)] == expected
+    assert got[0].score <= 1.0 and got[0].rank == 1
+
+
+def test_brute_force_guard_rejects_huge_query_sets(spark):
+    df, _ = _embeddings(spark)
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="brute_force_topk"):
+        brute_force_topk(q, df, k=3, max_queries=10)
+
+
+def test_lsh_topk_recall_against_exact(spark):
+    df, _ = _embeddings(spark)
+    q = df.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, df, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(q, df, k=3, planes=2).collect()  # few planes -> high recall
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # approximate, but must overlap substantially
+    # every reported neighbor shares the query's bucket and is real
+    assert all(qid != nid for qid, nid in approx)

@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests: the Spark-side contracts (schemas, batch
+shapes, determinism) around the stubbed decoders."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators.multimodal import (
+    MEDIA_META,
+    attach_media_meta,
+    extract_features,
+    sample_frames,
+)
+
+
+def _media(spark, n=6):
+    return spark.createDataFrame(
+        [Row(doc_id=i, payload=bytes([i] * (10 + i))) for i in range(n)]
+    )
+
+
+def test_attach_media_meta_schema_and_bytes(spark):
+    df = attach_media_meta(_media(spark), media_type="image", fmt="jpeg")
+    got = df.schema["meta"].dataType
+    # same field names and types (nullability differs for literals)
+    assert [(f.name, f.dataType) for f in got.fields] == [
+        (f.name, f.dataType) for f in MEDIA_META.fields
+    ]
+    rows = df.select("doc_id", "meta.n_bytes", "meta.media_type").collect()
+    for r in rows:
+        assert r.n_bytes == 10 + r.doc_id
+        assert r.media_type == "image"
+
+
+def test_extract_features_shape_and_determinism(spark):
+    feats1 = extract_features(_media(spark), feature_dim=32).collect()
+    feats2 = extract_features(_media(spark), feature_dim=32).collect()
+    assert len(feats1) == 6
+    for r in feats1:
+        assert len(r.feature) == 32
+    assert sorted(map(str, feats1)) == sorted(map(str, feats2))  # stub is deterministic
+
+
+def test_extract_features_drops_payload(spark):
+    out = extract_features(_media(spark))
+    assert "payload" not in out.columns  # fat column never leaves the stage
+
+
+def test_sample_frames_fanout(spark):
+    frames = sample_frames(_media(spark, 3), max_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 12  # 3 docs x 4 frames
+    assert {r.frame_idx for r in rows} == {0, 1, 2, 3}
+    assert all(len(r.frame) == 16 for r in rows)
