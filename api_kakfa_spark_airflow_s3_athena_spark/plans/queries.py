@@ -637,6 +637,328 @@ def hourly_event_stats(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+        SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("analytics", "join", "topk"),
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: filtered 3-table join -> grouped revenue -> top 10.
+    Filters push below the joins on all three scans; the limit runs as
+    top-k on the rounded revenue with key tie-break (deterministic
+    across engines)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6_discount_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("analytics", "agg", "filter"),
+)
+def tpch_q6_discount_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-aggregate; every predicate reaches
+    the parquet reader (date + two numeric ranges), result is a single
+    row — the minimal-shuffle shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("forecast_revenue"))
+
+
+@register(
+    "sessionize_user_events",
+    oracle="""
+        SELECT user_id,
+               count(*) FILTER (WHERE is_new = 1) AS n_sessions,
+               count(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   CASE WHEN prev_us IS NULL
+                             OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+            FROM (
+                SELECT user_id, ts,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_us
+                FROM events
+            )
+        )
+        GROUP BY user_id
+    """,
+    tags=("analytics", "window", "sessionization"),
+)
+def sessionize_user_events(spark, sf_dir):
+    """Sessionization: a session break is a >30 min gap per user.
+    lag + conditional count over one window shuffle — the batch twin of
+    streaming ``session_window``. Gap math in integer microseconds so
+    both engines compare identically."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | ((F.unix_micros("ts") - F.col("prev_us")) > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "asof_join_error_to_click",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+                   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind_rank,
+                   event_type
+            FROM events WHERE event_type IN ('click', 'error')
+        ), matched AS (
+            SELECT *,
+                   last_value(click_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), kind_rank, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_click_id
+            FROM tagged
+        )
+        SELECT event_id, user_id, last_click_id
+        FROM matched WHERE event_type = 'error'
+    """,
+    tags=("analytics", "window", "asof"),
+)
+def asof_join_error_to_click(spark, sf_dir):
+    """As-of join (Spark has no native one): for each error event, the
+    most recent click by the same user at-or-before its timestamp.
+    Composition: tag both sides, one union'd window with
+    last(ignorenulls) — a single shuffle on the join key, no row
+    explosion; the classic scalable as-of pattern. Clicks sort before
+    errors at equal timestamps (at-or-before semantics), event_id
+    breaks remaining ties."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(1).alias("kind_rank"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "kind_rank", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "last_click_id")
+    )
+
+
+@register(
+    "price_quantiles_by_brand",
+    oracle="""
+        SELECT p_brand,
+               round(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.25), 4) AS p25,
+               round(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.5), 4) AS p50,
+               round(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.75), 4) AS p75
+        FROM part GROUP BY p_brand
+    """,
+    tags=("analytics", "agg", "percentile"),
+)
+def price_quantiles_by_brand(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). At extreme scale the
+    drop-in is ``percentile_approx`` (t-digest sketch, no sort)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.percentile("p_retailprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("p_retailprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "grouping_sets_quantity",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("analytics", "grouping-sets"),
+)
+def grouping_sets_quantity(spark, sf_dir):
+    """Explicit GROUPING SETS through the SQL entry point (the Athena
+    console equivalent surface)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "in_subquery_big_spenders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        )
+    """,
+    tags=("analytics", "subquery"),
+)
+def in_subquery_big_spenders(spark, sf_dir):
+    """IN-subquery via the SQL surface; Catalyst rewrites to a
+    left-semi join."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_sq
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders_sq WHERE o_totalprice > 400000
+        )
+        """
+    )
+
+
+@register(
+    "pivot_event_type_counts",
+    oracle="""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'view') AS view,
+               count(*) FILTER (WHERE event_type = 'error') AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        FROM events GROUP BY user_id
+    """,
+    tags=("analytics", "pivot"),
+)
+def pivot_event_type_counts(spark, sf_dir):
+    """Native ``.pivot()`` with an explicit value list (explicit values
+    skip the extra distinct-scan Spark otherwise needs — at 100 TB the
+    value-discovery pass costs a full shuffle)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, ["click", "view", "error", "purchase"])
+
+
+@register(
+    "moving_avg_daily_orders",
+    oracle="""
+        SELECT order_day, n_orders,
+               round(avg(day_total) OVER (
+                   ORDER BY order_day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 4) AS total_7d_avg
+        FROM (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
+                   count(*) AS n_orders,
+                   sum(o_totalprice) AS day_total
+            FROM orders GROUP BY 1
+        )
+    """,
+    tags=("analytics", "window", "date"),
+)
+def moving_avg_daily_orders(spark, sf_dir):
+    """Two-level: daily pre-aggregation (big shuffle shrinks the data
+    to one row per day) then a 7-row moving-average frame over the tiny
+    series — window state never sees raw rows."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("order_day")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("day_total")
+    )
+    w = Window.orderBy("order_day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "order_day", "n_orders", F.round(F.avg("day_total").over(w), 4).alias("total_7d_avg")
+    )
+
+
+@register(
+    "ngram_jaccard_consecutive_docs",
+    oracle="""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                     len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        FROM (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+              FROM documents) a
+        JOIN (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+              FROM documents) b
+          ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("text", "similarity", "join"),
+)
+def ngram_jaccard_consecutive_docs(spark, sf_dir):
+    """Exact token-set Jaccard between consecutive doc ids: the
+    verification kernel of n-gram dedup, oracle-checked. (In the LSH
+    pipeline this same expression runs only on candidate pairs.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
+    sides = d.select("doc_id", toks.alias("toks"))
+    a = sides.alias("a")
+    b = sides.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
 # =====================================================================
 # 3. Text / dedup / similarity / multimodal extension
 # =====================================================================

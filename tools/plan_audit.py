@@ -1,0 +1,65 @@
+"""Physical-plan audit: prints scan/join/codegen facts for the
+headline queries so plan regressions are visible and reviewable.
+
+    python tools/plan_audit.py [query ...]
+
+For each query: pushed filters, read schema width, join strategies,
+whole-stage-codegen coverage, exchange (shuffle) count.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+AUDIT = [
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "athena_q1_topk_scan",
+    "athena_q5_range_violations",
+    "athena_q6_partition_pruned_agg",
+    "top_customers_per_nation",
+    "semi_join_customers_with_orders",
+    "ann_cosine_topk",
+    "token_histogram",
+    "dedup_exact_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    names = sys.argv[1:] or AUDIT
+
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
+    from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
+
+    spark = local_test_session("plan-audit")
+    for name in names:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ) if hasattr(df._sc._jvm, "PythonSQLUtils") else plan
+
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+        joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", formatted)
+        exchanges = len(re.findall(r"\bExchange\b", plan))
+        codegen = len(re.findall(r"\*\(\d+\)", plan))
+        topk = "TakeOrderedAndProject" in formatted
+
+        print(f"\n=== {name} ===")
+        for i, (p, s) in enumerate(zip(pushed, schemas)):
+            width = s.count(":")
+            print(f"  scan{i}: pushed=[{p[:90]}] cols={width}")
+        if joins:
+            print(f"  joins: {joins}")
+        print(f"  shuffles={exchanges} codegen_spans={codegen} topk={topk}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
