@@ -47,6 +47,42 @@ __all__ = [
 _HASH_PRIME = 2147483647  # 2^31 - 1; Carter-Wegman universe for MinHash
 
 
+def _ngram_fold(text: Column, n: int, seed: int, init_out: Column, update) -> Column:
+    """One-pass fold over a document's word n-gram hashes.
+
+    Tokens are hashed exactly once (``transform`` over the token array
+    is the fold input, evaluated a single time); the accumulator keeps
+    a ring buffer of the last n-1 token hashes plus the caller's
+    output array, and ``update(out, shingle_hash)`` folds each n-gram
+    hash in as it forms. This avoids BOTH per-shingle string
+    materialization and the quadratic re-evaluation that nested
+    higher-order-function references to the token array cause
+    (HOF lambdas inline subtrees; only true fold state is evaluated
+    once). Cost: O(tokens) hashes + O(tokens) updates per row.
+
+    Note: n-grams arrive as a multiset (no dedup) — harmless for min
+    (MinHash) and the standard frequency-weighted formulation for
+    SimHash votes.
+    """
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("win"),
+        init_out.alias("out"),
+    )
+
+    def step(acc, x):
+        ready = F.size(acc["win"]) == n - 1
+        sh = F.xxhash64(*([F.element_at(acc["win"], k + 1) for k in range(n - 1)] + [x]))
+        new_out = F.when(ready, update(acc["out"], sh)).otherwise(acc["out"])
+        # ring buffer: drop the oldest only once the window is full
+        grown = F.concat(acc["win"], F.array(x))
+        new_win = F.when(ready, F.slice(grown, 2, n - 1)).otherwise(grown)
+        return F.struct(new_win.alias("win"), new_out.alias("out"))
+
+    return F.aggregate(th, init, step, lambda acc: acc["out"])
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per distinct text digest.
 
@@ -65,12 +101,12 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3, se
     """MinHash signature as array<bigint> of length ``num_hashes``.
 
     Universal-hash family h_i(x) = (a_i * x64 + b_i) mod p over the
-    xxhash64 of each shingle. Implemented as ONE ``aggregate`` fold over
-    the shingle array with an array-of-running-minima accumulator —
-    each shingle is hashed once and updates all K minima via
-    ``zip_with`` — instead of K separate transform+array_min passes
-    (which made codegen K× larger and re-evaluated the shingling K
-    times). Zero shuffle; per-row work O(shingles * K).
+    xxhash64 of each word n-gram. ONE fold over the token-hash stream
+    (:func:`_ngram_fold`): each token is hashed once, each n-gram hash
+    updates all K running minima via ``zip_with``. No shingle strings,
+    no per-hash passes, zero shuffle; per-row work O(tokens * K).
+    (MinHash is duplicate-insensitive, so the multiset stream is
+    equivalent to the shingle set.)
     """
     coeff_a = F.array(
         *[
@@ -81,20 +117,17 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3, se
     coeff_b = F.array(
         *[F.lit((seed * 998_244_353 + i * 1_000_000_007) % _HASH_PRIME) for i in range(num_hashes)]
     )
-    base = F.transform(
-        F.array_distinct(word_shingles(text, shingle_n)),
-        lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_HASH_PRIME)),
-    )
     init = F.array_repeat(F.lit(_HASH_PRIME).cast("long"), num_hashes)
-    return F.aggregate(
-        base,
-        init,
-        lambda acc, x: F.zip_with(
-            acc,
+
+    def update(mins, sh):
+        x = F.pmod(sh, F.lit(_HASH_PRIME))
+        return F.zip_with(
+            mins,
             F.zip_with(coeff_a, coeff_b, lambda a, b: F.pmod(x * a + b, F.lit(_HASH_PRIME))),
             lambda cur, cand: F.least(cur, cand),
-        ),
-    )
+        )
+
+    return _ngram_fold(text, shingle_n, seed, init, update)
 
 
 def minhash_candidates(
@@ -178,9 +211,11 @@ def minhash_dedup_pairs(
     array cost, the 100 TB remainder is never touched after banding.
     """
     cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    # cache: the shingle sets are probed twice (both sides of the pair
+    # join); at corpus scale prefer persisting to a bucketed table once
     shingled = df.select(
         F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    ).cache()
     a = shingled.alias("a")
     b = shingled.alias("b")
     return (
@@ -196,30 +231,31 @@ def minhash_dedup_pairs(
 
 
 def simhash(text: Column, bits: int = 64, shingle_n: int = 2, seed: int = 7) -> Column:
-    """SimHash signature (bigint): sign of the per-bit vote over
-    shingle hashes. Bit b of the signature is 1 iff more shingle hashes
-    have bit b set than unset.
+    """SimHash signature (bigint): sign of the per-bit vote over word
+    n-gram hashes (frequency-weighted: each occurrence votes). Bit b
+    of the signature is 1 iff more n-gram hashes have bit b set than
+    unset.
 
-    Single ``aggregate`` fold: the accumulator is the array of per-bit
-    set-counts, each hash updates all bits via ``zip_with`` against a
-    literal power-of-two mask array (hash each shingle once, one pass —
-    not one filtered count per bit). All codegen, no shuffle, no UDF.
+    Single fold over the token-hash stream (:func:`_ngram_fold`): the
+    accumulator carries per-bit set-counts, each n-gram hash updates
+    all bits via ``zip_with`` against a literal power-of-two mask
+    array. One pass, no shuffle, no UDF.
     """
     # Two's-complement masks; bit 63 is the sign bit.
     masks = F.array(
         *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(bits)]
     )
-    hashed = F.transform(
-        F.array_distinct(word_shingles(text, shingle_n)), lambda s: F.xxhash64(s, F.lit(seed))
-    )
-    n = F.size(hashed)
-    counts = F.aggregate(
-        hashed,
+    counts = _ngram_fold(
+        text,
+        shingle_n,
+        seed,
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc, masks, lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(0)
         ),
     )
+    # number of n-grams = votes cast (token count arithmetic, no re-hash)
+    n = F.greatest(F.size(tokens(text)) - F.lit(shingle_n - 1), F.lit(0))
     # Majority vote per bit -> OR the masks (disjoint bits => sum == OR).
     return F.aggregate(
         F.zip_with(counts, masks, lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long"))),
