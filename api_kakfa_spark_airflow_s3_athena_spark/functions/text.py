@@ -50,15 +50,10 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """Cheap LLM-token estimate: split on word/number/punct boundaries
-    (a BPE-ish regex), counting each punctuation char and number run as
-    a token. Stays JVM-side via regexp_count-style splitting."""
-    return F.size(
-        F.filter(
-            F.split(text, r"(?<=[^\p{L}\p{N}])|(?=[^\p{L}\p{N}])"),
-            lambda t: (t != "") & (t != " "),
-        )
-    )
+    """Cheap LLM-token estimate: letter runs, digit runs, and single
+    punctuation marks each count as one token (a BPE-ish lexer as one
+    ``regexp_extract_all`` — JVM-side, portable RE2-safe pattern)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

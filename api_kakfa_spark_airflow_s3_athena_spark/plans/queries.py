@@ -1075,20 +1075,108 @@ def token_histogram(spark, sf_dir):
     )
 
 
+def _lang_marker_sql() -> str:
+    """DuckDB mirror of functions.text.detect_language: per-language
+    marker counts, first-maximum-wins argmax, 'und' when all zero."""
+    from ..functions.text import LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(list_transform(list_filter(string_split(text, ' '), "
+            f"x -> x <> ''), x -> lower(x)), x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {m} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+        SELECT lang, {case} AS predicted, count(*) AS n
+        FROM (SELECT lang, text, {', '.join(score_cols)} FROM documents)
+        GROUP BY 1, 2
+    """
+
+
 @register(
     "language_id_heuristic",
-    oracle=None,  # marker-table heuristic is not concisely SQL-portable
+    oracle=_lang_marker_sql(),
     tags=("text",),
 )
 def language_id_heuristic(spark, sf_dir):
     """Stopword-marker language ID vs the labeled lang column:
-    confusion counts per (actual, predicted). Rows-only check; the
-    operator itself is pure built-ins (array filters, no UDF)."""
+    confusion counts per (actual, predicted). Pure built-ins (array
+    filters, no UDF); the oracle mirrors the marker tables and the
+    first-maximum-wins tie rule."""
     d = _t(spark, sf_dir, "documents")
     return (
         d.select("lang", TX.detect_language(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "token_count_estimates",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+                   AS bpe_tokens
+        FROM documents
+    """,
+    tags=("text",),
+)
+def token_count_estimates(spark, sf_dir):
+    """Whitespace vs BPE-ish token counting per document — the token
+    budget estimators of a training-data pipeline, both as single
+    JVM-side expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "stats_aggregates_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_discount), 6) AS var_disc,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("analytics", "agg", "stats"),
+)
+def stats_aggregates_by_flag(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/correlation/covariance)
+    — single-pass partial+final, same shuffle shape as any other agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+@register("multimodal_feature_extract", oracle=None, tags=("multimodal",))
+def multimodal_feature_extract(spark, sf_dir):
+    """Binary payload -> mapInPandas feature extraction (stub decoder)
+    -> feature norms. Exercises the full multimodal plumbing: encode,
+    Arrow batching, payload-dropping, post-UDF vector math."""
+    from ..operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(d, feature_dim=16)
+    return feats.select(
+        "doc_id", F.round(l2_norm(F.col("feature")), 4).alias("feature_norm")
     )
 
 
