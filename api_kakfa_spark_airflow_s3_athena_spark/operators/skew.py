@@ -1,0 +1,44 @@
+"""Skew-mitigation operators: salted two-stage aggregation.
+
+Zipf-distributed keys (hot tokens, hot users) overload the one reducer
+that owns the hot key. Salting splits each key into ``salt_buckets``
+sub-keys for a partial aggregate, then combines the partials — the hot
+key's work spreads over ``salt_buckets`` tasks and the second shuffle
+carries one row per (key, salt).
+
+AQE's skew handling covers *joins*; skewed *aggregation* keys are
+already mitigated by partial aggregation, but when the per-key partial
+state itself is heavy (collect_list, large HLL sketches, long strings)
+explicit salting is still the tool. Result is bit-identical to the
+unsalted aggregate for any associative-commutative measure.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg"]
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: Sequence[Tuple[Column, Column, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``measures``: (partial_agg_expr, final_agg_expr, name) triples —
+    e.g. ``(F.count(F.lit(1)), F.sum("name"), "freq")`` computes a
+    count as per-salt partial counts summed in the final stage.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(0x5A17)), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[p.alias(name) for p, _, name in measures])
+    )
+    return partial.groupBy(*keys).agg(*[f.alias(name) for _, f, name in measures])

@@ -1328,6 +1328,164 @@ def names_pipeline_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "token_histogram_salted",
+    oracle="""
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+              FROM documents)
+        GROUP BY token
+    """,
+    tags=("text", "skew"),
+)
+def token_histogram_salted(spark, sf_dir):
+    """The token histogram through explicit skew salting: per-(token,
+    salt) partial counts, then per-token combine. Bit-identical to the
+    plain histogram (same oracle) while spreading any hot token over 16
+    tasks — the pattern for Zipf keys whose partial state is heavy."""
+    from ..operators.skew import salted_agg
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    exploded = d.select(F.explode(toks).alias("token"))
+    return salted_agg(
+        exploded,
+        ["token"],
+        [(F.count(F.lit(1)), F.sum("freq"), "freq")],
+        salt_buckets=16,
+    )
+
+
+PRICE_BANDS = [
+    (0.0, 950.0, "budget"),
+    (950.0, 1400.0, "mid"),
+    (1400.0, 10_000.0, "premium"),
+]
+
+
+@register(
+    "price_band_range_join",
+    oracle=f"""
+        SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        FROM part
+        JOIN (VALUES {", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in PRICE_BANDS)})
+             bands(lo, hi, band)
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """,
+    tags=("analytics", "join", "range"),
+)
+def price_band_range_join(spark, sf_dir):
+    """Range (band) join: every part matched to its price band via an
+    interval condition. The band table is broadcast, so the range
+    predicate evaluates as a nested-loop over 3 in-memory rows per
+    part — no shuffle of the fact side. For large band tables the
+    scale path is bucketizing the range key into an equi-join."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, "lo double, hi double, band string")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= F.col("lo")) & (p.p_retailprice < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+        SELECT label, pos, round(avg(val), 6) AS centroid_val
+        FROM (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    """,
+    tags=("similarity", "explode", "agg"),
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroids in long form: posexplode the vectors, mean
+    per (label, dimension). The explode multiplies rows by dim, but
+    partial aggregation collapses them map-side — the shuffle carries
+    one partial per (label, pos) per task, not the exploded rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("val").cast("double"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "string_functions_showcase",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               substr(p_name, 1, 12) AS name_prefix,
+               replace(p_type, ' ', '_') AS type_snake,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               regexp_extract(p_name, '[a-z]+') AS first_word,
+               length(trim(p_name)) AS name_len
+        FROM part
+    """,
+    tags=("analytics", "string"),
+)
+def string_functions_showcase(spark, sf_dir):
+    """The scalar string-function surface (upper/substr/replace/
+    concat_ws/lpad/regexp_extract/trim/length) — all codegen'd
+    row-local expressions."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
+        F.length(F.trim("p_name")).cast("bigint").alias("name_len"),
+    )
+
+
+@register(
+    "date_functions_showcase",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(month(o_orderdate) AS INTEGER) AS mon,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+        FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("analytics", "date"),
+)
+def date_functions_showcase(spark, sf_dir):
+    """Date scalar surface. Engines disagree on week-numbering and
+    dayofweek origin (DuckDB Sunday=0, Spark Sunday=1) — normalized
+    explicitly, the parity caveat every cross-engine pipeline hits."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+    )
+
+
 # =====================================================================
 # 4. Streaming (bounded replay == batch oracle)
 # =====================================================================
