@@ -1486,6 +1486,42 @@ def date_functions_showcase(spark, sf_dir):
     )
 
 
+@register("dedup_clusters_survivors", oracle=None, tags=("dedup", "graph"))
+def dedup_clusters_survivors(spark, sf_dir):
+    """Full dedup pipeline end to end: MinHash LSH pairs -> connected
+    components (iterative min-label propagation) -> keep one survivor
+    per cluster. Returns per-component survivor and cluster size.
+    Rows-only (iterative algorithm, no SQL twin)."""
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(d, threshold=0.5, num_hashes=32, bands=8)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .withColumnRenamed("component", "survivor_doc_id")
+    )
+
+
+@register(
+    "approx_distinct_and_quantiles",
+    oracle=None,  # sketch outputs are engine-specific by design
+    tags=("analytics", "approx"),
+)
+def approx_distinct_and_quantiles(spark, sf_dir):
+    """The sketch surface for 100 TB interactive work:
+    approx_count_distinct (HLL++) and percentile_approx (t-digest
+    style) per group — no sort, no exact-distinct expansion, fixed
+    memory. Accuracy vs exact is asserted in tests; rows-only here."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # =====================================================================
 # 4. Streaming (bounded replay == batch oracle)
 # =====================================================================
@@ -1528,6 +1564,117 @@ def streaming_hourly_counts(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _stage_events_stream(spark, sf_dir):
+    """Stage the events table into a scratch dir and open it as a
+    file streaming source (micros-encoded)."""
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="stream_src_")
+    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(stage_dir)
+    return SP.parquet_stream(spark, stage_dir)
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+        SELECT window_start, event_type, count(*) AS n_events
+        FROM (
+            SELECT event_type,
+                   unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                       AS window_start
+            FROM events
+        )
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def streaming_sliding_counts(spark, sf_dir):
+    """Sliding event-time windows (1 h window, 30 min slide) as a
+    bounded stream. Each event lands in exactly two windows; the DuckDB
+    oracle materializes the same two epoch-aligned window starts per
+    event."""
+    src = _stage_events_stream(spark, sf_dir)
+    agg = (
+        src.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("win"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    name = "streaming_sliding_counts_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_stream_join_click_purchase",
+    oracle="""
+        SELECT c.user_id,
+               count(*) AS n_pairs,
+               CAST(min(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY c.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join_click_purchase(spark, sf_dir):
+    """Stream-stream inner join: purchases within 1 h after a click by
+    the same user, with watermarks bounding both sides' state — the
+    join buffers only 2 h of either stream regardless of total volume.
+    Bounded replay == the batch interval join (the oracle)."""
+    src = _stage_events_stream(spark, sf_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    pairs = joined.select(
+        "user_id", (F.unix_micros("p_ts") - F.unix_micros("click_ts")).alias("lag_us")
+    )
+    name = "stream_stream_join_sink"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("lag_us").cast("bigint").alias("min_lag_us"),
+        )
+    )
 
 
 def queries() -> Dict[str, QueryFn]:

@@ -1,0 +1,50 @@
+"""Connected components / dedup survivors on known graphs; sketch
+accuracy bounds vs exact."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import connected_components, dedup_survivors
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20} isolated via self-pair
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11), Row(id_a=20, id_b=20)]
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_diameter_guard(spark):
+    # a long chain must still converge within the budget (diameter 6)
+    edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(6)])
+    got = {r.node: r.component for r in connected_components(edges, max_iter=10).collect()}
+    assert set(got.values()) == {0}
+
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_dedup_survivors_keeps_min_and_untouched(spark):
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"t{i}") for i in range(6)])
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=3), Row(id_a=3, id_b=5)])
+    kept = sorted(r.doc_id for r in dedup_survivors(docs, pairs).collect())
+    # cluster {1,3,5} -> survivor 1; docs 0,2,4 untouched
+    assert kept == [0, 1, 2, 4]
+
+
+def test_sketches_within_tolerance(spark, sf_dir):
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("amed"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("emed"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05  # HLL++ default rsd
+    assert abs(row.amed - row.emed) / row.emed < 0.05
