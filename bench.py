@@ -20,12 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     "revenue_by_nation",
     "athena_q1_topk_scan",
     "athena_q4_duplicate_keys",
     "top_customers_per_nation",
     "running_customer_revenue",
+    "sessionize_user_events",
+    "asof_join_error_to_click",
     "hourly_event_stats",
+    "stats_aggregates_by_flag",
     "dedup_exact_documents",
     "doc_fingerprint_dedup",
     "token_histogram",

@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+must survive refactors — pushdown reaching parquet, column pruning,
+broadcast for dimensions, top-k instead of full sort, partial
+aggregation before the shuffle."""
+
+import re
+
+import pytest
+
+from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    qe = df._jdf.queryExecution()
+    return qe.executedPlan().toString(), qe.optimizedPlan().toString()
+
+
+def _formatted(spark, name):
+    """Formatted explain (includes FileSourceScan details under AQE)."""
+    df = REGISTRY[name].fn(spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted(spark, "tpch_q6_discount_revenue")
+    assert "PushedFilters:" in plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning(spark):
+    plan = _formatted(spark, "tpch_q1_pricing_summary")
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    # 7 of 11 lineitem columns; the keys are never read
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols
+    assert {"l_returnflag", "l_linestatus", "l_quantity"} <= read_cols
+
+
+def test_topk_plans_take_ordered(spark):
+    plan, _ = _plan(spark, "athena_q1_topk_scan")
+    assert "TakeOrderedAndProject" in plan  # no global Sort operator
+
+
+def test_dimension_joins_broadcast(spark):
+    plan, _ = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan  # nation/region/customer sides
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_join_is_semi(spark):
+    _, opt = _plan(spark, "semi_join_customers_with_orders")
+    assert "LeftSemi" in opt
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan, _ = _plan(spark, "athena_q4_duplicate_keys")
+    # HashAggregate appears twice: partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    plan, _ = _plan(spark, "dedup_exact_documents")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    # scan reads text (to hash) but the exchange carries the md5 only:
+    # no 'text' attribute may appear in any Exchange's output
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.split("\n", 1)[0]
+        assert "text#" not in first_line
