@@ -1486,6 +1486,145 @@ def date_functions_showcase(spark, sf_dir):
     )
 
 
+@register(
+    "window_ranking_showcase",
+    oracle="""
+        SELECT c_custkey,
+               c_nationkey,
+               CAST(ntile(4) OVER w AS INTEGER) AS wealth_quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("analytics", "window"),
+)
+def window_ranking_showcase(spark, sf_dir):
+    """The full ranking-window family (ntile / percent_rank /
+    cume_dist / rank / dense_rank) over one shared window — one
+    shuffle+sort serves all five."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("wealth_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@register(
+    "minby_maxby_extremes",
+    oracle="""
+        SELECT n_name,
+               max(CASE WHEN rn_desc = 1 THEN c_name END) AS richest,
+               max(CASE WHEN rn_asc = 1 THEN c_name END) AS poorest,
+               round(max(c_acctbal), 2) AS max_bal,
+               round(min(c_acctbal), 2) AS min_bal
+        FROM (
+            SELECT n_name, c_name, c_acctbal,
+                   row_number() OVER (PARTITION BY n_name
+                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_desc,
+                   row_number() OVER (PARTITION BY n_name
+                       ORDER BY c_acctbal, c_custkey) AS rn_asc
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        GROUP BY n_name
+    """,
+    tags=("analytics", "agg"),
+)
+def minby_maxby_extremes(spark, sf_dir):
+    """Argmin/argmax aggregates (min_by/max_by) — the single-pass
+    replacement for self-joins on group maxima. Ordering keys are
+    (balance, custkey) structs so ties resolve identically in both
+    engines."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    tie_key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", tie_key).alias("richest"),
+            F.min_by("c_name", tie_key).alias("poorest"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
+@register(
+    "null_semantics_showcase",
+    oracle="""
+        SELECT event_id,
+               coalesce(last_click_id, -1) AS click_or_default,
+               (last_click_id IS NULL) AS never_clicked,
+               nullif(user_id, 0) AS user_nullable,
+               CASE WHEN last_click_id IS NULL THEN 'cold' ELSE 'warm' END AS segment
+        FROM (
+            WITH tagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+                       CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind_rank,
+                       event_type
+                FROM events WHERE event_type IN ('click', 'error')
+            )
+            SELECT event_id, user_id,
+                   last_value(click_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), kind_rank, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_click_id
+            FROM tagged WHERE TRUE
+            QUALIFY event_type = 'error'
+        )
+    """,
+    tags=("analytics", "null"),
+)
+def null_semantics_showcase(spark, sf_dir):
+    """NULL-handling scalar surface (coalesce / IS NULL / nullif /
+    CASE) applied over the as-of join's legitimately-NULL matches."""
+    base = asof_join_error_to_click(spark, sf_dir)
+    return base.select(
+        "event_id",
+        F.coalesce("last_click_id", F.lit(-1)).alias("click_or_default"),
+        F.col("last_click_id").isNull().alias("never_clicked"),
+        F.nullif("user_id", F.lit(0)).alias("user_nullable"),
+        F.when(F.col("last_click_id").isNull(), "cold").otherwise("warm").alias("segment"),
+    )
+
+
+@register(
+    "unpivot_quantity_long",
+    oracle="""
+        SELECT l_returnflag, status, round(qty, 2) AS qty
+        FROM (
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        )
+        UNPIVOT (qty FOR status IN (qty_open, qty_filled))
+    """,
+    tags=("analytics", "unpivot"),
+)
+def unpivot_quantity_long(spark, sf_dir):
+    """Unpivot (wide -> long) via the native melt/unpivot operator over
+    the pivoted aggregate — zero-shuffle reshaping."""
+    wide = pivot_quantity_by_linestatus(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_open", "qty_filled"],
+        variableColumnName="status",
+        valueColumnName="qty",
+    )
+
+
 @register("dedup_clusters_survivors", oracle=None, tags=("dedup", "graph"))
 def dedup_clusters_survivors(spark, sf_dir):
     """Full dedup pipeline end to end: MinHash LSH pairs -> connected
