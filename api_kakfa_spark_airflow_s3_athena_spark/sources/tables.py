@@ -46,10 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the caller push down to the parquet reader via Catalyst.
 
     TIMESTAMP(NANOS) parquet columns arrive as nano longs (session conf
-    ``spark.sql.legacy.parquet.nanosAsLong``) and are floor-converted to
-    microsecond timestamps here — matching how nanosecond values
-    truncate everywhere else in the comparison chain.
+    ``spark.sql.legacy.parquet.nanosAsLong``, set here at runtime so
+    externally-built sessions — e.g. the verification driver's — work
+    too) and are floor-converted to microsecond timestamps, matching
+    how nanosecond values truncate everywhere else in the chain.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp semantics (date_trunc/month/hour buckets) must be
+    # timezone-stable regardless of who built the session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
