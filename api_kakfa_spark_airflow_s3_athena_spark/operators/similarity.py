@@ -99,19 +99,29 @@ def lsh_topk(
     planes: int = 8,
     seed: int = 5,
     exclude_self: bool = True,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via shared random-hyperplane buckets.
 
     Candidates = corpus rows in the query's bucket; exact cosine only
-    on candidates. Recall < 1 by construction; raise recall with fewer
-    planes or multi-probe. The corpus-side bucket column is a pure
-    per-row expression — at scale, persist it (or partition the table
-    by it) and the query never shuffles the corpus at all.
+    on candidates. Recall < 1 by construction; raise it with fewer
+    planes or with ``probes`` > 0 (multi-probe: each query also
+    searches the ``probes`` nearest alternative buckets — single-bit
+    sign flips — multiplying candidates by probes+1 on the query side
+    only; the corpus is never re-bucketed). The corpus-side bucket
+    column is a pure per-row expression — at scale, persist it (or
+    partition the table by it) and the query never shuffles the corpus
+    at all.
     """
+    probes = min(probes, planes)
+    bucket = _hyperplane_bucket(vec_col, planes, seed)
+    probe_buckets = F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(probes)]
+    )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _hyperplane_bucket(vec_col, planes, seed).alias("bucket"),
+        F.explode(probe_buckets).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
@@ -126,5 +136,7 @@ def lsh_topk(
             "neighbor_id",
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
         )
+        # multi-probe can surface the same pair via several buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _ranked_topk(scored, "query_id", k)
