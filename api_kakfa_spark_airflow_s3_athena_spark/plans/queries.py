@@ -66,6 +66,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# --- exact money arithmetic ------------------------------------------------
+# Stored prices/discounts are 2-decimal values. Summing them as doubles
+# produces exact-4-decimal totals whose .XX50 cases land ON the 2-dp
+# rounding boundary, where FP summation order (Spark partials vs DuckDB
+# sequential) decides the direction — a systematic hash-mismatch source
+# at thousands of groups. Casting to DECIMAL first makes every product
+# and sum exact, so rounding is deterministic in both engines. The
+# rounded result is cast back to DOUBLE for schema parity.
+
+MONEY = "decimal(12,2)"  # prices, balances, event values
+RATE = "decimal(4,2)"    # discounts, taxes (0.00-0.99)
+
+
+def _m(col: str):
+    return F.col(col).cast(MONEY)
+
+
+def _r(col: str):
+    return F.col(col).cast(RATE)
+
+
+def _money_sum(expr, alias: str):
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
+
+
 # =====================================================================
 # 1. Athena surface (docs/athena-integrity-check.md:47-61)
 # =====================================================================
@@ -162,7 +187,8 @@ def athena_q5_range_violations(spark, sf_dir):
     oracle="""
         SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_value
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_value
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
@@ -184,7 +210,7 @@ def athena_q6_partition_pruned_agg(spark, sf_dir):
         .groupBy(F.month("o_orderdate").alias("order_month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            _money_sum(_m("o_totalprice"), "total_value"),
         )
     )
 
@@ -198,9 +224,15 @@ def athena_q6_partition_pruned_agg(spark, sf_dir):
     oracle="""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2))) *
+                              (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
                round(avg(l_discount), 6) AS avg_disc,
@@ -216,15 +248,15 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     scan (3 columns pruned from 11), map-side partial aggregation into
     a tiny final exchange — the canonical shape that survives 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _m("l_extendedprice") * (F.lit(1) - _r("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _money_sum(_m("l_extendedprice"), "sum_base_price"),
+            _money_sum(disc_price, "sum_disc_price"),
+            _money_sum(disc_price * (F.lit(1) + _r("l_tax")), "sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -237,7 +269,9 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     "revenue_by_nation",
     oracle="""
         SELECT r_name, n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS revenue,
                count(*) AS n_lines
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -268,9 +302,7 @@ def revenue_by_nation(spark, sf_dir):
         .join(enriched_cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            _money_sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount")), "revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -436,7 +468,8 @@ def rollup_lineitem_status(spark, sf_dir):
     "cube_order_status_priority",
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -446,7 +479,7 @@ def cube_order_status_priority(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), _money_sum(_m("o_totalprice"), "total"))
     )
 
 
@@ -480,7 +513,8 @@ def distinct_agg_per_flag(spark, sf_dir):
     oracle="""
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_value,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_value,
                round(avg(o_totalprice), 4) AS avg_value
         FROM orders GROUP BY 1
     """,
@@ -492,7 +526,7 @@ def monthly_order_stats(spark, sf_dir):
         .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            _money_sum(_m("o_totalprice"), "total_value"),
             F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
         )
     )
@@ -624,7 +658,7 @@ def json_props_extract(spark, sf_dir):
     oracle="""
         SELECT date_trunc('hour', ts) AS hour_start, event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
     tags=("analytics", "date", "agg"),
@@ -633,14 +667,17 @@ def hourly_event_stats(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _money_sum(_m("value"), "sum_value"))
     )
 
 
 @register(
     "tpch_q3_shipping_priority",
     oracle="""
-        SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT o_orderkey,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS revenue,
                o_orderdate, o_orderpriority
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
@@ -669,7 +706,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, F.col("o_custkey") == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_money_sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount")), "revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -679,7 +716,9 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 @register(
     "tpch_q6_discount_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+                   AS forecast_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
           AND l_discount BETWEEN 0.03 AND 0.07
@@ -697,7 +736,7 @@ def tpch_q6_discount_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("forecast_revenue"))
+    ).agg(_money_sum(_m("l_extendedprice") * _r("l_discount"), "forecast_revenue"))
 
 
 @register(
@@ -907,7 +946,7 @@ def pivot_event_type_counts(spark, sf_dir):
         FROM (
             SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
                    count(*) AS n_orders,
-                   sum(o_totalprice) AS day_total
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS day_total
             FROM orders GROUP BY 1
         )
     """,
@@ -919,7 +958,8 @@ def moving_avg_daily_orders(spark, sf_dir):
     series — window state never sees raw rows."""
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("order_day")).agg(
-        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("day_total")
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_m("o_totalprice")).cast("double").alias("day_total"),
     )
     w = Window.orderBy("order_day").rowsBetween(-6, Window.currentRow)
     return daily.select(
@@ -1631,7 +1671,7 @@ def unpivot_quantity_long(spark, sf_dir):
         SELECT user_id,
                min(ts_us) AS session_start_us,
                count(*) AS n_events,
-               round(sum(value), 2) AS session_value
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS session_value
         FROM (
             SELECT user_id, epoch_us(ts) AS ts_us, value,
                    sum(is_new) OVER (
@@ -1662,7 +1702,7 @@ def session_window_stats(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _money_sum(_m("value"), "session_value"))
         .select(
             "user_id",
             F.unix_micros(F.col("sw.start")).alias("session_start_us"),
@@ -1676,7 +1716,9 @@ def session_window_stats(spark, sf_dir):
     "tpch_q10_returned_revenue",
     oracle="""
         SELECT c_custkey, c_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS revenue
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND o_orderdate >= TIMESTAMP '1997-01-01'
@@ -1705,7 +1747,7 @@ def tpch_q10_returned_revenue(spark, sf_dir):
         .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_money_sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -1741,6 +1783,167 @@ def tpch_q12_priority_shipping(spark, sf_dir):
             F.count(F.when(high, 1)).alias("high_line_count"),
             F.count(F.when(~high, 1)).alias("low_line_count"),
         )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   l.l_shipdate, l.l_extendedprice, l.l_discount
+            FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+            WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+              AND c.c_custkey = o.o_custkey
+              AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
+              AND n1.n_name < n2.n_name
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume
+    by ship year. Six-table join; both nation sides broadcast, the
+    inequality filter prunes the symmetric half before aggregation."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_money_sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "left_join_order_counts",
+    oracle="""
+        SELECT c_custkey, count(o_orderkey) AS n_orders,
+               CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0), 2) AS DOUBLE)
+                   AS total_spent
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+    tags=("analytics", "join", "outer"),
+)
+def left_join_order_counts(spark, sf_dir):
+    """LEFT OUTER join + count(col) NULL semantics: zero-order
+    customers keep a row with n_orders = 0."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum(_m("o_totalprice")), F.lit(0)), 2)
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "full_outer_nation_coverage",
+    oracle="""
+        SELECT coalesce(cu.c_nationkey, su.s_nationkey) AS nationkey,
+               coalesce(cu.n_customers, 0) AS n_customers,
+               coalesce(su.n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) cu
+        FULL OUTER JOIN
+             (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) su
+          ON cu.c_nationkey = su.s_nationkey
+    """,
+    tags=("analytics", "join", "outer"),
+)
+def full_outer_nation_coverage(spark, sf_dir):
+    """FULL OUTER join of two pre-aggregated sides: nations with only
+    customers, only suppliers, or both — pre-aggregating BEFORE the
+    outer join keeps the joined relations tiny at any scale."""
+    cu = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    su = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cu.join(su, cu.c_nationkey == su.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "cross_join_flag_grid",
+    oracle="""
+        SELECT r_name, flag, coalesce(n, 0) AS n
+        FROM region
+        CROSS JOIN (SELECT DISTINCT l_returnflag AS flag FROM lineitem)
+        LEFT JOIN (
+            SELECT n_regionkey, l_returnflag, count(*) AS n
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_regionkey, l_returnflag
+        ) agg ON agg.n_regionkey = r_regionkey AND agg.l_returnflag = flag
+    """,
+    tags=("analytics", "join", "cross"),
+)
+def cross_join_flag_grid(spark, sf_dir):
+    """Dense grid via CROSS JOIN of two tiny distinct sets, left-joined
+    to the aggregated facts — the report-grid pattern that keeps the
+    cross product off the fact table."""
+    r = _t(spark, sf_dir, "region")
+    flags = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag")
+    ).distinct()
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        r.crossJoin(flags)
+        .join(
+            agg,
+            (agg.n_regionkey == r.r_regionkey) & (agg.l_returnflag == F.col("flag")),
+            "left",
+        )
+        .select("r_name", "flag", F.coalesce("n", F.lit(0)).alias("n"))
     )
 
 
@@ -1789,7 +1992,7 @@ def approx_distinct_and_quantiles(spark, sf_dir):
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
     tags=("streaming",),
@@ -1809,7 +2012,7 @@ def streaming_hourly_counts(spark, sf_dir):
     src = SP.parquet_stream(spark, stage_dir)
     agg = (
         src.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _money_sum(_m("value"), "sum_value"))
         .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
     name = "streaming_hourly_counts_sink"
