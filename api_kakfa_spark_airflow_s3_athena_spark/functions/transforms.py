@@ -14,7 +14,7 @@ Every function documents the reference behavior it reproduces
 from __future__ import annotations
 
 import hashlib
-from typing import Optional, Sequence
+from typing import Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession

@@ -25,9 +25,9 @@ Scale design notes (the point of each implementation):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles

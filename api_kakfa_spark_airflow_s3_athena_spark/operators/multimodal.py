@@ -18,7 +18,7 @@ catalog-only queries never touch payloads (parquet column pruning).
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd

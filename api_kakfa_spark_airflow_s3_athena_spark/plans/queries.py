@@ -26,7 +26,7 @@ Conventions for oracle parity:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1341,6 +1341,17 @@ def embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+@register("ann_cosine_topk_ivf", oracle=None, tags=("similarity", "ivf"))
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF-style ANN: deterministic centroid cells, nprobe=4 of 16
+    probed per query (recall measured vs exact in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return SIM.ivf_topk(queries, emb, k=10, n_centroids=16, nprobe=4)
+
+
 @register("ann_cosine_topk_lsh", oracle=None, tags=("similarity", "lsh"))
 def ann_cosine_topk_lsh(spark, sf_dir):
     """Approximate ANN via shared hyperplane buckets (the scale path;
@@ -1944,6 +1955,123 @@ def cross_join_flag_grid(spark, sf_dir):
             "left",
         )
         .select("r_name", "flag", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+        SELECT n_orders, count(*) AS n_customers
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY n_orders
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13: customer distribution by order count — the two-level
+    aggregation shape (agg of an agg); the second aggregate runs over
+    an already-tiny relation."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+        SELECT round(
+                 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+               4) AS promo_share_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14: promo revenue share. Conditional / total sums stay
+    exact decimals; only the final ratio drops to double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _m("l_extendedprice") * (F.lit(1) - _r("l_discount"))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_share_pct")
+    )
+
+
+@register(
+    "price_histogram_buckets",
+    oracle="""
+        SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("analytics", "agg", "histogram"),
+)
+def price_histogram_buckets(spark, sf_dir):
+    """Fixed-width histogram binning (bucket = floor(x / width), top
+    bucket clamped) — the building block of distribution profiling;
+    single scan + tiny aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "array_functions_showcase",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+               round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_val,
+               round(CAST(list_sort(embedding)[len(embedding)] AS DOUBLE), 6) AS max_val,
+               round(CAST(list_aggregate(list_slice(embedding, 1, 8), 'sum') AS DOUBLE), 6)
+                   AS head_sum
+        FROM embeddings
+    """,
+    tags=("analytics", "array"),
+)
+def array_functions_showcase(spark, sf_dir):
+    """Array scalar surface: size / element_at / array_sort (min, max)
+    / slice+fold — all JVM higher-order functions, zero shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sorted_emb = F.array_sort(emb)
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at(sorted_emb, 1).cast("double"), 6).alias("min_val"),
+        F.round(F.element_at(sorted_emb, F.size(emb)).cast("double"), 6).alias("max_val"),
+        F.round(
+            F.aggregate(
+                F.slice(emb, 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("head_sum"),
     )
 
 

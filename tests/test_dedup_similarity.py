@@ -7,7 +7,11 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from api_kakfa_spark_airflow_s3_athena_spark.operators import dedup as DD
-from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import brute_force_topk, lsh_topk
+from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
 
 BASE = (
     "spark shuffles data between stages when wide dependencies require "
@@ -143,3 +147,26 @@ def test_lsh_multiprobe_lifts_recall(spark):
     r0, r6 = recall(0), recall(6)
     assert r6 >= r0  # probing neighbor buckets can only add candidates
     assert r6 >= 0.4  # and must reach usable recall (measured: 0.15 -> 0.425)
+
+
+def test_ivf_topk_recall_and_probe_monotonicity(spark):
+    df, _ = _embeddings(spark, n=120)
+    q = df.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(q, df, k=5).collect()}
+
+    def recall(nprobe):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(q, df, k=5, n_centroids=8, nprobe=nprobe).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1  # probing more cells can only add candidates
+    assert r4 >= 0.5  # half the cells probed -> substantial recall
+    # planted near-dup of vector 0 must be found even at nprobe=1
+    top = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(q, df, k=5, n_centroids=8, nprobe=1).collect()
+    }
+    assert top.get((0, 1)) == 1
