@@ -1363,6 +1363,25 @@ def ann_cosine_topk_lsh(spark, sf_dir):
     return SIM.lsh_topk(queries, emb, k=10, planes=6)
 
 
+@register("user_api_source_ingest", oracle=None, tags=("source", "parity"))
+def user_api_source_ingest(spark, sf_dir):
+    """S4 as a real Spark source: the `user_api` Python DataSource
+    (Spark 4 API) yields the nested payload shape, flattened by the
+    same transform as the Kafka path, audited by city/gender. Fully
+    deterministic (seeded offline generator). Rows-only (custom
+    source; no SQL twin)."""
+    from ..functions.transforms import flatten_user_payload
+    from ..sources.user_api import register as register_source
+
+    register_source(spark)
+    raw = spark.read.format("user_api").option("rows", 500).option("seed", 42).load()
+    flat = flatten_user_payload(raw)
+    return flat.groupBy("nation", "gender").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("email").alias("n_emails"),
+    )
+
+
 @register("names_pipeline_roundtrip", oracle=None, tags=("streaming", "parity"))
 def names_pipeline_roundtrip(spark, sf_dir):
     """Reference-pipeline parity demo, end to end and fully
