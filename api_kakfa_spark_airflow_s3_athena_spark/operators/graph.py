@@ -44,7 +44,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
         neighbor_labels = (
             sym.join(labels, sym.b == labels.node)
@@ -56,6 +56,12 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
+        if it == 0 and max_iter > 1:
+            # round 1 almost always changes labels; skip the
+            # convergence-check job (the it=1 check still certifies
+            # the fixpoint before returning)
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
