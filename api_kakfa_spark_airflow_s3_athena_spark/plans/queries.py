@@ -1978,6 +1978,134 @@ def cross_join_flag_grid(spark, sf_dir):
 
 
 @register(
+    "tpch_q18_large_orders",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+              )
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    """,
+    tags=("analytics", "join", "subquery", "having"),
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: large-volume orders via an IN over a HAVING
+    aggregate — planned as an aggregate-then-semi-join, so the fact
+    table is filtered by a pre-shrunk key set."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            _money_sum(_m("o_totalprice"), "totalprice"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    oracle="""
+        SELECT seg, count(*) AS n_custs,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+        FROM (
+            SELECT substr(c_name, 18, 1) AS seg, c_acctbal, c_custkey
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND substr(c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+        ) c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+        GROUP BY seg
+    """,
+    tags=("analytics", "subquery", "anti", "agg"),
+)
+def tpch_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy-but-idle customers — substring bucket
+    IN-list, uncorrelated scalar subquery threshold, NOT EXISTS anti
+    join, grouped balance totals (name digit stands in for the phone
+    country code; idleness = no high-value order)."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("threshold"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    seg = F.substring("c_name", 18, 1)
+    rich = (
+        c.select("c_custkey", "c_acctbal", seg.alias("seg"))
+        .filter(seg.isin("1", "3", "5", "7", "9"))
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _money_sum(_m("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+@register(
+    "setop_all_variants",
+    oracle="""
+        SELECT v, count(*) AS n FROM (
+            SELECT l_returnflag AS v FROM lineitem WHERE l_linenumber = 1
+            INTERSECT ALL
+            SELECT l_returnflag FROM lineitem WHERE l_linenumber = 2
+        ) GROUP BY v
+    """,
+    tags=("analytics", "setop"),
+)
+def setop_all_variants(spark, sf_dir):
+    """INTERSECT ALL (bag semantics): multiplicity = min of the two
+    sides — Catalyst plans it as a counted aggregate, not a join
+    explosion."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select(F.col("l_returnflag").alias("v"))
+    b = li.filter(F.col("l_linenumber") == 2).select(F.col("l_returnflag").alias("v"))
+    return a.intersectAll(b).groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+        SELECT v, count(*) AS n FROM (
+            SELECT l_returnflag AS v FROM lineitem WHERE l_linenumber = 1
+            EXCEPT ALL
+            SELECT l_returnflag FROM lineitem WHERE l_linenumber = 2
+        ) GROUP BY v
+    """,
+    tags=("analytics", "setop"),
+)
+def setop_except_all(spark, sf_dir):
+    """EXCEPT ALL: multiplicity = max(0, left - right) per value."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select(F.col("l_returnflag").alias("v"))
+    b = li.filter(F.col("l_linenumber") == 2).select(F.col("l_returnflag").alias("v"))
+    return a.exceptAll(b).groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "tpch_q13_order_distribution",
     oracle="""
         SELECT n_orders, count(*) AS n_customers
