@@ -654,6 +654,37 @@ def json_props_extract(spark, sf_dir):
 
 
 @register(
+    "map_type_props_explode",
+    oracle="""
+        SELECT k AS prop_key,
+               count(*) AS n,
+               CAST(min(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS INTEGER)
+                   AS min_val,
+               CAST(max(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS INTEGER)
+                   AS max_val
+        FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+        GROUP BY k
+    """,
+    tags=("analytics", "map", "json"),
+)
+def map_type_props_explode(spark, sf_dir):
+    """Map-typed columns: JSON props parsed as map<string,int>, keys
+    exploded, per-key value stats — the schemaless-property pattern
+    (the map type the reference's pipeline never exposes)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select(F.explode(m).alias("prop_key", "val"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").cast("int").alias("min_val"),
+            F.max("val").cast("int").alias("max_val"),
+        )
+    )
+
+
+@register(
     "hourly_event_stats",
     oracle="""
         SELECT date_trunc('hour', ts) AS hour_start, event_type,
