@@ -2137,6 +2137,82 @@ def setop_except_all(spark, sf_dir):
 
 
 @register(
+    "tpch_q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                                  (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("analytics", "subquery", "agg"),
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the quarter's maximum revenue — the
+    max-of-aggregate self-comparison. Equality on revenue is safe
+    because the decimal sums are exact; the aggregate is computed once
+    and reused for both the max and the join (no double scan of the
+    fact table)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _money_sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount")), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_predicates",
+    oracle="""
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+           OR (p_type = 'PROMO' AND l_discount > 0.05)
+    """,
+    tags=("analytics", "join", "filter"),
+)
+def tpch_q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: a disjunction of multi-attribute conjunctions
+    spanning both join sides. Catalyst pushes the single-side residuals
+    (brand/size/type on part, quantity/discount on lineitem) below the
+    join where possible and keeps the cross-side disjunction as the
+    join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") > 0.05))
+    )
+    return joined.filter(cond).agg(
+        _money_sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "tpch_q13_order_distribution",
     oracle="""
         SELECT n_orders, count(*) AS n_customers
