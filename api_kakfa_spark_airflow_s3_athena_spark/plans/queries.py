@@ -1285,6 +1285,64 @@ def doc_quality_scores(spark, sf_dir):
 
 
 @register(
+    "quality_filter_pipeline",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE keep) AS n_kept,
+               round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE) / count(*), 6)
+                   AS keep_rate
+        FROM (
+            SELECT lang,
+                   n_tok BETWEEN 20 AND 1000 AND stop_ratio >= 0.0 AND digit_ratio < 0.3
+                       AS keep
+            FROM (
+                SELECT lang,
+                       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+                       CAST(len(list_filter(string_split(lower(text), ' '),
+                            x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+                           greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)
+                           AS stop_ratio,
+                       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+                           greatest(length(text), 1) AS digit_ratio
+                FROM documents
+            )
+        )
+        GROUP BY lang
+    """,
+    tags=("text", "filter", "agg"),
+)
+def quality_filter_pipeline(spark, sf_dir):
+    """The training-data quality gate end to end: per-doc feature
+    computation (token count, stopword ratio, digit ratio) -> keep
+    predicate -> per-language survival statistics. One scan, row-local
+    features, tiny aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    lower_toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    n_tok = F.size(toks)
+    stop_ratio = F.size(F.filter(lower_toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.greatest(n_tok, F.lit(1))
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    keep = n_tok.between(20, 1000) & (stop_ratio >= 0.0) & (digit_ratio < 0.3)
+    return (
+        d.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.round(
+                F.count(F.when(F.col("keep"), 1)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+    )
+
+
+@register(
     "binary_payload_meta",
     oracle="""
         SELECT doc_id, octet_length(encode(text)) AS n_bytes
@@ -2409,13 +2467,21 @@ def streaming_hourly_counts(spark, sf_dir):
     return spark.table(name)
 
 
+_STAGE_CACHE: Dict[str, str] = {}
+
+
 def _stage_events_stream(spark, sf_dir):
     """Stage the events table into a scratch dir and open it as a
-    file streaming source (micros-encoded)."""
+    file streaming source (micros-encoded). Staged once per
+    (app, sf_dir) — the three streaming queries share the copy."""
     import tempfile
 
-    stage_dir = tempfile.mkdtemp(prefix="stream_src_")
-    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(stage_dir)
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    stage_dir = _STAGE_CACHE.get(key)
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="stream_src_")
+        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(stage_dir)
+        _STAGE_CACHE[key] = stage_dir
     return SP.parquet_stream(spark, stage_dir)
 
 
