@@ -233,9 +233,9 @@ def athena_q6_partition_pruned_agg(spark, sf_dir):
                               (1 - CAST(l_discount AS DECIMAL(4,2))) *
                               (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
                    AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -257,9 +257,9 @@ def tpch_q1_pricing_summary(spark, sf_dir):
             _money_sum(_m("l_extendedprice"), "sum_base_price"),
             _money_sum(disc_price, "sum_disc_price"),
             _money_sum(disc_price * (F.lit(1) + _r("l_tax")), "sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_m("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_r("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -515,7 +515,7 @@ def distinct_agg_per_flag(spark, sf_dir):
                count(*) AS n_orders,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
                    AS total_value,
-               round(avg(o_totalprice), 4) AS avg_value
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
         FROM orders GROUP BY 1
     """,
     tags=("analytics", "date", "agg"),
@@ -527,7 +527,7 @@ def monthly_order_stats(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             _money_sum(_m("o_totalprice"), "total_value"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+            (F.sum(_m("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
         )
     )
 
@@ -636,7 +636,8 @@ def pivot_quantity_by_linestatus(spark, sf_dir):
     oracle="""
         SELECT event_type,
                count(*) AS n,
-               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+                   / count(*) AS avg_k
         FROM events GROUP BY event_type
     """,
     tags=("analytics", "json"),
@@ -649,7 +650,7 @@ def json_props_extract(spark, sf_dir):
     parsed = e.select("event_type", F.from_json("props", "k INT").alias("p"))
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+        (F.sum(F.col("p.k")).cast("double") / F.count(F.lit(1))).alias("avg_k"),
     )
 
 
@@ -1094,8 +1095,9 @@ def doc_fingerprint_dedup(spark, sf_dir):
     oracle="""
         SELECT lang,
                count(*) AS n_docs,
-               round(avg(length(text)), 4) AS avg_chars,
-               round(avg(len(list_filter(string_split(text, ' '), x -> x <> ''))), 4) AS avg_tokens,
+               CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
+               CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                   / count(*) AS avg_tokens,
                round(avg(length(replace(text, ' ', '')) * 1.0 /
                      greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)), 4)
                    AS avg_token_len
@@ -1111,8 +1113,8 @@ def text_stats_by_lang(spark, sf_dir):
     n_tok = F.size(toks)
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
-        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         F.round(
             F.avg(
                 F.length(F.regexp_replace("text", " ", "")).cast("double")
@@ -1257,9 +1259,9 @@ def multimodal_feature_extract(spark, sf_dir):
         SELECT doc_id,
                round(CAST(length(text) AS DOUBLE), 2) AS n_chars,
                CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
-               round(CAST(len(list_filter(string_split(lower(text), ' '),
+               CAST(len(list_filter(string_split(lower(text), ' '),
                          x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
-                     greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 6)
+                     greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)
                    AS stopword_ratio
         FROM documents
     """,
@@ -1276,10 +1278,9 @@ def doc_quality_scores(spark, sf_dir):
         "doc_id",
         F.round(F.length("text").cast("double"), 2).alias("n_chars"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.round(
+        (
             F.size(F.filter(lower_toks, lambda t: F.array_contains(stop, t))).cast("double")
-            / F.greatest(F.size(toks), F.lit(1)),
-            6,
+            / F.greatest(F.size(toks), F.lit(1))
         ).alias("stopword_ratio"),
     )
 
@@ -1290,8 +1291,7 @@ def doc_quality_scores(spark, sf_dir):
         SELECT lang,
                count(*) AS n_total,
                count(*) FILTER (WHERE keep) AS n_kept,
-               round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE) / count(*), 6)
-                   AS keep_rate
+               CAST(count(*) FILTER (WHERE keep) AS DOUBLE) / count(*) AS keep_rate
         FROM (
             SELECT lang,
                    n_tok BETWEEN 20 AND 1000 AND stop_ratio >= 0.0 AND digit_ratio < 0.3
@@ -1335,8 +1335,8 @@ def quality_filter_pipeline(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
-            F.round(
-                F.count(F.when(F.col("keep"), 1)).cast("double") / F.count(F.lit(1)), 6
+            (
+                F.count(F.when(F.col("keep"), 1)).cast("double") / F.count(F.lit(1))
             ).alias("keep_rate"),
         )
     )
@@ -1525,7 +1525,8 @@ PRICE_BANDS = [
 @register(
     "price_band_range_join",
     oracle=f"""
-        SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        SELECT band, count(*) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
         FROM part
         JOIN (VALUES {", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in PRICE_BANDS)})
              bands(lo, hi, band)
@@ -1550,7 +1551,7 @@ def price_band_range_join(spark, sf_dir):
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            (F.sum(_m("p_retailprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
         )
     )
 
@@ -1651,8 +1652,8 @@ def date_functions_showcase(spark, sf_dir):
         SELECT c_custkey,
                c_nationkey,
                CAST(ntile(4) OVER w AS INTEGER) AS wealth_quartile,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
                CAST(rank() OVER w AS INTEGER) AS rnk,
                CAST(dense_rank() OVER w AS INTEGER) AS drnk
         FROM customer
@@ -1663,15 +1664,21 @@ def date_functions_showcase(spark, sf_dir):
 def window_ranking_showcase(spark, sf_dir):
     """The full ranking-window family (ntile / percent_rank /
     cume_dist / rank / dense_rank) over one shared window — one
-    shuffle+sort serves all five."""
+    shuffle+sort serves all five.
+
+    percent_rank/cume_dist are emitted UNROUNDED: they are single IEEE
+    divisions of exact integers, bit-identical across engines — while
+    rounding them would hit .XXXXX5 boundaries (e.g. 323/640) where
+    Spark's BigDecimal HALF_UP and double rounding disagree.
+    """
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("int").alias("wealth_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.rank().over(w).cast("int").alias("rnk"),
         F.dense_rank().over(w).cast("int").alias("drnk"),
     )
