@@ -12,9 +12,17 @@ adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# robust under by-path imports: make the package resolvable regardless
+# of the caller's working directory / sys.path
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from api_kakfa_spark_airflow_s3_athena_spark.plans import queries as Q
 
