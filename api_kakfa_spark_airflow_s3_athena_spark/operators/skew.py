@@ -6,6 +6,13 @@ sub-keys for a partial aggregate, then combines the partials — the hot
 key's work spreads over ``salt_buckets`` tasks and the second shuffle
 carries one row per (key, salt).
 
+The salt MUST come from a per-row source, never from the group key:
+a key-derived salt maps every row of the hot key to the same bucket
+and the operator degrades to a more expensive identity. Here the salt
+hashes ``monotonically_increasing_id()`` — unique per row, stable
+within a job, no RNG state — so each key's rows spread across all
+buckets.
+
 AQE's skew handling covers *joins*; skewed *aggregation* keys are
 already mitigated by partial aggregation, but when the per-key partial
 state itself is heavy (collect_list, large HLL sketches, long strings)
@@ -20,7 +27,31 @@ from typing import Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "salted_partials"]
+
+
+def salted_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: Sequence[Tuple[Column, Column, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """First (salted) stage only: per-(key, __salt) partial aggregates.
+
+    Exposed separately so tests and diagnostics can assert the spread —
+    a hot key must occupy >1 distinct ``__salt`` value, which is the
+    entire point of the operator.
+    """
+    # Per-row salt: hash of the row id, NOT of the key columns.
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), F.lit(0x5A17)),
+        F.lit(salt_buckets),
+    )
+    return (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[p.alias(name) for p, _, name in measures])
+    )
 
 
 def salted_agg(
@@ -35,10 +66,5 @@ def salted_agg(
     e.g. ``(F.count(F.lit(1)), F.sum("name"), "freq")`` computes a
     count as per-salt partial counts summed in the final stage.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(0x5A17)), F.lit(salt_buckets))
-    partial = (
-        df.withColumn("__salt", salt)
-        .groupBy(*keys, "__salt")
-        .agg(*[p.alias(name) for p, _, name in measures])
-    )
+    partial = salted_partials(df, keys, measures, salt_buckets)
     return partial.groupBy(*keys).agg(*[f.alias(name) for _, f, name in measures])
