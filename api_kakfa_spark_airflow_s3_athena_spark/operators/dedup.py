@@ -30,7 +30,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import tokens
 from ..functions.vectors import cosine
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "minhash_signature",
     "minhash_candidates",
     "minhash_dedup_pairs",
+    "shingle_hashes",
     "simhash",
     "simhash_dedup_pairs",
     "jaccard",
@@ -81,6 +82,23 @@ def _ngram_fold(text: Column, n: int, seed: int, init_out: Column, update) -> Co
         return F.struct(new_win.alias("win"), new_out.alias("out"))
 
     return F.aggregate(th, init, step, lambda acc: acc["out"])
+
+
+def shingle_hashes(text: Column, n: int, seed: int = 1) -> Column:
+    """All word n-gram hashes of a document as ``array<bigint>``.
+
+    Same one-pass fold (and hash family) as :func:`minhash_signature`,
+    but collecting every shingle hash instead of folding minima —
+    used to verify candidate pairs by exact set Jaccard without ever
+    materializing shingle strings.
+    """
+    return _ngram_fold(
+        text,
+        n,
+        seed,
+        F.array().cast("array<bigint>"),
+        lambda out, sh: F.concat(out, F.array(sh)),
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -218,18 +236,39 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     seed: int = 1,
 ) -> DataFrame:
-    """MinHash LSH candidates, exact-Jaccard verified at ``threshold``.
+    """MinHash LSH candidates, set-Jaccard verified at ``threshold``.
 
-    Verification re-joins the (small) candidate pair list back to the
-    corpus twice to fetch shingle sets — only candidate rows pay the
-    array cost, the 100 TB remainder is never touched after banding.
+    Verification semi-joins the corpus down to candidate rows, then
+    compares hashed shingle sets — only candidate rows pay the array
+    cost, the 100 TB remainder is never touched after banding.
     """
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
-    # cache: the shingle sets are probed twice (both sides of the pair
-    # join); at corpus scale prefer persisting to a bucketed table once
-    shingled = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    # Candidate pairs are the small side (O(near-dups), not O(corpus));
+    # cache THEM — they are consumed three times below (id set + both
+    # sides of the verify join).
+    cands = minhash_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed
     ).cache()
+    # Shingle sets are computed ONLY for rows that appear in some
+    # candidate pair: broadcast the candidate id set so the corpus-side
+    # semi-join is a map-side filter (no corpus shuffle), then cache
+    # just those rows' shingle sets — nothing corpus-sized is pinned
+    # (the round-1 full-corpus cache is gone). Shingles are verified as
+    # 64-bit hashes (same fold as the signature stream, no string
+    # materialization); set Jaccard over the hashed shingles equals the
+    # string-shingle Jaccard up to a ~2^-64 collision probability.
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingled = (
+        df.join(F.broadcast(cand_ids), id_col, "leftsemi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingle_hashes(F.col(text_col), shingle_n, seed)).alias("sh"),
+        )
+        .cache()
+    )
     a = shingled.alias("a")
     b = shingled.alias("b")
     return (
@@ -317,6 +356,12 @@ def embedding_dedup_pairs(
     the bucketing is reproducible with no stored model. Cosine is
     verified only within buckets. ``planes`` trades recall (more
     buckets => fewer collisions => lower recall, fewer comparisons).
+
+    Buckets larger than ``max_bucket`` are dropped before the
+    self-join: a bucket of k vectors yields k²/2 pairs, so one
+    degenerate bucket (near-constant embeddings all hashing together)
+    would otherwise dominate cost quadratically — the same guard as
+    :func:`minhash_candidates`. Pass ``max_bucket=None`` to disable.
     """
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
@@ -335,6 +380,16 @@ def embedding_dedup_pairs(
         bucket = bucket * 2 + plane_bit(i)
 
     bucketed = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    if max_bucket is not None:
+        # Bucket census is tiny (<= 2^planes rows): broadcast the keep
+        # list so the guard adds no shuffle to the corpus side.
+        keep = (
+            bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("bucket")
+        )
+        bucketed = bucketed.join(F.broadcast(keep), "bucket")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (

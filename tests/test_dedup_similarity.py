@@ -94,6 +94,19 @@ def test_embedding_near_dup_lsh_finds_planted_pair(spark):
     assert any((r.id_a, r.id_b) == (0, 1) for r in pairs)
 
 
+def test_embedding_lsh_max_bucket_caps_degenerate_bucket(spark):
+    # 1000 identical vectors: one bucket, 499 500 potential pairs.
+    # With max_bucket the degenerate bucket is dropped entirely and
+    # the job completes with bounded output.
+    vec = [1.0, 0.0, 0.5, -0.25]
+    df = spark.createDataFrame([Row(vec_id=i, embedding=vec) for i in range(1000)])
+    capped = DD.embedding_dedup_pairs(df, threshold=0.9, planes=4, max_bucket=100)
+    assert capped.count() == 0  # bucket of 1000 > cap of 100 -> dropped
+    # sanity: with the cap disabled the same bucket explodes quadratically
+    uncapped = DD.embedding_dedup_pairs(df.limit(50), threshold=0.9, planes=4, max_bucket=None)
+    assert uncapped.count() == 50 * 49 // 2
+
+
 def test_brute_force_topk_matches_numpy(spark):
     df, vecs = _embeddings(spark)
     q = df.filter(F.col("vec_id") == 0).select(
