@@ -52,20 +52,27 @@ class DecoderNotAvailable(NotImplementedError):
     """Raised when a real codec is requested but no library is present."""
 
 
-def _fake_decode(payload: bytes, seed: int = 0) -> np.ndarray:
+def _fake_decode(payload: bytes, frame_idx: int = 0) -> np.ndarray:
     """Deterministic stand-in for a real decoder: hash-seeded pseudo
-    pixels. STUB — replace via :func:`register_decoder` when a codec
-    library (Pillow/torchaudio/decord) is available on the cluster."""
+    pixels, distinct per frame index. STUB — replace via
+    :func:`register_decoder` when a codec library
+    (Pillow/torchaudio/decord) is available on the cluster."""
     h = hash(payload) & 0x7FFFFFFF
-    rng = np.random.RandomState((h + seed) % (2**31))
+    rng = np.random.RandomState((h + frame_idx) % (2**31))
     return rng.rand(8, 8).astype(np.float32)
 
 
-_DECODER: Callable[[bytes], np.ndarray] = _fake_decode
+_DECODER: Callable[[bytes, int], np.ndarray] = _fake_decode
 
 
-def register_decoder(fn: Callable[[bytes], np.ndarray]) -> None:
-    """Install a real decode function (payload bytes -> array)."""
+def register_decoder(fn: Callable[[bytes, int], np.ndarray]) -> None:
+    """Install a real decode function.
+
+    Contract: ``fn(payload_bytes, frame_idx) -> ndarray``. For still
+    images/audio ``frame_idx`` is always 0; for video it is the frame
+    offset to seek to (``every_n * i`` from :func:`sample_frames`) —
+    a real video decoder must honor it to return distinct frames.
+    """
     global _DECODER
     _DECODER = fn
 
@@ -112,7 +119,7 @@ def extract_features(
         for pdf in batches:
             feats = []
             for payload in pdf[payload_col]:
-                arr = _DECODER(bytes(payload))
+                arr = _DECODER(bytes(payload), 0)
                 flat = arr.ravel()
                 vec = np.resize(flat, feature_dim).astype(np.float32)
                 feats.append(vec.tolist())
@@ -130,9 +137,10 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling plumbing: payload -> (id, frame_idx, frame).
 
-    Stub decode yields deterministic fake frames; the Spark contract
-    (explode-shaped fan-out inside mapInPandas, payload dropped after)
-    is the part that must survive a real decoder swap.
+    Every decoder — stub or real — receives the frame offset
+    ``every_n * frame_idx``, so a real video decoder seeks to distinct
+    frames. The Spark contract (explode-shaped fan-out inside
+    mapInPandas, payload dropped after) must survive a decoder swap.
     """
     out_schema = T.StructType(
         [
@@ -147,9 +155,7 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 for fi in range(max_frames):
-                    arr = _DECODER(bytes(payload), ) if _DECODER is not _fake_decode else _fake_decode(
-                        bytes(payload), seed=fi * every_n
-                    )
+                    arr = _DECODER(bytes(payload), fi * every_n)
                     ids.append(rid)
                     idxs.append(fi)
                     frames.append(arr.ravel()[:16].astype(np.float32).tolist())

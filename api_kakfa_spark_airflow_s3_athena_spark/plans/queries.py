@@ -2447,16 +2447,11 @@ def approx_distinct_and_quantiles(spark, sf_dir):
 def streaming_hourly_counts(spark, sf_dir):
     """The reference's flagship shape — unbounded source -> windowed
     state -> sink — run as a bounded replay: file streaming source over
-    the events table, 1-hour tumbling event-time windows, complete mode
-    into an in-memory sink, read back as a DataFrame. Identical result
-    to the batch date_trunc oracle by construction."""
-    import tempfile
-
-    # FileStreamSource needs a directory: stage the events table into a
-    # scratch dir (also re-encodes the ns timestamps as micros).
-    stage_dir = tempfile.mkdtemp(prefix="stream_src_")
-    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(stage_dir)
-    src = SP.parquet_stream(spark, stage_dir)
+    the events table (staged once per session, shared with the other
+    streaming queries), 1-hour tumbling event-time windows, complete
+    mode into an in-memory sink, read back as a DataFrame. Identical
+    result to the batch date_trunc oracle by construction."""
+    src = _stage_events_stream(spark, sf_dir)
     agg = (
         src.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), _money_sum(_m("value"), "sum_value"))
@@ -2477,15 +2472,27 @@ def streaming_hourly_counts(spark, sf_dir):
 _STAGE_CACHE: Dict[str, str] = {}
 
 
+def _cleanup_stage_dirs() -> None:
+    import shutil
+
+    for d in _STAGE_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGE_CACHE.clear()
+
+
 def _stage_events_stream(spark, sf_dir):
     """Stage the events table into a scratch dir and open it as a
     file streaming source (micros-encoded). Staged once per
-    (app, sf_dir) — the three streaming queries share the copy."""
+    (app, sf_dir) — all streaming queries share the copy; the scratch
+    dirs are removed at interpreter exit."""
+    import atexit
     import tempfile
 
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     stage_dir = _STAGE_CACHE.get(key)
     if stage_dir is None:
+        if not _STAGE_CACHE:
+            atexit.register(_cleanup_stage_dirs)
         stage_dir = tempfile.mkdtemp(prefix="stream_src_")
         _t(spark, sf_dir, "events").write.mode("overwrite").parquet(stage_dir)
         _STAGE_CACHE[key] = stage_dir

@@ -51,3 +51,27 @@ def test_sample_frames_fanout(spark):
     assert len(rows) == 12  # 3 docs x 4 frames
     assert {r.frame_idx for r in rows} == {0, 1, 2, 3}
     assert all(len(r.frame) == 16 for r in rows)
+    # the stub decoder honors the frame offset: frames differ per index
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(tuple(r.frame))
+    assert all(len(v) == 4 for v in by_doc.values()), "identical frames per index"
+
+
+def test_registered_decoder_receives_frame_offsets(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators import multimodal as MM
+
+    def offset_decoder(payload, frame_idx):
+        import numpy as np
+
+        # encode the received offset into the output so the test can
+        # observe what the executor-side decoder was asked for
+        return np.full((4, 4), float(frame_idx), dtype=np.float32)
+
+    MM.register_decoder(offset_decoder)
+    try:
+        rows = sample_frames(_media(spark, 1), every_n=10, max_frames=3).collect()
+        got = sorted({r.frame[0] for r in rows})
+        assert got == [0.0, 10.0, 20.0]  # every_n * frame_idx reached the decoder
+    finally:
+        MM.register_decoder(MM._fake_decode)
