@@ -2600,6 +2600,41 @@ def stream_stream_join_click_purchase(spark, sf_dir):
     )
 
 
+@register(
+    "bucketed_join_revenue_by_status",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    tags=("join", "bucketed"),
+)
+def bucketed_join_revenue_by_status(spark, sf_dir):
+    """Fact-to-fact join through bucketed managed tables: orders and
+    lineitem are saved ``bucketBy(orderkey)`` once per session, so the
+    join planned here has ZERO Exchange on either side — the shuffle
+    was paid at write time (the join-side half of the reference's
+    partition-pruning advice, ``docs/athena-integrity-check.md:64``).
+    Plan invariant pinned by tests/test_bucketed_join.py; result is
+    identical to the unbucketed join (same oracle)."""
+    from ..sources.tables import ensure_bucketed_join_tables
+
+    db = ensure_bucketed_join_tables(spark, sf_dir)
+    li = spark.table(f"{db}.lineitem_b")
+    o = spark.table(f"{db}.orders_b")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _money_sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount")), "revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #

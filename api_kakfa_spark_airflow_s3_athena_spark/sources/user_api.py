@@ -12,19 +12,30 @@ replayable) both yield the nested API-payload shape that
 Offline-deterministic by default: records come from the same value
 pools as the reference's fallback generator, keyed by row index (and
 seed), so any offset range replays identically — which is what makes
-the streaming source checkpoint-safe. A real HTTP fetch would slot
-into :meth:`_record` behind the ``endpoint`` option (kept offline here;
-no network in this environment).
+the streaming source checkpoint-safe.
+
+Retry contract (reference ``kafka_streaming_service.py:113-130``):
+when an ``endpoint`` is configured, each record is fetched with up to
+``retries`` attempts (default 3) of ``timeoutS`` seconds each
+(default 10); if every attempt fails the synthetic fallback record is
+emitted instead — ingestion never stalls on a flaky upstream, exactly
+like the reference's fallback generator. The fetch function is
+injectable via the ``fetcher`` option as an importable
+``"module:function"`` spec (resolved executor-side, so it survives
+serialization); it defaults to a stdlib urllib GET returning the
+JSON payload dict.
 
 Options: ``rows`` (batch row count, default 100), ``seed``,
 ``partitions`` (batch parallelism), ``rowsPerBatch`` (streaming
-micro-batch size).
+micro-batch size), ``endpoint`` (HTTP URL; unset = pure offline
+generator), ``retries``, ``timeoutS``, ``fetcher``
+(``module:function`` returning the nested payload dict).
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Callable, Iterator, Optional
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -34,7 +45,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql import types as T
 
-__all__ = ["UserApiDataSource", "register"]
+__all__ = ["UserApiDataSource", "register", "fetch_record_with_retry"]
 
 _LAST = ("Anderson", "Patel", "Kowalski", "Garcia", "Okafor", "Liu")
 _TITLED = {
@@ -122,16 +133,132 @@ def _record(idx: int, seed: int) -> tuple:
     )
 
 
+def _http_fetch(endpoint: str, timeout_s: float) -> dict:
+    """Default fetcher: stdlib GET, JSON payload dict (the reference's
+    ``requests.get(url, timeout=...)`` shape with the first result
+    unwrapped). Used only when an ``endpoint`` option is set."""
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(endpoint, timeout=timeout_s) as resp:
+        payload = json.loads(resp.read().decode("utf-8"))
+    results = payload.get("results") if isinstance(payload, dict) else None
+    return results[0] if results else payload
+
+
+def _payload_to_row(d: dict) -> tuple:
+    """Nested payload dict -> row tuple in ``_SCHEMA`` order. Missing
+    fields become None (P7 optional-field defaulting)."""
+    name = d.get("name") or {}
+    loc = d.get("location") or {}
+    street = loc.get("street") or {}
+    coords = loc.get("coordinates") or {}
+    login = d.get("login") or {}
+    number = street.get("number")
+    return (
+        d.get("gender"),
+        (name.get("title"), name.get("first"), name.get("last")),
+        (
+            (int(number) if number is not None else None, street.get("name")),
+            loc.get("city"),
+            loc.get("country"),
+            str(loc.get("postcode")) if loc.get("postcode") is not None else None,
+            (coords.get("latitude"), coords.get("longitude")),
+        ),
+        d.get("email"),
+        (login.get("uuid"),),
+    )
+
+
+def _resolve_fetcher(spec: Optional[str]) -> Callable[[str, float], dict]:
+    """Resolve a ``"module:function"`` fetcher spec (executor-side
+    import — works across serialization boundaries, unlike a driver
+    global)."""
+    if not spec:
+        return _http_fetch
+    mod, _, name = spec.partition(":")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def fetch_record_with_retry(
+    idx: int,
+    seed: int,
+    endpoint: Optional[str],
+    fetcher: Callable[[str, float], dict],
+    retries: int = 3,
+    timeout_s: float = 10.0,
+) -> tuple:
+    """One record via the reference's retry contract: up to ``retries``
+    fetch attempts of ``timeout_s`` each, then the deterministic
+    synthetic fallback (``kafka_streaming_service.py:113-130``)."""
+    if endpoint:
+        for _ in range(max(1, retries)):
+            try:
+                return _payload_to_row(fetcher(endpoint, timeout_s))
+            except Exception:
+                continue
+    return _record(idx, seed)
+
+
+def demo_static_fetch(endpoint: str, timeout_s: float) -> dict:
+    """Deterministic stand-in fetcher (tests/demos; importable on
+    executors via ``fetcher="...user_api:demo_static_fetch"``)."""
+    return {
+        "gender": "female",
+        "name": {"title": "Dr", "first": "Ada", "last": "Lovelace"},
+        "location": {
+            "street": {"number": 12, "name": "Analytical Way"},
+            "city": "London",
+            "country": "United Kingdom",
+            "postcode": "NW1 6XE",
+            "coordinates": {"latitude": "51.5237", "longitude": "-0.1585"},
+        },
+        "email": "ada.lovelace@example.com",
+        "login": {"uuid": "demo-uuid-1"},
+    }
+
+
+def demo_failing_fetch(endpoint: str, timeout_s: float) -> dict:
+    """Always-failing fetcher: exercises the retry + fallback path."""
+    raise ConnectionError("demo: upstream unavailable")
+
+
 class _Range(InputPartition):
     def __init__(self, start: int, end: int, seed: int):
         self.start, self.end, self.seed = start, end, seed
 
 
-class _BatchReader(DataSourceReader):
+class _FetchConfig:
+    """Shared endpoint/retry option parsing for both readers."""
+
+    def _init_fetch(self, options):
+        # NOTE: Spark lowercases DataSource option keys before they
+        # reach Python — always .get() the lowercase form.
+        self.endpoint = options.get("endpoint")
+        self.retries = int(options.get("retries", 3))
+        self.timeout_s = float(options.get("timeouts", 10.0))  # "timeoutS"
+        self.fetcher_spec = options.get("fetcher")
+
+    def _records(self, lo: int, hi: int, seed: int) -> Iterator[tuple]:
+        if self.endpoint:
+            fetcher = _resolve_fetcher(self.fetcher_spec)  # once per partition
+            for i in range(lo, hi):
+                yield fetch_record_with_retry(
+                    i, seed, self.endpoint, fetcher, self.retries, self.timeout_s
+                )
+        else:
+            for i in range(lo, hi):
+                yield _record(i, seed)
+
+
+class _BatchReader(DataSourceReader, _FetchConfig):
     def __init__(self, options):
         self.rows = int(options.get("rows", 100))
         self.seed = int(options.get("seed", 42))
         self.n_partitions = int(options.get("partitions", 4))
+        self._init_fetch(options)
 
     def partitions(self):
         if self.rows <= 0:
@@ -144,17 +271,18 @@ class _BatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _Range) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield _record(i, partition.seed)
+        return self._records(partition.start, partition.end, partition.seed)
 
 
-class _StreamReader(SimpleDataSourceStreamReader):
+class _StreamReader(SimpleDataSourceStreamReader, _FetchConfig):
     """Offset = next row index; any [start, end) range replays
     identically, so restarts are exactly-once."""
 
     def __init__(self, options):
         self.seed = int(options.get("seed", 42))
-        self.per_batch = int(options.get("rowsPerBatch", 10))
+        # option keys arrive lowercased ("rowsPerBatch" -> "rowsperbatch")
+        self.per_batch = int(options.get("rowsperbatch", 10))
+        self._init_fetch(options)
 
     def initialOffset(self):
         return {"index": 0}
@@ -162,10 +290,11 @@ class _StreamReader(SimpleDataSourceStreamReader):
     def read(self, start):
         lo = start["index"]
         hi = lo + self.per_batch
-        return iter([_record(i, self.seed) for i in range(lo, hi)]), {"index": hi}
+        # list, not generator: the prefetch cache copies these iterators
+        return iter(list(self._records(lo, hi, self.seed))), {"index": hi}
 
     def readBetweenOffsets(self, start, end):
-        return iter([_record(i, self.seed) for i in range(start["index"], end["index"])])
+        return iter(list(self._records(start["index"], end["index"], self.seed)))
 
 
 class UserApiDataSource(DataSource):

@@ -5,7 +5,11 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import connected_components, dedup_survivors
+from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+    connected_components,
+    connected_components_two_phase,
+    dedup_survivors,
+)
 
 
 def test_connected_components_known_graph(spark):
@@ -26,6 +30,44 @@ def test_connected_components_diameter_guard(spark):
 
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_two_phase_known_graph(spark):
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11), Row(id_a=20, id_b=20)]
+    )
+    got = {r.node: r.component for r in connected_components_two_phase(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_two_phase_beats_diameter_bound(spark):
+    # chain of diameter 40: label propagation needs ~40 rounds, the
+    # alternating-star algorithm must finish in O(log^2 n) — give it 10
+    edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(40)])
+    got = {
+        r.node: r.component
+        for r in connected_components_two_phase(edges, max_iter=10).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_two_phase_equals_label_propagation_on_random_graphs(spark):
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n_nodes, n_edges = 60, 45  # sparse -> several nontrivial components
+        edges = spark.createDataFrame(
+            [
+                Row(id_a=rng.randrange(n_nodes), id_b=rng.randrange(n_nodes))
+                for _ in range(n_edges)
+            ]
+        )
+        lp = {r.node: r.component for r in connected_components(edges, max_iter=30).collect()}
+        tp = {r.node: r.component for r in connected_components_two_phase(edges).collect()}
+        assert tp == lp, f"seed {seed}: algorithms disagree"
 
 
 def test_dedup_survivors_keeps_min_and_untouched(spark):

@@ -58,6 +58,43 @@ def test_bounded_stream_to_parquet_sink(spark, tmp_path):
     assert sorted(result.columns) == sorted(f.name for f in NAMES_STREAM.fields)
 
 
+def test_ndjson_sink_byte_format_parity(spark, tmp_path):
+    """S2 parity: the json sink must write the reference's byte format
+    (`spark_processing.py:151-162`) — newline-delimited, one JSON
+    object per line — and round-trip losslessly through
+    read_json_table (the Athena external-table equivalent)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import read_json_table
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    records = _sample_records(25)
+    _write_ndjson(src, records)
+
+    q = start_file_sink(json_stream(spark, src), out, ckpt, fmt="json", available_now=True)
+    q.awaitTermination()
+
+    # byte format: every line of every part file is one standalone JSON object
+    n_lines = 0
+    for fname in os.listdir(out):
+        if not fname.startswith("part-"):
+            continue
+        with open(os.path.join(out, fname)) as f:
+            for line in f:
+                assert line.endswith("\n")
+                obj = json.loads(line)
+                assert isinstance(obj, dict)
+                n_lines += 1
+    assert n_lines == 25
+
+    # round-trip: same rows and declared 9-column schema as the source
+    back = read_json_table(spark, out)
+    assert [f.name for f in back.schema.fields] == [f.name for f in NAMES_STREAM.fields]
+    got = sorted((r.name, r.zip, r.email, r.latitude) for r in back.collect())
+    want = sorted((r["name"], r["zip"], r["email"], r["latitude"]) for r in records)
+    assert got == want
+
+
 def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
     """Restarting with the same checkpoint must not re-emit processed
     input (T5: exactly-once file sink semantics)."""
