@@ -2635,6 +2635,279 @@ def bucketed_join_revenue_by_status(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "semi-join", "agg"),
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking), adapted: the dataset
+    has no commit/receipt dates, so "late" = a lineitem shipped more
+    than 60 days after the order date. EXISTS becomes a LEFT SEMI join
+    with a correlated inequality — the date window on orders prunes
+    the probe side before the join, and the semi join stops at first
+    match per order instead of materializing the multiplicity."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: local-supplier volume — six-table join where customer
+    and supplier must share a nation inside one region. The two facts
+    (lineitem, orders) shuffle on orderkey once; every dimension
+    (supplier, customer, nation, region) is broadcast, and the
+    c_nationkey = s_nationkey equality is applied as a post-join
+    filter rather than a second shuffle key."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_money_sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+        SELECT o_year,
+               CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+               CAST(sum(volume) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+              AND s_nationkey = n2.n_nationkey
+              AND p_type = 'ECONOMY'
+        )
+        GROUP BY o_year
+    """,
+    tags=("analytics", "join", "agg", "ratio"),
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share — eight-table join, then a
+    conditional-sum ratio per order year. Money terms are exact
+    DECIMAL so both sums are exact; the single double division is
+    bit-identical across engines and stays unrounded (see the float
+    parity recipe in NOTES.md). Dimensions broadcast; the two facts
+    shuffle on orderkey once."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = (_m("l_extendedprice") * (F.lit(1) - _r("l_discount"))).alias("volume")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"), volume, F.col("nation")
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+        SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem l, part p
+        WHERE p.p_partkey = l.l_partkey
+          AND p.p_brand = 'Brand#11' AND p.p_type = 'SMALL'
+          AND l.l_quantity < 0.2 * (
+              SELECT sum(l2.l_quantity) / count(*)
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+    tags=("analytics", "join", "subquery"),
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue), adapted: brand +
+    type stand in for brand + container. The correlated scalar
+    subquery (per-part average quantity) is decorrelated into one
+    partial aggregate over lineitem joined back on partkey — one
+    shuffle for the agg, one for the join, part broadcast. Quantities
+    are exact small integers in double, so sum/count is order-stable;
+    the final /7.0 is a single bit-identical division (NOTES.md
+    recipe)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "aq_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, F.col("l_partkey") == F.col("aq_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.round(F.sum(_m("l_extendedprice")), 2).cast("double") / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s_name
+    """,
+    tags=("analytics", "semi-join", "anti-join", "agg"),
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    ship dates: a supplier "kept the order waiting" if its line shipped
+    more than 30 days after the order date AND no other supplier on
+    the same (multi-supplier, finished) order shipped later. EXISTS /
+    NOT EXISTS become LEFT SEMI / LEFT ANTI self-joins on the lineitem
+    table, both keyed on orderkey (one shuffle each, co-partitioned
+    with the base join); nation and supplier broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
+    )
+    has_other = (F.col("l2_orderkey") == F.col("l_orderkey")) & (
+        F.col("l2_suppkey") != F.col("l_suppkey")
+    )
+    other_later = (
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey"))
+        & (F.col("l3_shipdate") > F.col("l_shipdate"))
+    )
+    return (
+        l1.join(l2, has_other, "left_semi")
+        .join(l3, other_later, "left_anti")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
