@@ -26,6 +26,8 @@ __all__ = [
     "language_scores",
     "detect_language",
     "fingerprint",
+    "repetition_features",
+    "mask_pii",
 ]
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -58,15 +60,22 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-grams as array<string>: the unit set for MinHash/Jaccard
-    dedup. Sliding window over the token array via transform+slice —
-    no explode, no shuffle."""
+    dedup. Built as n-1 ``zip_with`` passes over shifted slices of the
+    token array — no explode, no shuffle, and (crucially) no outer
+    capture inside a HOF lambda: a transform-over-sequence lambda that
+    referenced the token subtree would INLINE it per index and go
+    quadratic per document (NOTES.md). The zip inputs are plain
+    arguments, each evaluated once per row."""
     toks = tokens(text)
-    count = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) would DESCEND ([1, 0]); short docs need an empty array
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    length = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    out = F.slice(toks, 1, length)
+    for k in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, 1 + k, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return out
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:
@@ -124,6 +133,71 @@ def detect_language(text: Column) -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
     return best_lang
+
+
+def repetition_features(text: Column) -> Mapping[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, public
+    literature), token-level because the corpus is single-line:
+
+    - ``n_tokens`` / ``n_distinct_tokens`` (+ their ratio implied),
+    - ``top_token_count``: multiplicity of the most frequent token,
+    - ``dup_bigram_frac``: 1 - distinct/total word bigrams.
+
+    Every signal is row-local — zero shuffle over a 100 TB corpus. The
+    top-token count is a single ``aggregate`` fold over the SORTED
+    token array (longest equal-run), not a nested filter-per-distinct
+    lambda: nested HOF lambdas inline the outer array subtree and go
+    quadratic (see NOTES.md), a fold stays linear.
+    """
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n_tok = F.size(toks).cast("long")
+    sorted_toks = F.array_sort(toks)
+    run_state = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    top_count = F.aggregate(
+        sorted_toks,
+        run_state,
+        lambda st, t: F.struct(
+            t.alias("prev"),
+            F.when(t == st.prev, st.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                st.best,
+                F.when(t == st.prev, st.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda st: st.best,
+    )
+    bigrams = word_shingles(F.lower(text), 2)
+    n_bi = F.size(bigrams).cast("long")
+    n_bi_distinct = F.size(F.array_distinct(bigrams)).cast("long")
+    return {
+        "n_tokens": n_tok,
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "top_token_count": top_count,
+        # exact-integer ratios: single double division, never rounded
+        # (bit-identical across engines — NOTES.md float recipe)
+        "dup_bigram_frac": F.when(
+            n_bi > 0,
+            F.lit(1.0) - n_bi_distinct.cast("double") / n_bi.cast("double"),
+        ),
+    }
+
+
+# Portable (Java regex AND RE2) patterns: no lookbehind, no \p classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_NUM_RE = r"[0-9]{4,}"
+
+
+def mask_pii(text: Column) -> Column:
+    """Training-data PII scrub: replace email addresses with
+    ``<EMAIL>`` and 4+-digit runs (phones, SSN-ish ids, card
+    fragments) with ``<NUM>``. Order matters — emails first, so their
+    digit runs don't get half-masked into non-emails. Pure
+    ``regexp_replace`` chain: JVM-side, codegen'd, no Python."""
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_LONG_NUM_RE, "<NUM>")
 
 
 def fingerprint(text: Column) -> Column:

@@ -2908,6 +2908,106 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "doc_repetition_signals",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+                   CAST(max(c) AS BIGINT) AS top_token_count
+            FROM tc GROUP BY doc_id
+        ),
+        bi AS (
+            SELECT doc_id,
+                   CASE WHEN len(bigrams) > 0 THEN
+                       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) /
+                             CAST(len(bigrams) AS DOUBLE)
+                   END AS dup_bigram_frac
+            FROM (
+                SELECT doc_id,
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1]) AS bigrams
+                FROM toks
+            )
+        )
+        SELECT agg.doc_id, n_tokens, n_distinct_tokens, top_token_count,
+               dup_bigram_frac
+        FROM agg JOIN bi ON agg.doc_id = bi.doc_id
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def doc_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters per document: token counts,
+    top-token multiplicity, duplicate-bigram fraction
+    (functions/text.repetition_features). Every signal is row-local —
+    the whole query is scan → project → done, ZERO shuffle at any
+    corpus size; ratios are exact-integer divisions (unrounded,
+    bit-identical across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.repetition_features(F.col("text"))
+    return (
+        docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "pii_mask_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(planted,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '[0-9]{4,}', '<NUM>', 'g') AS masked,
+               CAST(len(regexp_extract_all(planted,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails
+        FROM (
+            SELECT doc_id,
+                   'contact user' || CAST(doc_id AS VARCHAR) ||
+                   '@mail.example.com call 555' ||
+                   lpad(CAST(doc_id AS VARCHAR), 6, '0') || ' ' || text
+                       AS planted
+            FROM documents
+        )
+    """,
+    tags=("text", "llm-pipeline", "pii"),
+)
+def pii_mask_roundtrip(spark, sf_dir):
+    """PII scrub over the corpus (functions/text.mask_pii): emails ->
+    <EMAIL>, 4+-digit runs -> <NUM>. PII spans are planted
+    deterministically from doc_id so the masking is actually
+    exercised, then the same regex chain runs in both engines.
+    Row-local regexp_replace chain — zero shuffle, codegen'd,
+    pattern portable across Java regex and RE2."""
+    from ..functions.text import PII_EMAIL_RE, mask_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call 555"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        mask_pii(planted).alias("masked"),
+        F.regexp_count(planted, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #

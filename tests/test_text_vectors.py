@@ -96,3 +96,36 @@ def test_vector_math_matches_numpy(spark):
 def test_cosine_zero_vector_is_null(spark):
     df = spark.createDataFrame([Row(a=[0.0, 0.0], b=[1.0, 2.0])])
     assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c is None
+
+
+def test_repetition_features_known_values(spark):
+    # "a b a b a": tokens=5, distinct=2, top(a)=3
+    # bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct -> dup 0.5
+    feats = TX.repetition_features(F.col("t"))
+    row = _one(spark, "a b a b a").select(
+        *[c.alias(k) for k, c in feats.items()]
+    ).collect()[0]
+    assert row.n_tokens == 5
+    assert row.n_distinct_tokens == 2
+    assert row.top_token_count == 3
+    assert row.dup_bigram_frac == 0.5
+
+
+def test_repetition_features_case_insensitive_and_edge(spark):
+    feats = TX.repetition_features(F.col("t"))
+    row = _one(spark, "The THE the").select(
+        *[c.alias(k) for k, c in feats.items()]
+    ).collect()[0]
+    assert (row.n_distinct_tokens, row.top_token_count) == (1, 3)
+    single = _one(spark, "solo").select(
+        *[c.alias(k) for k, c in feats.items()]
+    ).collect()[0]
+    assert single.n_tokens == 1 and single.top_token_count == 1
+    assert single.dup_bigram_frac is None  # no bigrams -> undefined
+
+
+def test_mask_pii(spark):
+    got = _one(
+        spark, "mail bob.smith+x@corp.example.org or call 0123456789 ext 123"
+    ).select(TX.mask_pii(F.col("t")).alias("x")).collect()[0].x
+    assert got == "mail <EMAIL> or call <NUM> ext 123"  # 3-digit run untouched
