@@ -1,0 +1,136 @@
+"""Table-maintenance operators: small-file compaction.
+
+Streaming sinks (streaming/pipeline.py) and per-batch upserts write a
+file per micro-batch per partition; at 100 TB a day of micro-batches
+turns the read side into a metadata storm (one task + one open per
+tiny file). Compaction is the standing maintenance job the reference
+delegates to S3 lifecycle + Athena's CTAS advice — here it is a
+first-class operator.
+
+Design (scale-first):
+
+- Target FILE SIZE in bytes, not file count: the job computes
+  ``ceil(partition_bytes / target_bytes)`` output files per partition
+  from filesystem metadata only — no data read to plan.
+- Partition-aware: each leaf partition is planned independently and
+  partitions that are already compact (file count already <= target)
+  are SKIPPED — their files are never read, rewritten, or touched,
+  so steady-state compaction cost is O(new fragmentation), not
+  O(table).
+- Rewrite is read -> coalesce(n) -> write-to-scratch -> atomic-ish
+  dir swap. ``coalesce`` not ``repartition``: compaction must not
+  shuffle — stitching small files into big ones is a narrow,
+  map-only concatenation.
+- The per-partition loop is driver-side over FS *metadata* (bounded
+  by partition count, never by data volume); each partition's rewrite
+  is an independent distributed job, so a failure mid-run leaves
+  every other partition either untouched or fully swapped.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+from pyspark.sql import SparkSession
+
+__all__ = ["compact_parquet", "plan_compaction"]
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _leaf_dirs(fs, jvm, root) -> List:
+    """Leaf data directories under ``root``: partition dirs (any depth
+    of ``col=value`` segments) or ``root`` itself when unpartitioned."""
+    subdirs = [
+        st.getPath()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    if not subdirs:
+        return [root]
+    out: List = []
+    for d in subdirs:
+        out.extend(_leaf_dirs(fs, jvm, d))
+    return out
+
+
+def _data_files(fs, d) -> List[Tuple[str, int]]:
+    return [
+        (st.getPath().toString(), st.getLen())
+        for st in fs.listStatus(d)
+        if not st.isDirectory()
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> List[dict]:
+    """Metadata-only compaction plan: one entry per leaf partition with
+    current file count/bytes and the target file count. Entries with
+    ``skip=True`` are already compact and will not be touched."""
+    fs, root, jvm = _fs(spark, path)
+    plan = []
+    for d in _leaf_dirs(fs, jvm, root):
+        files = _data_files(fs, d)
+        if not files:
+            continue
+        total = sum(sz for _, sz in files)
+        n_target = max(1, math.ceil(total / target_bytes))
+        plan.append(
+            {
+                "dir": d.toString(),
+                "n_files": len(files),
+                "bytes": total,
+                "n_target": n_target,
+                "skip": len(files) <= n_target,
+            }
+        )
+    return plan
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    scratch_suffix: str = "__compact_tmp",
+) -> dict:
+    """Compact every fragmented leaf partition of a parquet table to
+    ~``target_bytes`` files via narrow (shuffle-free) coalesce +
+    directory swap. Returns
+    ``{partitions_seen, partitions_rewritten, files_before, files_after}``.
+
+    Already-compact partitions are skipped without reading a byte.
+    """
+    fs, _root, jvm = _fs(spark, path)
+    plan = plan_compaction(spark, path, target_bytes)
+    rewritten = files_before = files_after = 0
+    for entry in plan:
+        files_before += entry["n_files"]
+        if entry["skip"]:
+            files_after += entry["n_files"]
+            continue
+        d = entry["dir"]
+        tmp = d.rstrip("/") + scratch_suffix
+        # partition-column values live in the dir name, not the files:
+        # read/write the leaf dir directly so they stay in the path
+        spark.read.parquet(d).coalesce(entry["n_target"]).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = jvm.org.apache.hadoop.fs.Path(d)
+        dst = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs.delete(src, True)
+        fs.rename(dst, src)
+        files_after += len(_data_files(fs, src))
+        rewritten += 1
+    return {
+        "partitions_seen": len(plan),
+        "partitions_rewritten": rewritten,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -51,10 +51,11 @@ def brute_force_topk(
     shuffles — each task scores its local partition and the final
     top-k-per-query is a skinny (query_id, neighbor_id, score) shuffle.
     """
-    n_q = queries.count()
-    if n_q > max_queries:
+    # guard probe bounded by limit: scans at most max_queries+1 rows
+    # however large the query set is (the old bare count() was O(|Q|))
+    if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
-            f"brute_force_topk got {n_q} queries (> {max_queries}); "
+            f"brute_force_topk got > {max_queries} queries; "
             "use lsh_topk for large query sets — brute force would be "
             "O(|Q|*|corpus|)"
         )

@@ -3008,6 +3008,56 @@ def pii_mask_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "compaction_maintenance",
+    # no oracle: filesystem maintenance is not SQL-expressible; the
+    # rows-only check pins the deterministic stats row, pytest
+    # (tests/test_maintenance.py) pins untouched-partition identity
+    tags=("maintenance",),
+)
+def compaction_maintenance(spark, sf_dir):
+    """Small-file compaction as a query: stage the documents table as
+    16 fragment files (a day of micro-batches in miniature), compact
+    to the byte target, and report the deterministic before/after
+    stats plus a row-count invariant. The rewrite is coalesce-based —
+    narrow, shuffle-free — and skips already-compact partitions
+    (operators/maintenance.py)."""
+    import tempfile
+
+    from ..operators.maintenance import compact_parquet
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:compact"
+    stage_dir = _STAGE_CACHE.get(key)
+    if stage_dir is None:
+        if not _STAGE_CACHE:
+            import atexit
+
+            atexit.register(_cleanup_stage_dirs)
+        stage_dir = tempfile.mkdtemp(prefix="compact_src_")
+        _STAGE_CACHE[key] = stage_dir
+    # re-fragment on every call so the reported stats are
+    # deterministic across repeated invocations in one session
+    _t(spark, sf_dir, "documents").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+    n_before = spark.read.parquet(stage_dir).count()
+    stats = compact_parquet(spark, stage_dir, target_bytes=1 << 30)
+    n_after = spark.read.parquet(stage_dir).count()
+    return spark.createDataFrame(
+        [
+            (
+                stats["files_before"],
+                stats["files_after"],
+                stats["partitions_rewritten"],
+                n_before,
+                n_after,
+            )
+        ],
+        "files_before int, files_after int, partitions_rewritten int, "
+        "rows_before long, rows_after long",
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #

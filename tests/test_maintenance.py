@@ -1,0 +1,64 @@
+"""Compaction: fragmented partitions get stitched to the byte target,
+already-compact partitions are never touched (file identity preserved)."""
+
+import os
+
+from pyspark.sql import Row
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators.maintenance import (
+    compact_parquet,
+    plan_compaction,
+)
+
+
+def _files(d):
+    return sorted(
+        f for f in os.listdir(d) if not f.startswith(("_", ".")) and f.endswith(".parquet")
+    )
+
+
+def test_compact_unpartitioned_to_single_file(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(i=i, s=f"v{i}") for i in range(1000)])
+    df.repartition(20).write.parquet(path)
+    assert len(_files(path)) == 20
+
+    stats = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert stats["partitions_rewritten"] == 1
+    assert stats["files_before"] == 20 and stats["files_after"] == 1
+    assert len(_files(path)) == 1
+    got = sorted((r.i, r.s) for r in spark.read.parquet(path).collect())
+    assert got == [(i, f"v{i}") for i in range(1000)]
+
+
+def test_compact_respects_byte_target(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([Row(i=i) for i in range(5000)]).repartition(16).write.parquet(path)
+    total = sum(e["bytes"] for e in plan_compaction(spark, path, 1))
+    # target of ~1/3 the table -> 3 output files
+    stats = compact_parquet(spark, path, target_bytes=total // 3 + 1)
+    assert stats["files_after"] == 3
+    assert spark.read.parquet(path).count() == 5000
+
+
+def test_partitioned_compact_skips_compact_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    frag = spark.createDataFrame([Row(dt="a", i=i) for i in range(200)])
+    frag.repartition(8).write.partitionBy("dt").parquet(path)
+    compact = spark.createDataFrame([Row(dt="b", i=i) for i in range(200)])
+    compact.coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+
+    b_dir = os.path.join(path, "dt=b")
+    before = {f: os.path.getmtime(os.path.join(b_dir, f)) for f in _files(b_dir)}
+    assert len(before) == 1
+
+    stats = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert stats["partitions_seen"] == 2
+    assert stats["partitions_rewritten"] == 1  # only dt=a
+    assert len(_files(os.path.join(path, "dt=a"))) == 1
+    after = {f: os.path.getmtime(os.path.join(b_dir, f)) for f in _files(b_dir)}
+    assert after == before, "already-compact partition was rewritten"
+
+    # partition column survives the dir swap
+    got = spark.read.parquet(path).groupBy("dt").count().collect()
+    assert sorted((r.dt, r["count"]) for r in got) == [("a", 200), ("b", 200)]
