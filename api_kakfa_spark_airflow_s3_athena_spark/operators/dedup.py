@@ -35,7 +35,9 @@ from ..functions.vectors import cosine
 
 __all__ = [
     "exact_dedup",
+    "token_hashes",
     "minhash_signature",
+    "oph_minhash_dense",
     "minhash_candidates",
     "minhash_dedup_pairs",
     "shingle_hashes",
@@ -84,21 +86,44 @@ def _ngram_fold(text: Column, n: int, seed: int, init_out: Column, update) -> Co
     return F.aggregate(th, init, step, lambda acc: acc["out"])
 
 
+def token_hashes(text: Column, seed: int = 1) -> Column:
+    """xxhash64 of every whitespace token, as ``array<bigint>``.
+
+    Pipelines MUST materialize this as its own projection (an
+    attribute) before building shingles from it: the shingle
+    construction references its input 2n times, and if that input is
+    the raw expression rather than a column, the tokenize+hash subtree
+    is duplicated 2n times in the plan — 6-10x the analysis, codegen,
+    and per-row evaluation cost (measured on the minhash pipeline).
+    """
+    return F.transform(tokens(text), lambda t: F.xxhash64(t, F.lit(seed)))
+
+
+def _shingles_from_th(th: Column, n: int) -> Column:
+    """Word n-gram hashes from a (materialized) token-hash column:
+    a chain of n-1 ``zip_with`` passes over shifted slices
+    (h = xxhash64(...xxhash64(h_i, h_{i+1})..., h_{i+n-1})),
+    O(tokens) per row. No shingle strings are ever materialized; zip
+    inputs are plain arguments, so nothing re-evaluates per element
+    (NOTES.md HOF-capture rule)."""
+    length = F.greatest(F.size(th) - F.lit(n - 1), F.lit(0))
+    out = F.slice(th, 1, length)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(th, 1 + k, length), lambda a, x: F.xxhash64(a, x)
+        )
+    return out
+
+
 def shingle_hashes(text: Column, n: int, seed: int = 1) -> Column:
     """All word n-gram hashes of a document as ``array<bigint>``.
 
-    Same one-pass fold (and hash family) as :func:`minhash_signature`,
-    but collecting every shingle hash instead of folding minima —
-    used to verify candidate pairs by exact set Jaccard without ever
-    materializing shingle strings.
+    Convenience composition for one-off use. Inside a pipeline,
+    materialize :func:`token_hashes` as a column first and call
+    :func:`_shingles_from_th` on the attribute — this inline form
+    embeds the tokenization 2n times (see :func:`token_hashes`).
     """
-    return _ngram_fold(
-        text,
-        n,
-        seed,
-        F.array().cast("array<bigint>"),
-        lambda out, sh: F.concat(out, F.array(sh)),
-    )
+    return _shingles_from_th(token_hashes(text, seed), n)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -148,6 +173,65 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3, se
     return _ngram_fold(text, shingle_n, seed, init, update)
 
 
+def oph_minhash_dense(
+    sh: Column, num_bins: int = 64
+) -> Column:
+    """Densified one-permutation MinHash signature over a shingle-hash
+    array column: ``array<bigint>`` of length ``num_bins``. ``sh``
+    should be a materialized column (see :func:`token_hashes`).
+
+    Rotation densification (Shrivastava & Li 2014, public literature):
+    an empty bin takes the value of the next occupied bin, wrapping
+    past the end to the first — without it, short documents leave most
+    bins empty and an LSH band's key collapses to ~1 effective hash
+    (measured: 1.4M candidate pairs instead of ~350 at sf0.1).
+
+    Implemented as a segment-fill fold over the compact (bin-sorted)
+    entries: each entry (b, v) emits ``v`` for every dense position in
+    (prev_b, b], and the finish step fills the tail with the wrap
+    value — dense[0] IS the first entry's value, so the wrap needs no
+    second lookup. One expression tree, O(S log S + num_bins) per row;
+    a per-position "first occupied bin >= i" lookup would duplicate
+    the scan subtree ``num_bins`` times and bloat analysis/codegen.
+    """
+    srt = F.array_sort(
+        F.transform(
+            sh,
+            lambda h: F.struct(
+                F.pmod(h, F.lit(num_bins)).cast("int").alias("bin"), h.alias("val")
+            ),
+        )
+    )
+    # One fold over the (bin, val)-sorted multiset: the FIRST entry of
+    # each bin is its minimum and emits the fill segment (prev_bin, b];
+    # later entries of the same bin are skipped. Fused into a single
+    # aggregate (rather than first-per-bin + fill passes) to keep the
+    # expression tree shallow — codegen compile time is part of a
+    # query's cost at bench scale.
+    init = F.struct(
+        F.lit(-1).cast("int").alias("last_bin"),
+        F.array().cast("array<bigint>").alias("out"),
+    )
+    return F.aggregate(
+        srt,
+        init,
+        lambda acc, e: F.when(e["bin"] == acc["last_bin"], acc).otherwise(
+            F.struct(
+                e["bin"].alias("last_bin"),
+                F.concat(
+                    acc["out"], F.array_repeat(e["val"], e["bin"] - acc["last_bin"])
+                ).alias("out"),
+            )
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.array_repeat(
+                F.get(acc["out"], 0), F.lit(num_bins - 1) - acc["last_bin"]
+            ),
+        ),
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -160,6 +244,11 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >=1 band of the signature.
 
+    The signature is one-permutation MinHash
+    (:func:`oph_minhash_dense`; ``num_hashes`` = bin count), banded
+    into ``bands`` groups of consecutive bins — O(S log S) per row
+    where the classic per-hash scheme is O(S·num_hashes).
+
     Returns ``(id_a, id_b)`` with id_a < id_b, distinct. Pair
     generation groups each band bucket into its (sorted) id list and
     explodes ordered pairs — one aggregation instead of a self-join,
@@ -170,12 +259,20 @@ def minhash_candidates(
     oversized buckets is standard LSH practice (near-dups still meet
     in their other, more selective bands).
     """
-    rows_per_band = num_hashes // bands
-    # Materialize the signature once per row; the band expansion below
-    # references the column, not the (expensive) expression.
-    with_sig = df.select(
+    bins_per_band = num_hashes // bands
+    # Two materialization points, each preventing expensive-subtree
+    # duplication (NOTES.md HOF rules): token hashes first (the shingle
+    # zip-chain references its input 2n times), then the dense
+    # signature (the band expansion references it ``bands`` times).
+    # Each downstream stage sees an attribute, bound once per row.
+    with_th = df.select(
+        F.col(id_col), token_hashes(F.col(text_col), seed).alias("th")
+    )
+    with_sig = with_th.select(
         F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n, seed).alias("sig"),
+        oph_minhash_dense(
+            _shingles_from_th(F.col("th"), shingle_n), num_hashes
+        ).alias("sig"),
     )
     banded = with_sig.select(
         F.col(id_col),
@@ -187,10 +284,11 @@ def minhash_candidates(
                     F.xxhash64(
                         F.array_join(
                             F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                F.slice(F.col("sig"), b * bins_per_band + 1, bins_per_band),
                                 lambda v: v.cast("string"),
                             ),
                             ",",
+                            "~",  # docs with no shingles: null -> sentinel
                         )
                     ).alias("bucket"),
                 ),
@@ -263,9 +361,13 @@ def minhash_dedup_pairs(
     )
     shingled = (
         df.join(F.broadcast(cand_ids), id_col, "leftsemi")
+        # token hashes materialized as their own projection so the
+        # shingle zip-chain references an attribute, not 2n copies of
+        # the tokenize+hash subtree (see token_hashes)
+        .select(F.col(id_col), token_hashes(F.col(text_col), seed).alias("th"))
         .select(
             F.col(id_col),
-            F.array_distinct(shingle_hashes(F.col(text_col), shingle_n, seed)).alias("sh"),
+            F.array_distinct(_shingles_from_th(F.col("th"), shingle_n)).alias("sh"),
         )
         .cache()
     )
