@@ -44,34 +44,33 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
 
+    # Convergence check: per-node labels only ever DECREASE, so the
+    # exact sum of labels is strictly monotone until the fixpoint —
+    # comparing sums (one tiny shuffle-free aggregate on the
+    # checkpointed labels) replaces the old join+filter+limit job per
+    # round. DECIMAL(38,0) keeps the sum exact for any bigint ids.
+    def label_sum(lb) -> object:
+        return lb.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = None if max_iter > 1 else label_sum(labels)
     for it in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
         neighbor_labels = (
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), F.col("component"))
         )
-        new_labels = (
+        labels = (
             labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        if it == 0 and max_iter > 1:
-            # round 1 almost always changes labels; skip the
-            # convergence-check job (the it=1 check still certifies
-            # the fixpoint before returning)
-            labels = new_labels
-            continue
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = label_sum(labels)
+        if prev_sum is not None and cur_sum == prev_sum:
             return labels
+        # it == 0: no comparison — labels virtually always change from
+        # the identity initialization; just record the baseline sum
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 

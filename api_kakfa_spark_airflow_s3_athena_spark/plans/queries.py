@@ -2451,22 +2451,38 @@ def streaming_hourly_counts(spark, sf_dir):
     streaming queries), 1-hour tumbling event-time windows, complete
     mode into an in-memory sink, read back as a DataFrame. Identical
     result to the batch date_trunc oracle by construction."""
+    import tempfile
+
     src = _stage_events_stream(spark, sf_dir)
     agg = (
         src.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), _money_sum(_m("value"), "sum_value"))
         .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
-    name = "streaming_hourly_counts_sink"
+    # Complete-mode foreachBatch -> parquet: each batch overwrites the
+    # target with the full updated result, so after termination the
+    # files hold the final windows — executors write, nothing is
+    # collected into driver memory (a `memory` sink caps out at driver
+    # heap once the window count grows; files don't). Append mode
+    # would be wrong here: bounded replay ends before the watermark
+    # closes the last window, silently dropping the tail.
+    out_key = f"{spark.sparkContext.applicationId}:{sf_dir}:hourly_out"
+    out_dir = _STAGE_CACHE.get(out_key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="stream_hourly_out_")
+        _STAGE_CACHE[out_key] = out_dir
+
+    def write_batch(batch, _epoch):
+        batch.write.mode("overwrite").parquet(out_dir)
+
     q = (
         agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
+        .foreachBatch(write_batch)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(out_dir)
 
 
 _STAGE_CACHE: Dict[str, str] = {}
