@@ -2925,6 +2925,256 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
 
 
 @register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM part p, ps, supplier s, nation n, region r
+        WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+          AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+          AND p.p_size = 15 AND r.r_name = 'EUROPE'
+          AND s.s_acctbal = (
+              SELECT min(s2.s_acctbal)
+              FROM ps ps2, supplier s2, nation n2, region r2
+              WHERE ps2.l_partkey = p.p_partkey
+                AND s2.s_suppkey = ps2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'EUROPE')
+    """,
+    tags=("analytics", "join", "subquery"),
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: the part-supplier
+    relation is the DISTINCT (l_partkey, l_suppkey) pairs from lineitem
+    (no partsupp table) and s_acctbal stands in for ps_supplycost. The
+    correlated MIN subquery is decorrelated into one per-part aggregate
+    over the SAME eligible relation, joined back on partkey — dims
+    (supplier/nation/region) broadcast, so the only shuffles are the
+    pair-distinct and the per-part min, both keyed on partkey. No
+    double arithmetic, only comparison — cross-engine safe."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    eligible = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "s_acctbal", "s_name", "n_name")
+    )
+    min_bal = eligible.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        eligible.join(min_bal, "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+        SELECT n_name AS nation_name, year(o_orderdate) AS o_year,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS sum_profit
+        FROM lineitem, supplier, part, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted:
+    no ps_supplycost, so profit = discounted revenue. Part filter
+    pushed below the join and broadcast (name-LIKE prunes ~2/3 of
+    parts); supplier+nation broadcast; lineitem→orders is the one big
+    shuffle join, then a partial-aggregated groupBy on (nation, year).
+    DECIMAL money keeps the 2-dp rounding deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    profit = _m("l_extendedprice") * (F.lit(1).cast(RATE) - _r("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_money_sum(profit, "sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+        WITH pv AS (
+            SELECT l_partkey,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                                  (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS part_value
+            FROM lineitem, supplier, nation
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_value
+        FROM pv WHERE part_value > (SELECT sum(part_value) FROM pv) / 500.0
+    """,
+    tags=("analytics", "subquery", "agg"),
+)
+def tpch_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification), adapted:
+    part value = discounted revenue shipped by one nation's suppliers
+    (no partsupp). The HAVING-over-global-total scalar subquery is a
+    single-row aggregate of the ALREADY-AGGREGATED per-part values,
+    broadcast back as a cross join — the corpus-sized input is read
+    and shuffled exactly once; the threshold pass reuses the tiny
+    aggregate. Per-part values are exact 2-dp doubles, the global sum
+    of those doubles is exact (integer cents well under 2^53), and
+    /500.0 is one deterministic division — bit-identical comparison in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = _m("l_extendedprice") * (F.lit(1).cast(RATE) - _r("l_discount"))
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(_money_sum(value, "part_value"))
+    )
+    total = pv.agg((F.sum("part_value") / F.lit(500.0)).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q16_supplier_relationship",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps, part
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 14, 23, 36, 49)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("analytics", "anti-join", "distinct-agg"),
+)
+def tpch_q16_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: the
+    part-supplier relation from lineitem pairs, negative account
+    balance standing in for the complaint filter. NOT IN becomes a
+    LEFT ANTI against the (tiny, broadcast) excluded-supplier set —
+    safe here because s_suppkey is non-null; COUNT(DISTINCT) runs as
+    Spark's two-phase distinct aggregate, partials keyed on the
+    (brand, type, size) group."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 36, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+        WITH sp AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        pt AS (SELECT l_partkey, sum(q) AS tot FROM sp GROUP BY l_partkey)
+        SELECT DISTINCT s_name
+        FROM sp JOIN pt USING (l_partkey)
+        JOIN part ON p_partkey = sp.l_partkey
+        JOIN supplier ON s_suppkey = sp.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE 'red%' AND n_name IN ('NATION_2', 'NATION_3')
+          AND q > 0.3 * tot
+    """,
+    tags=("analytics", "subquery", "agg", "join"),
+)
+def tpch_q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion), adapted: with no
+    ps_availqty, a supplier qualifies if it shipped more than 30% of
+    a red part's 1997 volume — the same two-level aggregate + ratio
+    threshold structure. Both aggregates key on l_partkey, so AQE can
+    reuse the first shuffle's partitioning for the second (no extra
+    exchange); part/supplier/nation broadcast. Quantities are small
+    exact integers and 0.3 is the same binary double in both engines
+    multiplying exact inputs — cross-engine deterministic."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    pt = sp.groupBy("l_partkey").agg(F.sum("q").alias("tot"))
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_3")
+    )
+    return (
+        sp.join(pt, "l_partkey")
+        .filter(F.col("q") > F.lit(0.3) * F.col("tot"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name")
+        .distinct()
+    )
+
+
+@register(
     "doc_repetition_signals",
     oracle="""
         WITH toks AS (
@@ -3114,9 +3364,19 @@ _PRIOR_VERIFIED = frozenset({
 
 
 def _ordered_specs():
+    """Registry order = driver-check priority. The round driver records
+    CORRECTNESS rows for a prefix of the registry (~50 entries in round
+    1), so order queries by how much a hard row is worth: queries with
+    no prior row AND an oracle first (strongest signal, and the fast
+    TPC-H/showcase shapes, so a time-capped driver also gets through
+    more of them), then no-row rows-only checks (slow LSH/ANN/iterative
+    ops — weaker signal), then everything already verified in a prior
+    round."""
     unverified = [s for n, s in REGISTRY.items() if n not in _PRIOR_VERIFIED]
+    unv_oracle = [s for s in unverified if s.oracle]
+    unv_rows_only = [s for s in unverified if not s.oracle]
     verified = [s for n, s in REGISTRY.items() if n in _PRIOR_VERIFIED]
-    return unverified + verified
+    return unv_oracle + unv_rows_only + verified
 
 
 def queries() -> Dict[str, QueryFn]:
