@@ -43,6 +43,7 @@ __all__ = [
     "shingle_hashes",
     "simhash",
     "simhash_dedup_pairs",
+    "simhash_hamming_pairs",
     "jaccard",
     "embedding_dedup_pairs",
 ]
@@ -439,6 +440,88 @@ def simhash_dedup_pairs(
         .agg(F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .select("sig", F.array_sort("ids").alias("ids"), "n")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    shingle_n: int = 2,
+    seed: int = 7,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= ``max_distance``.
+
+    Pigeonhole banding (the Manku/Jain/Sarma web-dedup construction):
+    split the 64-bit signature into ``max_distance + 1`` contiguous
+    chunks — two signatures differing in <= ``max_distance`` bits MUST
+    agree on at least one chunk, so an equality join per chunk has
+    perfect recall; the exact ``bit_count(xor)`` filter then gives
+    perfect precision. Total work is k+1 tiny-key shuffles of
+    (int64, id) rows plus in-bucket pair generation — never an
+    all-pairs compare.
+
+    Same bucket-aggregation shape as :func:`minhash_candidates`
+    (collect-sort-cap-explode): buckets above ``max_bucket`` are
+    dropped, bounding the quadratic in-bucket blowup; a true near-dup
+    pair lost to one hot chunk still meets in another chunk unless all
+    of its chunks are hot.
+
+    Returns distinct ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    bands = max_distance + 1
+    width = 64 // bands
+    sigs = df.select(
+        F.col(id_col), simhash(F.col(text_col), 64, shingle_n, seed).alias("sig")
+    )
+
+    def band_key(c: int) -> Column:
+        shift = c * width
+        nbits = 64 - shift if c == bands - 1 else width
+        mask = -1 if nbits >= 64 else (1 << nbits) - 1
+        return F.shiftrightunsigned(F.col("sig"), shift).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("band"), band_key(c).alias("key"))
+                    for c in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+
+    grouped = (
+        banded.groupBy("band", "key")
+        # id is the struct's first field, so array_sort orders by id
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("entries"))
+        .filter((F.size("entries") > 1) & (F.size("entries") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("entries"),
+            lambda a: F.transform(
+                F.filter(F.col("entries"), lambda b: b["id"] > a["id"]),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    F.bit_count(a["sig"].bitwiseXOR(b["sig"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )
 
 

@@ -1422,6 +1422,16 @@ def simhash_clusters(spark, sf_dir):
     return DD.simhash_dedup_pairs(_t(spark, sf_dir, "documents"))
 
 
+@register("simhash_hamming_pairs", oracle=None, tags=("dedup", "lsh"))
+def simhash_hamming_pairs(spark, sf_dir):
+    """Near-dup pairs at SimHash Hamming distance <= 3 via pigeonhole
+    banding (4 chunk-equality joins, exact bit_count verify) — the
+    recall-complete generalization of identical-signature clustering.
+    Rows-only: LSH banding has no SQL twin; exactness vs brute force
+    is pinned by tests/test_dedup_similarity.py."""
+    return DD.simhash_hamming_pairs(_t(spark, sf_dir, "documents"), max_distance=3)
+
+
 @register("embedding_near_dup_lsh", oracle=None, tags=("dedup", "similarity", "lsh"))
 def embedding_near_dup_lsh(spark, sf_dir):
     """Random-hyperplane-bucketed embedding near-dups (cos >= 0.9)."""

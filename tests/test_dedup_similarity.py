@@ -76,6 +76,42 @@ def test_simhash_identical_for_exact_dups(spark):
     assert any(set(c.ids) >= {0, 1} for c in clusters)
 
 
+def test_simhash_hamming_pairs_match_brute_force(spark):
+    # Corpus with a spectrum of edit sizes: substituting words in BASE
+    # flips a few signature bits; unrelated docs are far in Hamming
+    # space. Banding must find EXACTLY the brute-force pair set —
+    # pigeonhole recall is perfect, the bit_count filter is exact.
+    words = BASE.split()
+    rows = [Row(doc_id=0, text=BASE)]
+    for i in range(1, 30):
+        w = list(words)
+        for j in range(i % 4):  # 0-3 word substitutions
+            w[(i * 3 + j) % len(w)] = f"tok{i}_{j}"
+        rows.append(Row(doc_id=i, text=" ".join(w)))
+    docs = spark.createDataFrame(rows)
+
+    k = 3
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_hamming_pairs(docs, max_distance=k).collect()
+    }
+    sigs = docs.select("doc_id", DD.simhash(F.col("text")).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .collect()
+    }
+    assert got == want
+    assert want  # the corpus must actually contain close pairs
+
+
 def _embeddings(spark, n=40, dim=16, seed=3):
     rng = np.random.RandomState(seed)
     vecs = rng.randn(n, dim).astype(np.float32)
