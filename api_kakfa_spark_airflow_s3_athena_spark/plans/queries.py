@@ -3185,6 +3185,144 @@ def tpch_q20_dominant_suppliers(spark, sf_dir):
 
 
 @register(
+    "contamination_check",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+            FROM toks
+        ),
+        train AS (SELECT DISTINCT unnest(g) AS gram FROM tri
+                  WHERE source <> 'src0'),
+        ev AS (SELECT doc_id, unnest(g) AS gram FROM tri
+               WHERE source = 'src0')
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(count(t.gram) AS BIGINT) AS n_overlap,
+               CAST(count(t.gram) AS DOUBLE) / count(*) AS contamination_frac
+        FROM ev e LEFT JOIN train t ON e.gram = t.gram
+        GROUP BY e.doc_id
+    """,
+    tags=("text", "llm-pipeline", "join"),
+)
+def contamination_check(spark, sf_dir):
+    """Train/eval contamination audit: for each eval document (source
+    'src0'), the fraction of its distinct word trigrams that appear
+    anywhere in the training split (every other source) — the standard
+    n-gram-overlap decontamination check run before training on
+    scraped corpora.
+
+    Scale shape: the train side collapses to DISTINCT trigrams (one
+    hash-shuffle, heavy dedup since boilerplate repeats), the eval
+    side explodes only eval docs (a tiny slice of the corpus), and the
+    overlap is a single equi-join on the gram — no all-pairs doc
+    compare anywhere. At 100 TB you'd join on xxhash64(gram) to shrink
+    shuffle bytes ~10x; strings are kept here so the DuckDB twin is
+    byte-identical. The ratio is an exact small-int division —
+    bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(TX.word_shingles(F.lower(F.col("text")), 3)).alias("g"),
+    )
+    train = (
+        grams.filter(F.col("source") != "src0")
+        .select(F.explode("g").alias("tgram"))
+        .distinct()
+    )
+    ev = grams.filter(F.col("source") == "src0").select(
+        "doc_id", F.explode("g").alias("gram")
+    )
+    return (
+        ev.join(train, ev.gram == train.tgram, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.count("tgram").alias("n_overlap"),
+            (F.count("tgram").cast("double") / F.count(F.lit(1))).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "domain_quality_stats",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+               1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*)
+                   AS dup_rate,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens,
+               CAST(sum(n_stop) AS DOUBLE) / greatest(sum(n_tok), 1)
+                   AS stopword_ratio,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM (
+            SELECT source, text, n_chars,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tok,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> x IN ('the','a','of','and','to','in','is')))
+                       AS n_stop
+            FROM documents
+        )
+        GROUP BY source
+    """,
+    tags=("text", "llm-pipeline", "agg"),
+)
+def domain_quality_stats(spark, sf_dir):
+    """Per-domain (source) corpus quality rollup — the Common-Crawl-style
+    signal used to up/down-weight whole domains: volume, exact-dup
+    rate, token budget, stopword ratio, length extremes.
+
+    Every ratio divides exact integer totals once at the end
+    (sum-of-per-doc-double-ratios would hash-mismatch across engines'
+    summation orders — NOTES.md float recipe); the distinct-text count
+    is Spark's two-phase distinct aggregate keyed on the group, so the
+    shuffle carries (source, text-digest)-grade data, and the whole
+    query is one pass over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    lower_toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    per_doc = d.select(
+        "source",
+        "text",
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(lower_toks, lambda t: F.array_contains(stop, t))).alias(
+            "n_stop"
+        ),
+    )
+    n_docs = F.count(F.lit(1))
+    n_distinct = F.count_distinct("text")
+    total_tok = F.sum("n_tok")
+    return per_doc.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        n_distinct.alias("n_distinct_texts"),
+        (F.lit(1.0) - n_distinct.cast("double") / n_docs).alias("dup_rate"),
+        total_tok.alias("total_tokens"),
+        (total_tok.cast("double") / n_docs).alias("avg_tokens"),
+        (
+            F.sum("n_stop").cast("double") / F.greatest(total_tok, F.lit(1))
+        ).alias("stopword_ratio"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@register(
     "doc_repetition_signals",
     oracle="""
         WITH toks AS (
