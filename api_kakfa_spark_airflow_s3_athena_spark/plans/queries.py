@@ -26,6 +26,7 @@ Conventions for oracle parity:
 
 from __future__ import annotations
 
+import tempfile
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Tuple
 
@@ -39,6 +40,7 @@ from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..sources.tables import load_table
 from ..streaming import pipeline as SP
+from ..streaming import stateful as STF
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2461,8 +2463,6 @@ def streaming_hourly_counts(spark, sf_dir):
     streaming queries), 1-hour tumbling event-time windows, complete
     mode into an in-memory sink, read back as a DataFrame. Identical
     result to the batch date_trunc oracle by construction."""
-    import tempfile
-
     src = _stage_events_stream(spark, sf_dir)
     agg = (
         src.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
@@ -2563,6 +2563,80 @@ def streaming_sliding_counts(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stateful_sessionize_stream",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS sid
+            FROM ordered
+        ),
+        agg AS (
+            SELECT user_id, sid,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events, sum_value
+        FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid
+              FROM agg)
+        WHERE sid < max_sid
+           OR (epoch_us(session_end) // 1000) + 1800000 <
+              (SELECT max(epoch_us(ts)) // 1000 FROM events) - 60000
+    """,
+    tags=("streaming", "stateful", "sessionization"),
+)
+def stateful_sessionize_stream(spark, sf_dir):
+    """Custom stateful streaming sessionization
+    (streaming/stateful.sessionize_with_state): per-user open-session
+    state in applyInPandasWithState, closed on a >30 min in-stream gap
+    or an event-time timeout. The bounded replay processes all files in
+    one batch, then availableNow runs a final empty batch with the
+    advanced watermark, firing timeouts. The emitted set is therefore:
+    every non-final session (closed by an in-batch gap) PLUS each
+    final session whose timeout (session_end ms + gap) fell strictly
+    below the final watermark (stream-max ms - 60 s delay) — exactly
+    the SQL twin's two-arm WHERE. Money is summed in exact integer
+    cents inside the state, divided once at emit."""
+    import shutil
+
+    src = _stage_events_stream(spark, sf_dir)
+    sessions = STF.sessionize_with_state(src, gap_seconds=1800)
+    out_key = f"{spark.sparkContext.applicationId}:{sf_dir}:sessions_out"
+    out_dir = _STAGE_CACHE.get(out_key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="stream_sessions_out_")
+        _STAGE_CACHE[out_key] = out_dir
+    else:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch, _epoch):
+        # append: batch 0 emits gap-closed sessions, the final batch
+        # emits timeout-closed ones — both belong in the result
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 @register(

@@ -9,7 +9,82 @@ from pyspark.sql import functions as F
 
 from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import load_table
 from api_kakfa_spark_airflow_s3_athena_spark.streaming.job import build_job, resolve_config
-from api_kakfa_spark_airflow_s3_athena_spark.streaming.stateful import running_user_stats
+from api_kakfa_spark_airflow_s3_athena_spark.streaming.stateful import (
+    running_user_stats,
+    sessionize_with_state,
+)
+
+
+def test_sessionize_with_state_timeout_closes_idle_session(spark, tmp_path):
+    """Three files fed one per micro-batch (maxFilesPerTrigger=1):
+    user 1's burst in file A must be closed by the EVENT-TIME TIMEOUT
+    once later files advance the watermark past burst_end + gap —
+    not by an in-batch gap (user 1 never appears again). Bounds,
+    count, and exact-cents sum are all asserted."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        path = str(tmp_path / "src" / name)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        # pin mtime on the part files: the file source orders by it
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        return path
+
+    src_root = str(tmp_path / "src")
+    # file A: user 1 burst (3 events, 1 min apart), user 2 heartbeat
+    write_file(
+        "a",
+        [
+            (1, t0, 10.25),
+            (1, t0 + dt.timedelta(minutes=1), 0.50),
+            (1, t0 + dt.timedelta(minutes=2), 1.75),
+            (2, t0, 1.0),
+        ],
+        1_000,
+    )
+    # file B: user 2 an hour later — advances max event time to t0+60m
+    write_file("b", [(2, t0 + dt.timedelta(minutes=60), 1.0)], 2_000)
+    # file C: user 2 later still — watermark after B's batch is
+    # t0+60m-1m = t0+59m > (t0+2m)+30m, so user 1's timeout fires here
+    write_file("c", [(2, t0 + dt.timedelta(minutes=120), 1.0)], 3_000)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_root + "/*")
+    )
+    emitted = []  # (epoch, row)
+    def sink(batch_df, epoch_id):
+        emitted.extend((epoch_id, r) for r in batch_df.collect())
+
+    q = (
+        sessionize_with_state(stream, gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    user1 = [(e, r) for e, r in emitted if r.user_id == 1]
+    assert len(user1) == 1
+    epoch, sess = user1[0]
+    assert epoch >= 2  # closed by timeout after a later batch, not in batch 0
+    assert sess.session_start == t0
+    assert sess.session_end == t0 + dt.timedelta(minutes=2)
+    assert sess.n_events == 3
+    assert sess.sum_value == 12.50  # exact cents: 1025 + 50 + 175
+    # user 2's 30-min-gapped singletons: the first two close on arrival
+    # of the next event, the last closes by timeout or stays open
+    user2_ends = {r.session_end for e, r in emitted if r.user_id == 2}
+    assert t0 in user2_ends and t0 + dt.timedelta(minutes=60) in user2_ends
 
 
 def test_running_user_stats_accumulates_across_batches(spark, sf_dir, tmp_path):
