@@ -26,7 +26,9 @@ Conventions for oracle parity:
 
 from __future__ import annotations
 
+import os
 import tempfile
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Tuple
 
@@ -66,6 +68,27 @@ def register(name: str, oracle: Optional[str] = None, tags: Tuple[str, ...] = ()
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession):
+    """Scope a lower shuffle-partition count around a streaming query's
+    planning/start.
+
+    Every stateful streaming operator instantiates ONE state store per
+    shuffle partition; at bounded-replay bench scale, 32 stores' init
+    + commit overhead dominates wall-clock (measured: the stream-stream
+    join drops 8-15 s -> ~3 s going 32 -> 8 partitions at sf0.01). A
+    real deployment sizes this by sustained throughput/state volume —
+    override with SPARK_GRAFT_STREAM_PARTITIONS. Batch queries are
+    untouched (AQE coalesces those)."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # --- exact money arithmetic ------------------------------------------------
@@ -2485,13 +2508,14 @@ def streaming_hourly_counts(spark, sf_dir):
     def write_batch(batch, _epoch):
         batch.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -2554,14 +2578,15 @@ def streaming_sliding_counts(spark, sf_dir):
         .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
     )
     name = "streaming_sliding_counts_sink"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -2629,13 +2654,14 @@ def stateful_sessionize_stream(spark, sf_dir):
         # emits timeout-closed ones — both belong in the result
         batch.write.mode("append").parquet(out_dir)
 
-    q = (
-        sessions.writeStream.outputMode("append")
-        .foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -2682,14 +2708,15 @@ def stream_stream_join_click_purchase(spark, sf_dir):
         "user_id", (F.unix_micros("p_ts") - F.unix_micros("click_ts")).alias("lag_us")
     )
     name = "stream_stream_join_sink"
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
