@@ -3424,6 +3424,101 @@ def domain_quality_stats(spark, sf_dir):
 
 
 @register(
+    "deterministic_sample",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+    """,
+    tags=("llm-pipeline", "sampling"),
+)
+def deterministic_sample(spark, sf_dir):
+    """Deterministic 25% corpus sample: keep rows whose md5(doc_id)
+    first hex digit is 0-3. Unlike rand()-based sampling this is
+    reproducible across engines, runs, partitionings, and retries —
+    the property training-data splits actually need (every engine
+    derives the SAME membership; no seed plumbing). Row-local filter,
+    zero shuffle, scan-pushable on any column subset."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "sequence_packing_plan",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tok
+            FROM documents
+        )
+        SELECT doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_offset,
+               CAST(coalesce(sum(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 2048 AS BIGINT) AS seq_id
+        FROM t
+    """,
+    tags=("llm-pipeline", "window"),
+)
+def sequence_packing_plan(spark, sf_dir, budget: int = 2048, n_ranges: int = 32):
+    """GPT-style sequence packing plan: concatenate the corpus in
+    doc_id order and chunk the token stream into ``budget``-token
+    sequences; each doc's ``start_offset`` is its first token's global
+    position and ``seq_id = start_offset // budget`` the chunk its
+    first token lands in.
+
+    The global prefix sum is computed as a DISTRIBUTED two-phase scan,
+    not a single-partition window (the naive OVER (ORDER BY doc_id)
+    funnels 100 TB through one task): (1) rows are assigned an
+    equal-width doc_id range bucket (min/max from one tiny aggregate —
+    deterministic, no sampled range partitioner), (2) per-bucket token
+    totals (a P-row aggregate) get their exclusive prefix via a window
+    over P rows, (3) each row's offset = bucket prefix (broadcast
+    joined) + intra-bucket running sum (window PARTITIONED by bucket).
+    Identical arithmetic to the oracle's global window because bucket
+    order extends doc order."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    t = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tok"))
+    bounds = t.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    withpid = t.join(F.broadcast(bounds)).withColumn(
+        "pid",
+        F.floor(
+            (F.col("doc_id") - F.col("lo"))
+            * F.lit(n_ranges)
+            / (F.col("hi") - F.col("lo") + 1)
+        ),
+    )
+    partials = withpid.groupBy("pid").agg(F.sum("n_tok").alias("ptok"))
+    wp = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = partials.select(
+        "pid", F.coalesce(F.sum("ptok").over(wp), F.lit(0)).alias("prefix")
+    )
+    wi = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.col("prefix") + F.coalesce(F.sum("n_tok").over(wi), F.lit(0))
+    return (
+        withpid.join(F.broadcast(prefix), "pid")
+        .select(
+            "doc_id",
+            "n_tok",
+            offset.alias("start_offset"),
+            (offset / F.lit(budget)).cast("bigint").alias("seq_id"),
+        )
+    )
+
+
+@register(
     "doc_repetition_signals",
     oracle="""
         WITH toks AS (
