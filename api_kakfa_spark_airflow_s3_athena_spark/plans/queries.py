@@ -3519,6 +3519,100 @@ def sequence_packing_plan(spark, sf_dir, budget: int = 2048, n_ranges: int = 32)
 
 
 @register(
+    "stratified_sample_by_lang",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+              CASE lang WHEN 'en' THEN 'c' WHEN 'de' THEN '8'
+                        WHEN 'fr' THEN '8' ELSE '4' END
+    """,
+    tags=("llm-pipeline", "sampling"),
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Language-stratified deterministic sampling: per-stratum keep
+    rates (en 75%, de/fr 50%, rest 25%) applied through the same
+    md5(doc_id) hex-prefix coin as deterministic_sample — the standard
+    way to rebalance a multilingual corpus while keeping membership
+    reproducible across engines and reruns. Row-local, zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    thresh = (
+        F.when(F.col("lang") == "en", F.lit("c"))
+        .when(F.col("lang").isin("de", "fr"), F.lit("8"))
+        .otherwise(F.lit("4"))
+    )
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(coin < thresh).select("doc_id", "lang", "source")
+
+
+@register(
+    "embedding_quantization",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   list_aggregate(list_transform(embedding::DOUBLE[],
+                                                 x -> abs(x)), 'max') AS scale
+            FROM embeddings
+        ),
+        enc AS (
+            SELECT vec_id, label, v, scale,
+                   list_transform(v, x -> floor(x * 127.0 / scale + 0.5))
+                       AS codes
+            FROM v
+        )
+        SELECT vec_id, label,
+               round(scale, 6) AS scale,
+               CAST(list_aggregate(list_transform(codes, c -> abs(c)),
+                                   'sum') AS BIGINT) AS l1_codes,
+               CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT)
+                   AS n_zero_codes,
+               CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT)
+                   AS n_saturated
+        FROM enc
+    """,
+    tags=("llm-pipeline", "similarity"),
+)
+def embedding_quantization(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|v|, code = floor(v*127/scale + 0.5) — floor of an
+    identical double expression instead of round() so both engines
+    make the SAME tie decisions bit-for-bit. Emits the scale plus
+    integer code statistics (L1 mass, zero count, saturation count) —
+    the distribution checks a quantized ANN index build runs before
+    swapping in int8 vectors. Only CODE-derived integers cross the
+    hash compare: the reconstruction-error chain (x*127/scale, three
+    double ops) measurably differs from DuckDB at the ulp level (FMA
+    contraction), so per NOTES.md float recipe it stays out of the
+    oracle surface. All row-local higher-order functions, zero
+    shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ve = e.select("vec_id", "label", v.alias("v"))
+    scale = F.array_max(F.transform(F.col("v"), F.abs))
+    wsc = ve.select("vec_id", "label", "v", scale.alias("scale"))
+    codes = F.transform(
+        F.col("v"), lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5)
+    )
+    wcodes = wsc.select("vec_id", "label", "scale", codes.alias("codes"))
+    return wcodes.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(
+            F.transform(F.col("codes"), F.abs),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: acc + c.cast("bigint"),
+        ).alias("l1_codes"),
+        F.size(F.filter(F.col("codes"), lambda c: c == 0))
+        .cast("bigint")
+        .alias("n_zero_codes"),
+        F.size(F.filter(F.col("codes"), lambda c: F.abs(c) == 127))
+        .cast("bigint")
+        .alias("n_saturated"),
+    )
+
+
+@register(
     "doc_repetition_signals",
     oracle="""
         WITH toks AS (
