@@ -84,3 +84,60 @@ def test_zip_pseudonym_is_md5_int(z):
     import hashlib
 
     assert pseudonymize_zip_py(z) == str(int(hashlib.md5(str(z).encode()).hexdigest(), 16))
+
+
+@SLOW
+@given(ws=st.lists(st.text(alphabet="abcd", min_size=1, max_size=5), min_size=0, max_size=25))
+def test_word_shingles_count_and_width(spark, ws):
+    from api_kakfa_spark_airflow_s3_athena_spark.functions.text import word_shingles
+
+    doc = " ".join(ws)
+    for n in (2, 3):
+        out = (
+            spark.createDataFrame([Row(t=doc)])
+            .select(word_shingles(F.col("t"), n).alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert len(out) == max(0, len(ws) - n + 1)
+        assert all(len(sh.split(" ")) == n for sh in out)
+
+
+@SLOW
+@given(
+    ws=st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=8, max_size=16),
+    flips=st.lists(st.integers(min_value=0, max_value=15), min_size=0, max_size=4),
+)
+def test_simhash_hamming_pairs_equal_brute_force_random(spark, ws, flips):
+    """Pigeonhole banding must reproduce the brute-force dist<=k pair
+    set on ANY corpus — recall is structural, not probabilistic."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    rows = [Row(doc_id=0, text=" ".join(ws))]
+    for i, f in enumerate(flips, start=1):
+        w = list(ws)
+        w[f % len(w)] = f"mut{i}"
+        rows.append(Row(doc_id=i, text=" ".join(w)))
+    docs = spark.createDataFrame(rows)
+    k = 3
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(docs, max_distance=k).collect()
+    }
+    sigs = docs.select("doc_id", simhash(F.col("text")).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .collect()
+    }
+    assert got == want
