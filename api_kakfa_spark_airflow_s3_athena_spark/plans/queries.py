@@ -3613,6 +3613,64 @@ def embedding_quantization(spark, sf_dir):
 
 
 @register(
+    "training_data_funnel",
+    oracle="""
+        WITH feat AS (
+            SELECT doc_id, lang, text,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tok,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS DOUBLE) / greatest(length(text), 1) AS digit_ratio
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM feat
+            WHERE n_tok BETWEEN 20 AND 1000 AND digit_ratio < 0.3
+        ),
+        surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        sampled AS (
+            SELECT k.lang, k.n_tok
+            FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+            WHERE substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) < '8'
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM sampled GROUP BY lang
+    """,
+    tags=("llm-pipeline", "filter", "dedup", "sampling", "agg"),
+)
+def training_data_funnel(spark, sf_dir):
+    """The full pre-training funnel in one plan: quality gate (token
+    count + digit ratio) -> exact-dedup survivors (min doc_id per text
+    digest) -> deterministic 50% md5 sample -> per-language token
+    budget. Composition of four already-oracled stages, verified END
+    TO END — the scale story compounds: the quality filter prunes
+    before the dedup shuffle, the dedup shuffle carries digests only,
+    the sample is row-local, and the final rollup is a partial
+    aggregate on a tiny key space."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    digit_ratio = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    feat = d.select(
+        "doc_id", "lang", "text", F.size(toks).alias("n_tok"), digit_ratio.alias("dr")
+    )
+    kept = feat.filter(F.col("n_tok").between(20, 1000) & (F.col("dr") < 0.3))
+    surv = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("s_doc_id"))
+    sampled = (
+        kept.join(surv, kept.doc_id == surv.s_doc_id, "left_semi")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8")
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
     "doc_repetition_signals",
     oracle="""
         WITH toks AS (

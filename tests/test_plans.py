@@ -70,3 +70,35 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     for seg in plan.split("Exchange")[1:]:
         first_line = seg.split("\n", 1)[0]
         assert "text#" not in first_line
+
+
+def test_sequence_packing_corpus_window_is_partitioned(spark):
+    """The corpus-sized running-sum window must be hash-partitioned by
+    the range bucket; only the P-row bucket-prefix window may run
+    SinglePartition. A global-ORDER-BY window regression would funnel
+    the whole table through one task at 100 TB."""
+    plan, _ = _plan(spark, "sequence_packing_plan")
+    corpus_windows = [
+        seg.split("\n", 1)[0]
+        for seg in plan.split("Window [")[1:]
+        if "n_tok#" in seg.split("\n", 1)[0]
+    ]
+    intra = [w for w in corpus_windows if "windowspecdefinition(pid#" in w]
+    assert intra, "intra-bucket window must be partitioned by pid"
+
+
+def test_contamination_train_side_distinct_before_join(spark):
+    """The train gram set must collapse to DISTINCT (aggregate) below
+    the overlap join — joining raw exploded grams would multiply eval
+    rows by every duplicate boilerplate gram."""
+    _, opt = _plan(spark, "contamination_check")
+    join_pos = opt.find("Join")
+    agg_positions = [m.start() for m in re.finditer("Aggregate", opt)]
+    # at least one Aggregate sits BELOW (after, in tree print order)
+    # the join: the distinct on the train side
+    assert any(p > join_pos for p in agg_positions)
+
+
+def test_deterministic_sample_is_scan_filter_only(spark):
+    plan, _ = _plan(spark, "deterministic_sample")
+    assert "Exchange" not in plan  # row-local: no shuffle at any scale
