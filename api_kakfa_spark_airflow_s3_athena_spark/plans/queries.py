@@ -3149,7 +3149,8 @@ def tpch_q9_product_profit(spark, sf_dir):
             GROUP BY l_partkey
         )
         SELECT l_partkey, part_value
-        FROM pv WHERE part_value > (SELECT sum(part_value) FROM pv) / 500.0
+        FROM pv WHERE part_value >
+            (SELECT sum(part_value) / count(*) FROM pv) * 2.0
     """,
     tags=("analytics", "subquery", "agg"),
 )
@@ -3160,10 +3161,11 @@ def tpch_q11_important_parts(spark, sf_dir):
     single-row aggregate of the ALREADY-AGGREGATED per-part values,
     broadcast back as a cross join — the corpus-sized input is read
     and shuffled exactly once; the threshold pass reuses the tiny
-    aggregate. Per-part values are exact 2-dp doubles, the global sum
-    of those doubles is exact (integer cents well under 2^53), and
-    /500.0 is one deterministic division — bit-identical comparison in
-    both engines."""
+    aggregate. The cut is scale-free (>2x the average per-part value,
+    where TPC-H's fixed fraction empties at larger SFs). Per-part
+    values are exact 2-dp doubles, their global sum is exact (integer
+    cents well under 2^53), and sum/count*4 is two deterministic
+    IEEE ops — bit-identical comparison in both engines."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -3176,7 +3178,9 @@ def tpch_q11_important_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(_money_sum(value, "part_value"))
     )
-    total = pv.agg((F.sum("part_value") / F.lit(500.0)).alias("threshold"))
+    total = pv.agg(
+        ((F.sum("part_value") / F.count(F.lit(1))) * F.lit(2.0)).alias("threshold")
+    )
     return (
         pv.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
