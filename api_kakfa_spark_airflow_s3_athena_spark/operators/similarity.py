@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "brute_force_topk_arrow", "lsh_topk", "ivf_topk"]
 
 
 def _ranked_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
@@ -71,6 +71,78 @@ def brute_force_topk(
             "neighbor_id",
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
         )
+    )
+    return _ranked_topk(scored, "query_id", k)
+
+
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow/numpy scorer — same contract as
+    :func:`brute_force_topk`, different hot path: each Arrow batch of
+    the corpus is scored as ONE BLAS matrix product against the
+    (driver-collected, closure-broadcast) normalized query matrix, and
+    only the per-batch top-k per query leaves Python. The corpus still
+    never shuffles; the final exchange carries |batches|*|Q|*k skinny
+    rows merged by one row_number window.
+
+    This is the 100 TB fast path: a matrix product amortizes to a few
+    FLOPs/element where the per-element codegen fold spends an
+    expression-tree walk (measured ~4-6x faster at sf0.1 — NOTES.md).
+    The JVM fold remains the oracle-checked reference; scores here are
+    numpy doubles, ulp-close but not bit-identical to the fold (both
+    round to 6 dp in the output).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        queries.select(F.col(query_id), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_arrow got > {max_queries} queries; "
+            "use lsh_topk for large query sets"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            scores = v @ qmat.T  # (batch, |Q|)
+            for j, qid in enumerate(qids):
+                s = scores[:, j]
+                keep = ids != qid if exclude_self else np.ones_like(ids, dtype=bool)
+                # round BEFORE the local cut: the merge ranks on the
+                # rounded score, so the local order must match or a
+                # boundary id could be cut here yet win at the merge
+                s, nid = np.round(s[keep], 6), ids[keep]
+                order = np.lexsort((nid, -s))[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": nid[order],
+                        "score": s[order],
+                    }
+                )
+
+    scored = corpus.select(F.col(corpus_id), F.col(vec_col)).mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double"
     )
     return _ranked_topk(scored, "query_id", k)
 

@@ -1476,6 +1476,20 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     return SIM.ivf_topk(queries, emb, k=10, n_centroids=16, nprobe=4)
 
 
+@register("ann_cosine_topk_arrow", oracle=None, tags=("similarity", "arrow"))
+def ann_cosine_topk_arrow(spark, sf_dir):
+    """Brute-force cosine top-k on the Arrow/numpy fast path: one BLAS
+    matrix product per corpus batch, per-batch top-k, skinny merge —
+    measured ~7x faster than the codegen fold at sf0.1/64 queries
+    (NOTES.md). Rows-only here; exact agreement with the oracle-checked
+    JVM fold is pinned by tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return SIM.brute_force_topk_arrow(queries, emb, k=10)
+
+
 @register("ann_cosine_topk_lsh", oracle=None, tags=("similarity", "lsh"))
 def ann_cosine_topk_lsh(spark, sf_dir):
     """Approximate ANN via shared hyperplane buckets (the scale path;
@@ -1716,6 +1730,43 @@ def window_ranking_showcase(spark, sf_dir):
         F.cume_dist().over(w).alias("cume"),
         F.rank().over(w).cast("int").alias("rnk"),
         F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@register(
+    "window_frame_showcase",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER w AS first_in_frame,
+               last_value(o_totalprice) OVER w AS last_in_frame,
+               nth_value(o_totalprice, 2) OVER w AS second_in_frame,
+               CAST(count(*) OVER w AS BIGINT) AS frame_rows
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("analytics", "window"),
+)
+def window_frame_showcase(spark, sf_dir):
+    """Frame-navigation window family (first_value / last_value /
+    nth_value / frame count) over one shared sliding ROWS frame — the
+    last window-function group not covered elsewhere. One shuffle+sort
+    serves all four; values pass through untouched (no arithmetic), so
+    cross-engine parity is structural."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_in_frame"),
+        F.last("o_totalprice").over(w).alias("last_in_frame"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_in_frame"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("frame_rows"),
     )
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from api_kakfa_spark_airflow_s3_athena_spark.operators import dedup as DD
 from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_arrow,
     ivf_topk,
     lsh_topk,
 )
@@ -155,6 +156,25 @@ def test_brute_force_topk_matches_numpy(spark):
     expected = list(np.argsort(-sims)[:5])
     assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)] == expected
     assert got[0].score <= 1.0 and got[0].rank == 1
+
+
+def test_arrow_topk_matches_jvm_fold(spark):
+    """The numpy/BLAS scorer must return the same neighbors as the
+    codegen fold: scores are ulp-close doubles, identical after the
+    shared 6 dp rounding, and both paths cut ties by (score desc, id)."""
+    df, _ = _embeddings(spark, n=60)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    jvm = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in brute_force_topk(queries, df, k=7).collect()
+    }
+    arrow = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in brute_force_topk_arrow(queries, df, k=7).collect()
+    }
+    assert jvm == arrow
 
 
 def test_brute_force_guard_rejects_huge_query_sets(spark):
