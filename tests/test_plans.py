@@ -102,3 +102,47 @@ def test_contamination_train_side_distinct_before_join(spark):
 def test_deterministic_sample_is_scan_filter_only(spark):
     plan, _ = _plan(spark, "deterministic_sample")
     assert "Exchange" not in plan  # row-local: no shuffle at any scale
+
+
+def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark):
+    """Spark's runtime Bloom-filter join reduction: a selective dim
+    filter builds a bloom that drops fact rows BEFORE the fact-side
+    exchange — at 100 TB this is the difference between shuffling the
+    full fact table and shuffling the matching slice. Local data sits
+    under the default size thresholds, so the test scopes them down to
+    prove the capability fires."""
+    from pyspark.sql import functions as F
+
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # the might_contain filter must sit on the lineitem (fact) side
+        fact_filter = [
+            l for l in plan.splitlines() if "might_contain" in l and "l_orderkey" in l
+        ]
+        assert fact_filter
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
