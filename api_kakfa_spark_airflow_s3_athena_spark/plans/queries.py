@@ -2717,6 +2717,72 @@ def stateful_sessionize_stream(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_funnel",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               count(*) AS n_unique_users
+        FROM (
+            SELECT DISTINCT user_id, event_type,
+                            time_bucket(INTERVAL 1 HOUR, ts) AS ts
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        )
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "dedup", "window"),
+)
+def streaming_dedup_funnel(spark, sf_dir):
+    """Streaming funnel: filter -> dropDuplicatesWithinWatermark ->
+    tumbling-window count, composed in ONE streaming query — the
+    ingest-side dedup every at-least-once pipeline needs before its
+    aggregates. Dedup keys on (user_id, event_type, hour bucket) so
+    state per key is one row and the watermark evicts closed buckets;
+    the downstream count is then duplicate-proof under redelivery.
+    In a bounded replay the watermark never closes mid-batch, so the
+    result equals the batch DISTINCT twin exactly. Counts (not sums)
+    cross the compare: which physical duplicate survives is
+    arrival-order-dependent; their count is not."""
+    src = _stage_events_stream(spark, sf_dir)
+    filtered = src.filter(F.col("event_type").isin("click", "purchase"))
+    keyed = filtered.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).withWatermark("bucket_ts", "1 minute")
+    deduped = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "bucket_ts"]
+    )
+    agg = (
+        deduped.groupBy(
+            F.window(F.col("bucket_ts"), "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n_unique_users"
+        )
+    )
+    out_key = f"{spark.sparkContext.applicationId}:{sf_dir}:dedup_funnel_out"
+    out_dir = _STAGE_CACHE.get(out_key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="stream_funnel_out_")
+        _STAGE_CACHE[out_key] = out_dir
+
+    def write_batch(batch, _epoch):
+        batch.write.mode("overwrite").parquet(out_dir)
+
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+@register(
     "stream_stream_join_click_purchase",
     oracle="""
         SELECT c.user_id,
