@@ -32,11 +32,18 @@ __all__ = [
     "load_tables",
     "register_testdata_views",
     "read_json_table",
+    "write_table",
+    "read_table",
     "ensure_database",
     "create_external_table",
     "save_bucketed",
     "ensure_bucketed_join_tables",
 ]
+
+# Formats the engine writes/reads as landed tables. Columnar formats
+# (parquet, orc) carry their own schema and types; text formats (json,
+# csv) need the declared schema back on read — read_table enforces it.
+TABLE_FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -91,6 +98,53 @@ def read_json_table(
     """
     mode = "DROPMALFORMED" if drop_malformed else "PERMISSIVE"
     return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Optional[Iterable[str]] = None,
+) -> None:
+    """Land a DataFrame in any supported table format.
+
+    One writer path for every format keeps partitioning and mode
+    semantics uniform; csv writes a header so files are
+    self-describing for humans while read_table still applies the
+    declared schema (never inference) for engine use."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {TABLE_FORMATS}")
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: Optional[T.StructType] = None,
+) -> DataFrame:
+    """Read a landed table back. Text formats REQUIRE the declared
+    schema — inference would both scan the data twice and produce
+    drifting types (csv reads everything as string; json widens ints);
+    columnar formats embed theirs."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {TABLE_FORMATS}")
+    r = spark.read
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(f"{fmt} read requires a declared schema")
+        r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", "true")
+    elif schema is not None:
+        r = r.schema(schema)
+    return r.format(fmt).load(path)
 
 
 def save_bucketed(

@@ -45,3 +45,35 @@ def test_external_table_and_database_ddl(spark, tmp_path):
     assert got == 25
     spark.sql("DROP TABLE streaming_demo.names_stream")
     spark.sql("DROP DATABASE streaming_demo")
+
+
+def test_write_read_roundtrip_all_formats(spark, sf_dir, tmp_path):
+    """Every supported landing format must round-trip rows and the
+    declared schema: columnar formats carry types themselves, text
+    formats get them re-imposed on read (no inference drift)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import (
+        TABLE_FORMATS,
+        load_table,
+        read_table,
+        write_table,
+    )
+
+    src = load_table(spark, sf_dir, "customer").limit(100)
+    want = sorted((r.c_custkey, r.c_name, r.c_acctbal) for r in src.collect())
+    for fmt in TABLE_FORMATS:
+        path = str(tmp_path / f"t_{fmt}")
+        write_table(src, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt, schema=src.schema)
+        assert back.schema == src.schema, fmt
+        got = sorted((r.c_custkey, r.c_name, r.c_acctbal) for r in back.collect())
+        assert got == want, fmt
+
+
+def test_read_table_text_formats_require_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import read_table
+
+    for fmt in ("json", "csv"):
+        with _pytest.raises(ValueError, match="declared schema"):
+            read_table(spark, str(tmp_path), fmt=fmt)
