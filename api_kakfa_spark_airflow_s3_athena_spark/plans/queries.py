@@ -2717,6 +2717,132 @@ def stateful_sessionize_stream(spark, sf_dir):
 
 
 @register(
+    "gap_filled_hourly_counts",
+    oracle="""
+        WITH b AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        hours AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+            FROM b
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT h.hour_start, t.event_type,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+        FROM hours h CROSS JOIN types t
+        LEFT JOIN actual a
+          ON a.hour_start = h.hour_start AND a.event_type = t.event_type
+    """,
+    tags=("analytics", "timeseries"),
+)
+def gap_filled_hourly_counts(spark, sf_dir):
+    """Dense time series with zero-filled gaps: a generated hour spine
+    (sequence from min to max hour) crossed with the observed type
+    dimension, left-joined to the actual hourly counts — the resample
+    step every downstream charting/anomaly job needs, since absent
+    hours are silently missing from a plain GROUP BY. The spine is
+    hours x types (tiny at any corpus size) and the fact side arrives
+    pre-aggregated, so the outer join is small x small no matter how
+    large the raw stream was."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    types = e.select("event_type").distinct()
+    actual = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hours.crossJoin(types)
+        .join(actual, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "conversion_rates_daily",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, ts,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        conv AS (
+            SELECT DISTINCT c.user_id, c.d
+            FROM c JOIN p ON p.user_id = c.user_id
+                 AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        )
+        SELECT cl.d AS day, cl.n_clickers,
+               CAST(coalesce(cv.n_conv, 0) AS BIGINT) AS n_converted,
+               CAST(coalesce(cv.n_conv, 0) AS DOUBLE) / cl.n_clickers
+                   AS conversion_rate
+        FROM (SELECT d, count(DISTINCT user_id) AS n_clickers
+              FROM c GROUP BY d) cl
+        LEFT JOIN (SELECT d, count(DISTINCT user_id) AS n_conv
+                   FROM conv GROUP BY d) cv ON cv.d = cl.d
+    """,
+    tags=("analytics", "funnel", "join"),
+)
+def conversion_rates_daily(spark, sf_dir):
+    """Funnel conversion: of the users who clicked on a given day, the
+    share that purchased within one hour of any of their clicks. The
+    click-purchase pairing is an interval join EQUI-KEYED on user_id
+    (one shuffle; the time predicate filters within each user's
+    co-partitioned rows — never a cross join); both sides then
+    collapse to per-day distinct-user counts and the rate is one exact
+    small-int division."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.date_trunc("day", "ts").alias("d")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        c.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", "d")
+        .distinct()
+    )
+    clickers = c.groupBy("d").agg(F.count_distinct("user_id").alias("n_clickers"))
+    converted = conv.groupBy("d").agg(F.count_distinct("user_id").alias("n_conv"))
+    return (
+        clickers.join(converted, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            "n_clickers",
+            F.coalesce(F.col("n_conv"), F.lit(0)).cast("bigint").alias("n_converted"),
+            (
+                F.coalesce(F.col("n_conv"), F.lit(0)).cast("double")
+                / F.col("n_clickers")
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+@register(
     "streaming_dedup_funnel",
     oracle="""
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
