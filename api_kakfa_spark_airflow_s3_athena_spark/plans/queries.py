@@ -3918,6 +3918,117 @@ def training_data_funnel(spark, sf_dir):
 
 
 @register(
+    "duplicate_window_spans",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 6),
+                       i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+                       AS w
+            FROM toks
+        ),
+        exploded AS (SELECT doc_id, unnest(w) AS win FROM wins),
+        shared AS (
+            SELECT win FROM exploded
+            GROUP BY win HAVING count(DISTINCT doc_id) > 1
+        )
+        SELECT e.doc_id,
+               count(*) AS n_windows,
+               count(s.win) AS n_shared_windows,
+               CAST(count(s.win) AS DOUBLE) / count(*) AS shared_frac
+        FROM exploded e LEFT JOIN shared s ON e.win = s.win
+        GROUP BY e.doc_id
+    """,
+    tags=("dedup", "llm-pipeline", "text"),
+)
+def duplicate_window_spans(spark, sf_dir):
+    """Exact duplicated-span detection (the substring-dedup /
+    memorization-risk metric): for each document, the fraction of its
+    distinct 8-token windows that appear verbatim in ANY other
+    document. Cross-doc sharing is found by grouping windows — one
+    shuffle of window keys with a distinct-doc count, never a doc x doc
+    compare; the per-doc rollup is a second key-wise aggregate. At
+    100 TB the window key would be the rolling xxhash64 the MinHash
+    pipeline already computes (8 bytes instead of ~50); strings are
+    kept so the DuckDB twin is byte-identical. The ratio is an exact
+    small-int division."""
+    d = _t(spark, sf_dir, "documents")
+    wins = d.select(
+        "doc_id",
+        F.array_distinct(TX.word_shingles(F.col("text"), 8)).alias("w"),
+    )
+    exploded = wins.select("doc_id", F.explode("w").alias("win"))
+    shared = (
+        exploded.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select(F.col("win").alias("swin"))
+    )
+    return (
+        exploded.join(shared, exploded.win == shared.swin, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("swin").alias("n_shared_windows"),
+            (F.count("swin").cast("double") / F.count(F.lit(1))).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "doc_commonness_score",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ),
+        freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok)
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(f.f) AS BIGINT) AS total_freq,
+               CAST(sum(f.f) AS DOUBLE) / count(*) AS mean_token_freq
+        FROM tok t JOIN freq f ON t.tok = f.tok
+        GROUP BY t.doc_id
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def doc_commonness_score(spark, sf_dir):
+    """Unigram-frequency quality proxy (the exactly-computable core of
+    a KenLM-style perplexity filter): each document scored by the mean
+    corpus frequency of its tokens — low means rare/noisy vocabulary,
+    high means boilerplate. Two passes over the token stream (global
+    frequency aggregate, then a frequency join + per-doc rollup), all
+    integer arithmetic until one final division — log-probability
+    variants are NOT oracle-comparable (libm vs JVM transcendentals
+    differ at the ulp), so the exact-integer formulation is the
+    verified surface."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("f").cast("bigint").alias("total_freq"),
+            (F.sum("f").cast("double") / F.count(F.lit(1))).alias(
+                "mean_token_freq"
+            ),
+        )
+    )
+
+
+@register(
     "doc_repetition_signals",
     oracle="""
         WITH toks AS (
