@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 
-__all__ = ["brute_force_topk", "brute_force_topk_arrow", "lsh_topk", "ivf_topk"]
+__all__ = [
+    "brute_force_topk",
+    "brute_force_topk_arrow",
+    "lsh_topk",
+    "ivf_topk",
+    "kmeans_refine",
+]
 
 
 def _ranked_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
@@ -292,3 +298,129 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _ranked_topk(scored, "query_id", k)
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 9,
+):
+    """Lloyd's k-means over the embedding column — the clustering pass
+    behind SemDeDup-style curation (cluster, then drop near-identical
+    members per cluster) and IVF index builds.
+
+    Spark shape per iteration (the standard distributed Lloyd's):
+    centroids live on the DRIVER as a k x dim float array (tiny) and
+    ship to executors inside the Arrow-UDF closure; assignment is one
+    `mapInPandas` pass computing the argmin of squared distance as a
+    numpy matrix product (never a |corpus| x k join materialization);
+    the centroid update is one partial-aggregated groupBy over
+    (cluster, posexploded dim) — so each iteration is exactly one scan
+    + one skinny shuffle, and only k x dim numbers ever hit the
+    driver. Deterministic throughout: seeds are the k corpus vectors
+    with the smallest seeded id-hash (same trick as ivf_topk), and
+    argmin ties break on the lower cluster id.
+
+    Returns ``(assignments DataFrame[id, cluster, sq_dist], inertia
+    per iteration list)``; callers wanting the centroids re-derive
+    them from the assignment in one aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seeds = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_003)).alias("__h"),
+            F.col(id_col).alias("__id"),
+        )
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    cents = np.asarray([r.v for r in seeds], dtype=np.float64)
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    inertia_history = []
+
+    def _argmin(c, v):
+        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; np.argmin returns
+        # the FIRST minimum -> ties break on the lower cluster id,
+        # deterministically.
+        d = v @ c.T * -2.0 + (c * c).sum(axis=1)
+        cl = np.argmin(d, axis=1)
+        sq = d[np.arange(len(v)), cl] + (v * v).sum(axis=1)
+        return cl, np.maximum(sq, 0.0)
+
+    def make_assign(c):
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                cl, sq = _argmin(c, v)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].to_numpy(dtype=np.int64),
+                        "cluster": cl.astype(np.int32),
+                        "sq_dist": sq,
+                    }
+                )
+
+        return assign
+
+    def make_partials(c):
+        dim = c.shape[1]
+
+        def partials(batches):
+            # per-batch partial sums: the update pass emits k x (dim+1)
+            # rows per Arrow batch, NOT per input row — the shuffle
+            # carries centroids-worth of data however big the corpus
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                cl, sq = _argmin(c, v)
+                rows = {"cluster": [], "dim": [], "sx": []}
+                for cid in np.unique(cl):
+                    m = cl == cid
+                    sums = v[m].sum(axis=0)
+                    rows["cluster"].extend([int(cid)] * (dim + 1))
+                    rows["dim"].extend(list(range(dim)) + [-1])
+                    # dim -1 carries (count, inertia) piggybacked:
+                    # sx = count, and inertia rides in a second field
+                    rows["sx"].extend(list(sums) + [float(m.sum())])
+                pdf_out = pd.DataFrame(rows)
+                pdf_out["inertia"] = 0.0
+                pdf_out.loc[pdf_out["dim"] == -1, "inertia"] = [
+                    float(sq[cl == cid].sum()) for cid in np.unique(cl)
+                ]
+                yield pdf_out
+
+        return partials
+
+    for _ in range(iters):
+        upd = (
+            base.mapInPandas(
+                make_partials(cents),
+                schema="cluster int, dim int, sx double, inertia double",
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("sx").alias("sx"), F.sum("inertia").alias("it"))
+            .collect()
+        )
+        new_cents = cents.copy()
+        counts = {r.cluster: r.sx for r in upd if r.dim == -1}
+        inertia = sum(r.it for r in upd if r.dim == -1)
+        for r in upd:
+            if r.dim >= 0 and counts.get(r.cluster, 0) > 0:
+                new_cents[r.cluster, r.dim] = r.sx / counts[r.cluster]
+        inertia_history.append(float(inertia))
+        cents = new_cents
+
+    final = base.mapInPandas(
+        make_assign(cents), schema="id long, cluster int, sq_dist double"
+    )
+    return final, inertia_history

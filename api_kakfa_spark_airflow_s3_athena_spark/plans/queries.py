@@ -1490,6 +1490,19 @@ def ann_cosine_topk_arrow(spark, sf_dir):
     return SIM.brute_force_topk_arrow(queries, emb, k=10)
 
 
+@register("embedding_kmeans_clusters", oracle=None, tags=("similarity", "clustering"))
+def embedding_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means assignment over the embedding corpus (SemDeDup-
+    style curation clustering): 3 refinement iterations from
+    deterministic seeds, Arrow matrix-product assignment, per-batch
+    partial centroid sums (the shuffle carries k x dim rows per batch,
+    never the corpus). Rows-only: iterative — no SQL twin; inertia
+    monotonicity and determinism pinned in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _hist = SIM.kmeans_refine(emb, k=8, iters=3)
+    return assigned
+
+
 @register("ann_cosine_topk_lsh", oracle=None, tags=("similarity", "lsh"))
 def ann_cosine_topk_lsh(spark, sf_dir):
     """Approximate ANN via shared hyperplane buckets (the scale path;

@@ -11,6 +11,7 @@ from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
     ivf_topk,
+    kmeans_refine,
     lsh_topk,
 )
 
@@ -175,6 +176,22 @@ def test_arrow_topk_matches_jvm_fold(spark):
         for r in brute_force_topk_arrow(queries, df, k=7).collect()
     }
     assert jvm == arrow
+
+
+def test_kmeans_refine_inertia_monotone_and_deterministic(spark):
+    df, vecs = _embeddings(spark, n=80, dim=8, seed=7)
+    out1, hist1 = kmeans_refine(df, k=4, iters=4)
+    rows1 = sorted((r.id, r.cluster) for r in out1.collect())
+    # Lloyd's guarantee: inertia never increases between iterations
+    assert all(b <= a + 1e-9 for a, b in zip(hist1, hist1[1:])), hist1
+    assert hist1[-1] < hist1[0]  # and it actually improved
+    # every point assigned exactly once, to a valid cluster
+    assert len(rows1) == 80
+    assert {c for _, c in rows1} <= set(range(4))
+    # deterministic end to end (seeded init, first-min tie-breaks)
+    out2, hist2 = kmeans_refine(df, k=4, iters=4)
+    assert hist1 == hist2
+    assert rows1 == sorted((r.id, r.cluster) for r in out2.collect())
 
 
 def test_brute_force_guard_rejects_huge_query_sets(spark):
