@@ -1,0 +1,59 @@
+"""Empty-input robustness: at 100 TB scale plenty of partitions (and
+after a selective filter, whole inputs) are empty — every operator must
+return an empty, correctly-schemaed result instead of throwing.
+mapInPandas/Arrow paths see zero-row batches routinely."""
+
+import pytest
+from pyspark.sql import types as T
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators import dedup as DD
+from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+    brute_force_topk_arrow,
+    kmeans_refine,
+)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_vecs(spark):
+    return spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+
+
+def test_dedup_family_on_empty_corpus(empty_docs):
+    assert DD.exact_dedup(empty_docs).count() == 0
+    assert DD.minhash_dedup_pairs(empty_docs, num_hashes=16, bands=4).count() == 0
+    assert DD.simhash_dedup_pairs(empty_docs).count() == 0
+    assert DD.simhash_hamming_pairs(empty_docs).count() == 0
+
+
+def test_embedding_ops_on_empty_corpus(spark, empty_vecs):
+    assert DD.embedding_dedup_pairs(empty_vecs).count() == 0
+    one_q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    # empty corpus, non-empty queries: zero neighbors, not an error
+    assert brute_force_topk_arrow(one_q, empty_vecs, k=3).count() == 0
+
+
+def test_kmeans_with_fewer_rows_than_k(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out, hist = kmeans_refine(df, k=8, iters=2)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert len(hist) == 2
