@@ -29,6 +29,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "kmeans_refine",
+    "semdedup_pairs",
 ]
 
 
@@ -424,3 +425,53 @@ def kmeans_refine(
         make_assign(cents), schema="id long, cluster int, sq_dist double"
     )
     return final, inertia_history
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 10_000,
+    seed: int = 9,
+):
+    """SemDeDup: cluster the embedding space with k-means, then verify
+    cosine similarity ONLY within clusters — semantic near-duplicates
+    land in the same cell, so the quadratic compare shrinks from
+    |corpus|² to sum(|cluster|²) with k tunable to bound cluster size.
+
+    The within-cluster self-join shuffles once on the (int) cluster id;
+    clusters above ``max_cluster`` are dropped (same guard as the LSH
+    dedup paths — a degenerate cluster would reintroduce the quadratic
+    blowup this operator exists to avoid). Returns distinct
+    ``(id_a, id_b, cos)`` with ``id_a < id_b`` and cos >= threshold.
+    """
+    assigned, _ = kmeans_refine(
+        corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    member = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        assigned.select(F.col("id").alias(id_col), "cluster"), id_col
+    )
+    keep = (
+        member.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_cluster)
+        .select("cluster")
+    )
+    bounded = member.join(F.broadcast(keep), "cluster")
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1503,6 +1503,19 @@ def embedding_kmeans_clusters(spark, sf_dir):
     return assigned
 
 
+@register("semdedup_near_dup_pairs", oracle=None, tags=("dedup", "similarity", "clustering"))
+def semdedup_near_dup_pairs(spark, sf_dir):
+    """SemDeDup: k-means-cluster the embedding space, verify cosine
+    only within clusters (sum |cluster|² compares, never |corpus|²;
+    oversize clusters dropped by the same guard as the LSH paths).
+    Rows-only: iterative clustering has no SQL twin; the planted-pair
+    recall test pins behavior. Threshold 0.4 because the synthetic
+    embeddings' most-similar pair sits at cos 0.479 — at 0.9 every
+    result on this table is vacuously empty."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semdedup_pairs(emb, k=8, iters=2, threshold=0.4)
+
+
 @register("ann_cosine_topk_lsh", oracle=None, tags=("similarity", "lsh"))
 def ann_cosine_topk_lsh(spark, sf_dir):
     """Approximate ANN via shared hyperplane buckets (the scale path;

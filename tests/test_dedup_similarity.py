@@ -13,6 +13,7 @@ from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
     ivf_topk,
     kmeans_refine,
     lsh_topk,
+    semdedup_pairs,
 )
 
 BASE = (
@@ -192,6 +193,14 @@ def test_kmeans_refine_inertia_monotone_and_deterministic(spark):
     out2, hist2 = kmeans_refine(df, k=4, iters=4)
     assert hist1 == hist2
     assert rows1 == sorted((r.id, r.cluster) for r in out2.collect())
+
+
+def test_semdedup_finds_planted_pair_within_cluster(spark):
+    df, _ = _embeddings(spark, n=60, dim=8, seed=5)  # 1 is near-dup of 0
+    pairs = semdedup_pairs(df, k=4, iters=2, threshold=0.95).collect()
+    assert any((r.id_a, r.id_b) == (0, 1) for r in pairs)
+    for r in pairs:
+        assert r.id_a < r.id_b and r.cos >= 0.95
 
 
 def test_brute_force_guard_rejects_huge_query_sets(spark):
