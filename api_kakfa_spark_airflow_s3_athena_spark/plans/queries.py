@@ -4211,12 +4211,39 @@ def compaction_maintenance(spark, sf_dir):
 # registry (round 1 recorded exactly the first 50 entries). To convert
 # locally-green-but-unjudged queries into hard CORRECTNESS rows, emit
 # queries WITHOUT a prior hard row first, then the already-verified
-# ones. _PRIOR_VERIFIED = the keys of CORRECTNESS_r01.json; update it
-# each round from the latest CORRECTNESS file so coverage rotates until
-# every query has been hard-checked at least once.
+# ones. The verified set is loaded from every CORRECTNESS_r*.json in
+# the repo root at import time (a query counts once it has a passing
+# hash row, or any row for rows-only checks; failures stay unverified
+# so they re-enter the priority prefix), unioned with the static
+# round-1 baseline below as a fallback if those files are pruned.
 # ---------------------------------------------------------------------
 
-_PRIOR_VERIFIED = frozenset({
+
+def _load_prior_verified() -> frozenset:
+    import glob
+    import json
+
+    names = set(_R01_VERIFIED)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            ):
+                names.add(name)
+    return frozenset(names)
+
+
+_R01_VERIFIED = frozenset({
     # CORRECTNESS_r01.json — all rows+schema+hash pass (one no_oracle)
     "athena_q1_topk_scan", "athena_q2_count", "athena_q3_null_blank_audit",
     "athena_q4_duplicate_keys", "athena_q5_range_violations",
@@ -4241,6 +4268,8 @@ _PRIOR_VERIFIED = frozenset({
     "quality_filter_pipeline", "binary_payload_meta", "ann_cosine_topk",
     "embedding_norms",
 })
+
+_PRIOR_VERIFIED = _load_prior_verified()
 
 
 def _ordered_specs():
