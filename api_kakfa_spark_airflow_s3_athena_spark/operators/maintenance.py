@@ -30,7 +30,7 @@ Design (scale-first):
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from pyspark.sql import SparkSession
 
