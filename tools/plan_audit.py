@@ -26,6 +26,15 @@ AUDIT = [
     "ann_cosine_topk",
     "token_histogram",
     "dedup_exact_documents",
+    # round 2 additions: the scale-shape-critical new plans
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "contamination_check",
+    "sequence_packing_plan",
+    "duplicate_window_spans",
+    "training_data_funnel",
+    "conversion_rates_daily",
+    "bucketed_join_revenue_by_status",
 ]
 
 
@@ -39,6 +48,9 @@ def main() -> None:
     spark = local_test_session("plan-audit")
     for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)
+        # materialize so AQE finalizes: the pre-execution adaptive plan
+        # carries neither the final join strategies nor codegen spans
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
@@ -48,7 +60,10 @@ def main() -> None:
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
         joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", formatted)
         exchanges = len(re.findall(r"\bExchange\b", plan))
-        codegen = len(re.findall(r"\*\(\d+\)", plan))
+        codegen = len(
+            set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted))
+            or set(re.findall(r"\*\((\d+)\)", plan))
+        )
         topk = "TakeOrderedAndProject" in formatted
 
         print(f"\n=== {name} ===")
