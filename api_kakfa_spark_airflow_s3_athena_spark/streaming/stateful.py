@@ -124,7 +124,19 @@ def _session_closer(gap_seconds: int):
             yield _emit(key, start_us, last_us, n, cents)
             return
 
-        pdf = pd.concat(list(batches), ignore_index=True)
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            # defensive: an invocation with no rows and no timeout
+            # (e.g. a spurious wake-up) must not disturb state —
+            # pd.concat([]) would throw and kill the query
+            if state.exists:
+                open_sess = state.get
+                state.update(tuple(open_sess))
+                state.setTimeoutTimestamp(
+                    open_sess[1] // _US_PER_MS + gap_seconds * 1000
+                )
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
         pdf = pdf.sort_values("ts", kind="stable")
         ts = pdf["ts"]
         if getattr(ts.dtype, "tz", None) is not None:
