@@ -3828,9 +3828,13 @@ def stratified_sample_by_lang(spark, sf_dir):
             FROM embeddings
         ),
         enc AS (
+            -- zero vectors: scale 0 would divide by zero (inf/nan
+            -- diverge between engines); treat as scale 1 -> all-zero
+            -- codes, which is the correct quantization of a zero vector
             SELECT vec_id, label, v, scale,
-                   list_transform(v, x -> floor(x * 127.0 / scale + 0.5))
-                       AS codes
+                   list_transform(v, x -> floor(
+                       x * 127.0 / (CASE WHEN scale = 0 THEN 1.0
+                                         ELSE scale END) + 0.5)) AS codes
             FROM v
         )
         SELECT vec_id, label,
@@ -3863,8 +3867,9 @@ def embedding_quantization(spark, sf_dir):
     ve = e.select("vec_id", "label", v.alias("v"))
     scale = F.array_max(F.transform(F.col("v"), F.abs))
     wsc = ve.select("vec_id", "label", "v", scale.alias("scale"))
+    safe_scale = F.when(F.col("scale") == 0, F.lit(1.0)).otherwise(F.col("scale"))
     codes = F.transform(
-        F.col("v"), lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5)
+        F.col("v"), lambda x: F.floor(x * 127.0 / safe_scale + 0.5)
     )
     wcodes = wsc.select("vec_id", "label", "scale", codes.alias("codes"))
     return wcodes.select(
