@@ -2524,6 +2524,27 @@ def dedup_clusters_survivors(spark, sf_dir):
     )
 
 
+@register("semdedup_survivors", oracle=None, tags=("dedup", "similarity", "graph"))
+def semdedup_survivors(spark, sf_dir):
+    """Embedding-side dedup pipeline end to end: SemDeDup pairs
+    (k-means cells + in-cluster cosine) -> connected components ->
+    one survivor per semantic cluster with its cluster size — the
+    embedding twin of dedup_clusters_survivors, reusing the same graph
+    operator. Rows-only (iterative)."""
+    from ..operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.semdedup_pairs(emb, k=8, iters=1, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .withColumnRenamed("component", "survivor_vec_id")
+    )
+
+
 @register(
     "approx_distinct_and_quantiles",
     oracle=None,  # sketch outputs are engine-specific by design
