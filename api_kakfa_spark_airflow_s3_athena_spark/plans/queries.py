@@ -4081,6 +4081,57 @@ def doc_commonness_score(spark, sf_dir):
 
 
 @register(
+    "top_tokens_per_source",
+    oracle="""
+        WITH tok AS (
+            SELECT source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT source, tok, count(*) AS f
+            FROM tok
+            WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+            GROUP BY source, tok
+        )
+        SELECT source, tok, f, CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT source, tok, f,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY f DESC, tok) AS rnk
+            FROM tf
+        )
+        WHERE rnk <= 5
+    """,
+    tags=("text", "llm-pipeline", "window"),
+)
+def top_tokens_per_source(spark, sf_dir):
+    """Characteristic vocabulary per domain: top-5 non-stopword tokens
+    by frequency per source (ties broken lexically — deterministic).
+    Token counts aggregate with map-side partials keyed on
+    (source, token); the per-source top-k is a window over the ALREADY
+    AGGREGATED tiny relation, so the heavy data never sorts. Pure
+    integer counts — the tf-idf variant stays out of the oracle
+    surface (log() is not ulp-stable cross-engine, NOTES.md)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    stop = ("the", "a", "of", "and", "to", "in", "is")
+    tf = (
+        d.select("source", F.explode(toks).alias("tok"))
+        .filter(~F.col("tok").isin(*stop))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("f").desc(), "tok")
+    return (
+        tf.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "tok", "f", "rnk")
+    )
+
+
+@register(
     "doc_repetition_signals",
     oracle="""
         WITH toks AS (
