@@ -3017,6 +3017,115 @@ def stream_stream_join_click_purchase(spark, sf_dir):
     )
 
 
+def _stage_events_stream_redelivered(spark, sf_dir):
+    """Stage the events table written TWICE into one scratch dir and
+    open it as a file stream — a deterministic at-least-once source:
+    every event arrives exactly two times. Lets dedup operators prove
+    exactly-once semantics against the single-copy oracle."""
+    import atexit
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:redelivered"
+    stage_dir = _STAGE_CACHE.get(key)
+    if stage_dir is None:
+        if not _STAGE_CACHE:
+            atexit.register(_cleanup_stage_dirs)
+        stage_dir = tempfile.mkdtemp(prefix="stream_src_redeliv_")
+        ev = _t(spark, sf_dir, "events")
+        ev.write.mode("append").parquet(stage_dir)
+        ev.write.mode("append").parquet(stage_dir)
+        _STAGE_CACHE[key] = stage_dir
+    return SP.parquet_stream(spark, stage_dir)
+
+
+@register(
+    "streaming_quality_sessionize_funnel",
+    oracle="""
+        WITH gated AS (
+            SELECT * FROM events WHERE value <= 400.0
+        ),
+        ordered AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM gated
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS sid
+            FROM ordered
+        ),
+        agg AS (
+            SELECT user_id, sid,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events, sum_value
+        FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid
+              FROM agg)
+        WHERE sid < max_sid
+           OR (epoch_us(session_end) // 1000) + 1800000 <
+              (SELECT max(epoch_us(ts)) // 1000 FROM gated) - 60000
+    """,
+    tags=("streaming", "stateful", "dedup", "quality", "sessionization"),
+)
+def streaming_quality_sessionize_funnel(spark, sf_dir):
+    """End-to-end ingest funnel in ONE streaming query — three chained
+    operators, two of them stateful: quality gate (filter value <= 400)
+    -> exactly-once restore (``dropDuplicatesWithinWatermark`` on
+    event_id) -> custom stateful sessionization
+    (``applyInPandasWithState``, 30 min gap, event-time timeout). The
+    source is the REDELIVERED stage (every event arrives twice —
+    simulated at-least-once Kafka), yet the oracle runs over the
+    single-copy table: the dedup stage provably restores exactly-once
+    before any aggregate sees the data, which is the property every
+    at-least-once pipeline needs and batch SQL gets for free.
+
+    The watermark is defined ONCE, upstream of the dedup (Spark
+    disallows redefinition mid-plan); the sessionizer inherits it
+    (``watermark_delay=None``), so dedup state eviction and session
+    timeouts share one event-time clock — at scale both stores stay
+    bounded by the same lag window. Close semantics and the two-arm
+    oracle WHERE are identical to ``stateful_sessionize_stream``,
+    applied to the gated set."""
+    import shutil
+
+    src = _stage_events_stream_redelivered(spark, sf_dir)
+    gated = src.filter(F.col("value") <= F.lit(400.0))
+    deduped = gated.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sessions = STF.sessionize_with_state(
+        deduped, gap_seconds=1800, watermark_delay=None
+    )
+    out_key = f"{spark.sparkContext.applicationId}:{sf_dir}:funnel_sessions_out"
+    out_dir = _STAGE_CACHE.get(out_key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="stream_funnel_sessions_out_")
+        _STAGE_CACHE[out_key] = out_dir
+    else:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch, _epoch):
+        batch.write.mode("append").parquet(out_dir)
+
+    with _stream_partitions(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 @register(
     "bucketed_join_revenue_by_status",
     oracle="""

@@ -9,7 +9,7 @@ holds only one small state row per key.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Any, Iterable, Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -167,7 +167,7 @@ def _session_closer(gap_seconds: int):
 def sessionize_with_state(
     events: DataFrame,
     gap_seconds: int = 1800,
-    watermark_delay: str = "1 minute",
+    watermark_delay: Optional[str] = "1 minute",
 ) -> DataFrame:
     """Streaming sessionization with explicit state and custom timeout —
     the ``applyInPandasWithState`` generalization of ``session_window``
@@ -184,11 +184,18 @@ def sessionize_with_state(
     Output: one row per CLOSED session. The final open session of each
     user stays in state (in a bounded availableNow replay it is never
     force-flushed — by design: it is not known to be over).
+
+    Pass ``watermark_delay=None`` when ``events`` already carries an
+    event-time watermark (e.g. downstream of
+    ``dropDuplicatesWithinWatermark`` in a multi-stateful-operator
+    query): Spark disallows redefining the watermark mid-plan, and the
+    timeout clock then runs off the upstream definition.
     """
+    keyed = events.select("user_id", "ts", "value")
+    if watermark_delay is not None:
+        keyed = keyed.withWatermark("ts", watermark_delay)
     return (
-        events.select("user_id", "ts", "value")
-        .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
+        keyed.groupBy("user_id")
         .applyInPandasWithState(
             _session_closer(gap_seconds),
             outputStructType=_SESSION_OUT_SCHEMA,

@@ -202,3 +202,65 @@ def test_resolve_config_requires_sink(monkeypatch):
     cfg = resolve_config({"S3_BUCKET": "b"})
     assert cfg["sink_path"] == "s3a://b/names"
     assert cfg["checkpoint_path"] == "s3a://b/checkpoints/names"
+
+
+def test_quality_dedup_sessionize_chain_restores_exactly_once(spark, tmp_path):
+    """Composed funnel (quality gate -> dropDuplicatesWithinWatermark ->
+    applyInPandasWithState sessionize) over an at-least-once source:
+    every file is delivered twice, one event fails the quality gate.
+    The emitted session must count each surviving event ONCE — the
+    exactly-once restore happens before any stateful aggregate. Also
+    exercises chaining two stateful operators under a single watermark
+    (sessionize_with_state(watermark_delay=None))."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1 burst: three good events + one junk (gate drops it)
+        (101, 1, t0, 10.25),
+        (102, 1, t0 + dt.timedelta(minutes=1), 0.50),
+        (103, 1, t0 + dt.timedelta(minutes=2), 20.00),
+        (104, 1, t0 + dt.timedelta(minutes=1, seconds=30), 999.0),
+        # sentinel user drives the watermark far past user 1's timeout
+        (201, 9, t0 + dt.timedelta(minutes=120), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    src = str(tmp_path / "src")
+    df.write.mode("append").parquet(src)
+    df.write.mode("append").parquet(src)  # redelivery: every event twice
+    assert spark.read.parquet(src).count() == 2 * len(rows)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(src)
+    gated = stream.filter(F.col("value") <= F.lit(400.0))
+    deduped = gated.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sessions = sessionize_with_state(deduped, gap_seconds=1800, watermark_delay=None)
+
+    emitted = []
+
+    def sink(batch_df, _epoch):
+        emitted.extend(batch_df.collect())
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    by_user = {r.user_id: r for r in emitted}
+    # sentinel's session is still open (never emitted); user 1 closed by timeout
+    assert set(by_user) == {1}
+    sess = by_user[1]
+    assert sess.n_events == 3  # 6 delivered, 3 distinct survivors of the gate
+    assert sess.session_start == t0
+    assert sess.session_end == t0 + dt.timedelta(minutes=2)
+    assert sess.sum_value == 30.75  # exact cents: 10.25 + 0.50 + 20.00
