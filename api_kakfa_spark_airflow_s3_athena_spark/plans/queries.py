@@ -4341,6 +4341,72 @@ def pii_mask_roundtrip(spark, sf_dir):
 
 
 @register(
+    "incremental_rollup_daily",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("maintenance", "rollup", "incremental"),
+)
+def incremental_rollup_daily(spark, sf_dir):
+    """Continuous-aggregate refresh (operators/rollup.py): a daily
+    revenue rollup materialized in two phases — initial build from
+    events before 2024-01-20, then an incremental refresh after the
+    remaining days 'arrive'. The refresh recomputes only buckets at or
+    after floor_day(watermark - 1 day lateness) and replaces exactly
+    those partitions via dynamic-partition-overwrite; older buckets'
+    files are never read or rewritten (pinned by
+    tests/test_rollup.py). The materialized result must equal the
+    from-scratch GROUP BY — the oracle — regardless of how many
+    refreshes built it; re-running in one session exercises the
+    idempotent top-up path."""
+    from ..operators.rollup import rollup_refresh
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:rollup_daily"
+    target = _STAGE_CACHE.get(key)
+    if target is None:
+        if not _STAGE_CACHE:
+            import atexit
+
+            atexit.register(_cleanup_stage_dirs)
+        target = tempfile.mkdtemp(prefix="rollup_daily_")
+        _STAGE_CACHE[key] = target
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-20").cast("timestamp")
+
+    def agg_fn(df, bucket_col):
+        return df.groupBy(bucket_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(_m("value"), "sum_value"),
+        )
+
+    if not os.path.exists(os.path.join(target, "_rollup_meta.json")):
+        rollup_refresh(
+            spark,
+            ev.filter(F.col("ts") < split),
+            target,
+            ts_col="ts",
+            bucket="day",
+            agg_fn=agg_fn,
+        )
+    # top-up refresh over the full (now appended-to) source
+    rollup_refresh(
+        spark, ev, target, ts_col="ts", bucket="day", agg_fn=agg_fn
+    )
+    out = spark.read.parquet(target)
+    return out.select(
+        F.col("bucket_ts").cast("timestamp").alias("bucket_ts"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
     "compaction_maintenance",
     # no oracle: filesystem maintenance is not SQL-expressible; the
     # rows-only check pins the deterministic stats row, pytest
