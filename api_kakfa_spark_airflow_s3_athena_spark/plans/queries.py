@@ -4407,6 +4407,62 @@ def incremental_rollup_daily(spark, sf_dir):
 
 
 @register(
+    "zorder_clustered_scan",
+    oracle="""
+        SELECT count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_value,
+               CAST(min(user_id) AS BIGINT) AS min_user,
+               CAST(max(user_id) AS BIGINT) AS max_user
+        FROM events
+        WHERE user_id BETWEEN 100 AND 200
+          AND value BETWEEN 50.0 AND 150.0
+    """,
+    tags=("layout", "maintenance", "pruning"),
+)
+def zorder_clustered_scan(spark, sf_dir):
+    """Z-order the events table by (user_id, value) — two dimensions
+    directory partitioning cannot cluster together — then run a
+    two-dimensional box filter over the clustered copy. The rewrite
+    (operators/layout.py) is one range exchange + in-partition sort,
+    all-JVM bit interleaving; the filtered scan then prunes files/row
+    groups on BOTH predicates via plain parquet min/max stats (skip
+    ratios pinned in tests/test_layout.py). Values must equal the
+    unclustered oracle exactly: layout changes where rows sit, never
+    what they say."""
+    from ..operators.layout import zorder_write
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:zorder_events"
+    target = _STAGE_CACHE.get(key)
+    if target is None:
+        if not _STAGE_CACHE:
+            import atexit
+
+            atexit.register(_cleanup_stage_dirs)
+        target = tempfile.mkdtemp(prefix="zorder_events_")
+        _STAGE_CACHE[key] = target
+        zorder_write(
+            _t(spark, sf_dir, "events"),
+            ["user_id", "value"],
+            target,
+            n_files=16,
+            bits=10,
+        )
+    ev = spark.read.parquet(target)
+    return (
+        ev.filter(
+            F.col("user_id").between(100, 200) & F.col("value").between(50.0, 150.0)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(_m("value"), "sum_value"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+        )
+    )
+
+
+@register(
     "compaction_maintenance",
     # no oracle: filesystem maintenance is not SQL-expressible; the
     # rows-only check pins the deterministic stats row, pytest

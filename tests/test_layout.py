@@ -1,0 +1,112 @@
+"""Z-order layout (operators/layout.py): bit-interleave correctness,
+content preservation, and the actual point — min/max file skipping on
+EVERY clustered dimension, measured from the written parquet footers
+the way any stats-based reader (Spark row-group pruning, Athena,
+Iceberg/Delta) would."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators.layout import (
+    zorder_value,
+    zorder_write,
+)
+
+
+def _file_ranges(path, col):
+    """[(min, max)] of ``col`` per data file, from parquet footers."""
+    import os
+
+    out = []
+    for f in sorted(os.listdir(path)):
+        if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        lo = min(
+            md.row_group(i).column(
+                [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+            ).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(
+                [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+            ).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        out.append((lo, hi))
+    return out
+
+
+def _overlapping(ranges, lo, hi):
+    return sum(1 for a, b in ranges if not (b < lo or a > hi))
+
+
+def test_zorder_value_interleaves_bits(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_value([F.col("x"), F.col("y")], bits=3)
+        ).collect()
+    }
+    # x owns the higher bit of each pair: z = interleave(x2x1x0, y2y1y0)
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 2  # x bit 0 -> position 1
+    assert got[(0, 1)] == 1  # y bit 0 -> position 0
+    assert got[(1, 1)] == 3
+    # x=3 (011), y=5 (101) -> pairs (x2=0,y2=1),(x1=1,y1=0),(x0=1,y0=1)
+    # z = 0b011011 = 27
+    assert got[(3, 5)] == 27
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zorder")
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 1000).cast("double").alias("x"),
+            ((F.col("id") * 7919) % 1000).cast("double").alias("y"),
+        )
+    )
+    linear = str(base / "linear")
+    zordered = str(base / "zordered")
+    # linear layout: the single-column clustering a date-partitioned
+    # table gives you — sorted by x only
+    df.repartitionByRange(32, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(linear)
+    zorder_write(
+        df, ["x", "y"], zordered, n_files=32, bits=10,
+        bounds={"x": (0.0, 1000.0), "y": (0.0, 1000.0)},
+    )
+    return df, linear, zordered
+
+
+def test_zorder_preserves_content(spark, layouts):
+    df, _linear, zordered = layouts
+    back = spark.read.parquet(zordered)
+    assert back.count() == df.count()
+    want = df.agg(F.sum(F.col("x") + F.col("y") * 2)).collect()[0][0]
+    got = back.agg(F.sum(F.col("x") + F.col("y") * 2)).collect()[0][0]
+    assert got == want
+    assert set(back.columns) == {"x", "y"}  # synthetic columns dropped
+
+
+def test_zorder_skips_files_on_second_dimension(layouts):
+    _df, linear, zordered = layouts
+    # 5% selectivity band on y — the dimension the linear layout
+    # cannot cluster
+    y_lin = _overlapping(_file_ranges(linear, "y"), 100.0, 150.0)
+    y_z = _overlapping(_file_ranges(zordered, "y"), 100.0, 150.0)
+    n_lin = len(_file_ranges(linear, "y"))
+    n_z = len(_file_ranges(zordered, "y"))
+    assert y_lin == n_lin  # every x-sorted file spans the whole y range
+    assert y_z <= n_z // 2  # z-order: most files skipped on y alone
+
+    # and x-pruning is retained (coarser than pure-x sort, still real)
+    x_z = _overlapping(_file_ranges(zordered, "x"), 100.0, 150.0)
+    assert x_z <= n_z // 2
