@@ -4463,6 +4463,70 @@ def zorder_clustered_scan(spark, sf_dir):
 
 
 @register(
+    "approx_sketch_contract",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact,
+               true AS hll_within_5pct,
+               true AS union_within_5pct,
+               true AS hpp_within_10pct,
+               true AS p50_within_1pct
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("analytics", "sketch", "approx"),
+)
+def approx_sketch_contract(spark, sf_dir):
+    """Approximate aggregates with their error contracts made
+    checkable: per event type, the exact distinct count (oracled
+    exactly) alongside booleans asserting (a) the DataSketches HLL
+    estimate is within 5% of exact, (b) the union of per-day partial
+    sketches lands within 5% of the one-shot sketch — mergeability is
+    THE scale property: 100 TB is sketched per partition/day and
+    unioned later without re-scanning, (c) HyperLogLog++
+    (approx_count_distinct) within its looser 10%, and (d) t-digest
+    approx_percentile within 1% of the exact percentile. The oracle
+    pins the booleans to literal true, so any tolerance breach is a
+    hard CORRECTNESS failure, while the raw estimates (engine-specific
+    by nature) never cross the compare. Error magnitudes measured in
+    tests/test_sketches.py."""
+    ev = _t(spark, sf_dir, "events")
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("event_id")).alias("hll_est"),
+        F.approx_count_distinct("event_id").alias("hpp_est"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+    )
+    merged = (
+        ev.withColumn("d", F.to_date("ts"))
+        .groupBy("event_type", "d")
+        .agg(F.hll_sketch_agg("event_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"))
+    )
+
+    def within(est, ref, tol):
+        return (F.abs(est - ref) / ref) <= F.lit(tol)
+
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            within(F.col("hll_est"), F.col("n_exact"), 0.05).alias("hll_within_5pct"),
+            within(F.col("union_est"), F.col("hll_est"), 0.05).alias(
+                "union_within_5pct"
+            ),
+            within(F.col("hpp_est"), F.col("n_exact"), 0.10).alias("hpp_within_10pct"),
+            within(F.col("p50_approx"), F.col("p50_exact"), 0.01).alias(
+                "p50_within_1pct"
+            ),
+        )
+    )
+
+
+@register(
     "compaction_maintenance",
     # no oracle: filesystem maintenance is not SQL-expressible; the
     # rows-only check pins the deterministic stats row, pytest
