@@ -4584,10 +4584,13 @@ def compaction_maintenance(spark, sf_dir):
 # locally-green-but-unjudged queries into hard CORRECTNESS rows, emit
 # queries WITHOUT a prior hard row first, then the already-verified
 # ones. The verified set is loaded from every CORRECTNESS_r*.json in
-# the repo root at import time (a query counts once it has a passing
-# hash row, or any row for rows-only checks; failures stay unverified
-# so they re-enter the priority prefix), unioned with the static
-# round-1 baseline below as a fallback if those files are pruned.
+# the repo root at import time with LATEST-WINS semantics: a query
+# counts as verified only if its most recent row passed (passing hash
+# row, or any row for rows-only checks). A later failure — or a null
+# value in the newest BENCH_r*.json, which means the query errored
+# mid-bench — demotes it back into the priority prefix so it earns a
+# fresh row. The static round-1 baseline below is a fallback if those
+# files are pruned, and is equally subject to demotion.
 # ---------------------------------------------------------------------
 
 
@@ -4595,24 +4598,39 @@ def _load_prior_verified() -> frozenset:
     import glob
     import json
 
-    names = set(_R01_VERIFIED)
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def _load(path):
         try:
             with open(path) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
-            continue
-        if not isinstance(data, dict):
+            return None
+        return data if isinstance(data, dict) else None
+
+    # latest observation per query across all correctness rounds
+    latest: dict = {n: True for n in _R01_VERIFIED}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        data = _load(path)
+        if data is None:
             continue
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            if rec.get("hash_match") is True or (
+            latest[name] = rec.get("hash_match") is True or (
                 rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
-            ):
-                names.add(name)
-    return frozenset(names)
+            )
+
+    # a null in the newest bench = the query raised mid-run; demote it
+    bench_files = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if bench_files:
+        data = _load(bench_files[-1]) or {}
+        per_query = (data.get("parsed") or {}).get("queries") or {}
+        for name, val in per_query.items():
+            if val is None:
+                latest[name] = False
+
+    return frozenset(n for n, ok in latest.items() if ok)
 
 
 _R01_VERIFIED = frozenset({

@@ -54,11 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one testdata table. Filters/projections applied by
     the caller push down to the parquet reader via Catalyst.
 
-    TIMESTAMP(NANOS) parquet columns arrive as nano longs (session conf
-    ``spark.sql.legacy.parquet.nanosAsLong``, set here at runtime so
-    externally-built sessions — e.g. the verification driver's — work
-    too) and are floor-converted to microsecond timestamps, matching
-    how nanosecond values truncate everywhere else in the chain.
+    The driver has shipped ``ts`` under three parquet encodings, all
+    normalized here to a plain UTC TIMESTAMP so every downstream
+    ``unix_micros``/window/date_trunc call analyzes identically:
+
+    - TIMESTAMP(NANOS): arrives as a nano long (session conf
+      ``spark.sql.legacy.parquet.nanosAsLong``, set here at runtime so
+      externally-built sessions — e.g. the verification driver's —
+      work too) and is floor-converted to microsecond timestamps,
+      matching how nanosecond values truncate everywhere else.
+    - ``timestamp[us]`` without ``isAdjustedToUTC``: Spark 4 reads it
+      as TIMESTAMP_NTZ; with the session timezone pinned UTC the cast
+      to TIMESTAMP is value-preserving.
+    - ``timestamp[us]`` UTC-adjusted: already a TIMESTAMP, untouched.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamp semantics (date_trunc/month/hour buckets) must be
@@ -69,6 +77,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             # integer division: ns values exceed double's 2^53 mantissa
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
