@@ -1431,13 +1431,61 @@ def embedding_norms(spark, sf_dir):
     )
 
 
-@register("minhash_near_dup_pairs", oracle=None, tags=("dedup", "lsh"))
+@register(
+    "minhash_near_dup_pairs",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 37 = 0 AND length(text) > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+               true AS planted_recall_ok,
+               true AS pairs_verified_ok
+        FROM documents
+    """,
+    tags=("dedup", "lsh"),
+)
 def minhash_near_dup_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates, exact-Jaccard verified at 0.5.
-    Rows-only check (banded LSH has no concise SQL twin); determinism
-    guaranteed by seeded xxhash64."""
-    return DD.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=32, bands=8
+    """MinHash+LSH near-dup pipeline with its recall contract made
+    hash-checkable (banded LSH has no concise SQL twin, so the oracle
+    pins booleans instead): plant exact-text duplicates of every
+    doc with ``doc_id % 37 == 0`` (id offset +10M), run the full
+    shingle->OPH-signature->band->bucket-join->exact-verify pipeline
+    over the corpus+plants (plant density 1/37 keeps the added verify
+    load a few percent of the pipeline), and assert (a) every planted
+    pair is
+    recovered — identical text means identical signatures in every
+    band, so LSH recall on plants is 1.0 BY CONSTRUCTION, any miss is
+    a pipeline bug, not banding luck — and (b) every emitted pair's
+    exact Jaccard clears the 0.5 verify threshold. The exact doc and
+    plant counts cross the compare; pair contents stay engine-side
+    (pinned instead by tests/test_dedup_similarity.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    offset = 10_000_000
+    plant_cond = (F.col("doc_id") % 37 == 0) & (F.length("text") > 50)
+    planted = docs.filter(plant_cond).withColumn("doc_id", F.col("doc_id") + offset)
+    corpus = docs.unionByName(planted)
+    pairs = DD.minhash_dedup_pairs(corpus, threshold=0.5, num_hashes=32, bands=8)
+    # one pass over each side: docs (counts) and pairs (recall+verify);
+    # a planted pair normalizes to (orig, orig+offset) with id_a < id_b
+    is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
+        F.col("id_a") % 37 == 0
+    )
+    doc_agg = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(plant_cond.cast("long")).cast("long").alias("n_planted"),
+    )
+    pair_agg = pairs.agg(
+        F.sum(is_planted_pair.cast("long")).alias("n_recovered"),
+        F.coalesce(F.min(F.col("jaccard") >= 0.5), F.lit(True)).alias(
+            "pairs_verified_ok"
+        ),
+    )
+    return doc_agg.crossJoin(pair_agg).select(
+        "n_docs",
+        "n_planted",
+        (F.coalesce(F.col("n_recovered"), F.lit(0)) == F.col("n_planted")).alias(
+            "planted_recall_ok"
+        ),
+        "pairs_verified_ok",
     )
 
 
@@ -1465,15 +1513,65 @@ def embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
-@register("ann_cosine_topk_ivf", oracle=None, tags=("similarity", "ivf"))
+def _ann_self_retrieval_contract(approx, emb, k: int):
+    """Shared ANN contract: per query, (a) rank-1 is the query itself
+    at cos 1.0, (b) every emitted score equals the exact cosine
+    recomputed against the corpus (6 dp), (c) row count <= k. The
+    recompute join is |result| x 1 lookups against the broadcastable
+    query/neighbor vectors — never corpus-quadratic."""
+    vecs = emb.select(F.col("vec_id"), F.col("embedding"))
+    rescored = (
+        approx.join(
+            vecs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("exact", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    return (
+        rescored.groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("rank") == 1, (F.col("neighbor_id") == F.col("query_id")) & (F.col("score") >= 0.999999))
+            ).alias("top1_is_self"),
+            F.min(F.abs(F.col("score") - F.col("exact")) < 1e-9).alias("scores_exact"),
+            (F.count(F.lit(1)) <= k).alias("within_k"),
+        )
+        .select("query_id", "top1_is_self", "scores_exact", "within_k")
+    )
+
+
+@register(
+    "ann_cosine_topk_ivf",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS query_id,
+               true AS top1_is_self,
+               true AS scores_exact,
+               true AS within_k
+        FROM embeddings WHERE vec_id < 8
+    """,
+    tags=("similarity", "ivf"),
+)
 def ann_cosine_topk_ivf(spark, sf_dir):
-    """IVF-style ANN: deterministic centroid cells, nprobe=4 of 16
-    probed per query (recall measured vs exact in tests)."""
+    """IVF-style ANN (deterministic centroid cells, nprobe=4 of 16),
+    contract-checked per query — same deterministic self-retrieval
+    contract as ann_cosine_topk_lsh: with self-exclusion off the query
+    probes its own nearest-centroid cell first, which is exactly the
+    cell its corpus twin was assigned to, so rank-1 must be itself at
+    cos 1.0; every emitted score must equal the recomputed exact
+    cosine; at most k rows per query. Probe-count recall monotonicity
+    is pinned in tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return SIM.ivf_topk(queries, emb, k=10, n_centroids=16, nprobe=4)
+    approx = SIM.ivf_topk(queries, emb, k=10, n_centroids=16, nprobe=4, exclude_self=False)
+    return _ann_self_retrieval_contract(approx, emb, k=10)
 
 
 @register("ann_cosine_topk_arrow", oracle=None, tags=("similarity", "arrow"))
@@ -1490,17 +1588,37 @@ def ann_cosine_topk_arrow(spark, sf_dir):
     return SIM.brute_force_topk_arrow(queries, emb, k=10)
 
 
-@register("embedding_kmeans_clusters", oracle=None, tags=("similarity", "clustering"))
+@register(
+    "embedding_kmeans_clusters",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               true AS all_assigned,
+               true AS clusters_within_k,
+               true AS inertia_monotone
+        FROM embeddings
+    """,
+    tags=("similarity", "clustering"),
+)
 def embedding_kmeans_clusters(spark, sf_dir):
-    """Lloyd's k-means assignment over the embedding corpus (SemDeDup-
-    style curation clustering): 3 refinement iterations from
-    deterministic seeds, Arrow matrix-product assignment, per-batch
-    partial centroid sums (the shuffle carries k x dim rows per batch,
-    never the corpus). Rows-only: iterative — no SQL twin; inertia
-    monotonicity and determinism pinned in tests."""
+    """Lloyd's k-means over the embedding corpus (SemDeDup-style
+    curation clustering; 3 refinement iterations, deterministic seeds,
+    Arrow matrix-product assignment, per-batch partial centroid sums)
+    with its convergence contract made hash-checkable (iterative — no
+    SQL twin): (a) the assignment pass emits exactly one row per
+    corpus point (the exact count crosses the compare), (b) at most k
+    distinct clusters, (c) Lloyd's inertia is monotone non-increasing
+    across iterations — THE property distinguishing a correct
+    assign/update loop from a subtly wrong one. Determinism and
+    centroid math are pinned in tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, _hist = SIM.kmeans_refine(emb, k=8, iters=3)
-    return assigned
+    assigned, hist = SIM.kmeans_refine(emb, k=8, iters=3)
+    monotone = all(b <= a * (1 + 1e-9) + 1e-9 for a, b in zip(hist, hist[1:]))
+    return assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min(F.col("id").isNotNull()).alias("all_assigned"),
+        (F.countDistinct("cluster") <= 8).alias("clusters_within_k"),
+        F.lit(monotone).alias("inertia_monotone"),
+    )
 
 
 @register("semdedup_near_dup_pairs", oracle=None, tags=("dedup", "similarity", "clustering"))
@@ -1516,15 +1634,35 @@ def semdedup_near_dup_pairs(spark, sf_dir):
     return SIM.semdedup_pairs(emb, k=8, iters=2, threshold=0.4)
 
 
-@register("ann_cosine_topk_lsh", oracle=None, tags=("similarity", "lsh"))
+@register(
+    "ann_cosine_topk_lsh",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS query_id,
+               true AS top1_is_self,
+               true AS scores_exact,
+               true AS within_k
+        FROM embeddings WHERE vec_id < 8
+    """,
+    tags=("similarity", "lsh"),
+)
 def ann_cosine_topk_lsh(spark, sf_dir):
-    """Approximate ANN via shared hyperplane buckets (the scale path;
-    recall measured against ann_cosine_topk in tests)."""
+    """Approximate ANN via shared hyperplane buckets, contract-checked
+    per query (LSH banding has no SQL twin; recall-vs-exact floors
+    would be data-luck on these near-uniform synthetic embeddings —
+    measured recall 0.01-0.15 — so the oracle pins what IS
+    deterministic): (a) with self-exclusion off, each query vector
+    hashes to its own bucket, so rank-1 must be the query itself at
+    cos 1.0 — exercises bucketing, scoring and ranking end to end;
+    (b) every emitted score equals the exact cosine recomputed from
+    the corpus (the bucket join may drop pairs, it must never corrupt
+    them); (c) at most k rows per query. Recall lift from multi-probe
+    is pinned separately in tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return SIM.lsh_topk(queries, emb, k=10, planes=6)
+    approx = SIM.lsh_topk(queries, emb, k=10, planes=6, probes=3, exclude_self=False)
+    return _ann_self_retrieval_contract(approx, emb, k=10)
 
 
 @register("user_api_source_ingest", oracle=None, tags=("source", "parity"))
@@ -2506,21 +2644,67 @@ def array_functions_showcase(spark, sf_dir):
     )
 
 
-@register("dedup_clusters_survivors", oracle=None, tags=("dedup", "graph"))
+@register(
+    "dedup_clusters_survivors",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               true AS survivor_is_min_id,
+               true AS sizes_sum_to_nodes,
+               true AS algorithms_agree
+        FROM documents
+    """,
+    tags=("dedup", "graph"),
+)
 def dedup_clusters_survivors(spark, sf_dir):
-    """Full dedup pipeline end to end: MinHash LSH pairs -> connected
-    components (iterative min-label propagation) -> keep one survivor
-    per cluster. Returns per-component survivor and cluster size.
-    Rows-only (iterative algorithm, no SQL twin)."""
-    from ..operators.graph import connected_components
+    """Full dedup pipeline end to end — MinHash LSH pairs -> connected
+    components -> one survivor per cluster — with the graph-reduction
+    invariants made hash-checkable (iterative algorithm, no SQL twin):
+    (a) every component label is the min node id of its member set
+    (the survivor-selection contract), (b) cluster sizes sum to the
+    pair-graph node count (no node lost or double-labeled), (c) the
+    O(diameter) min-label propagation and the O(log^2 n) alternating
+    large-star/small-star algorithm (Kiveris et al., SoCC 2014)
+    produce IDENTICAL labelings — two independent implementations
+    cross-checking each other on real pipeline output. Exact labels
+    on known graphs are pinned in tests/test_graph_approx.py."""
+    from ..operators.graph import connected_components, connected_components_two_phase
 
     d = _t(spark, sf_dir, "documents")
-    pairs = DD.minhash_dedup_pairs(d, threshold=0.5, num_hashes=32, bands=8)
+    pairs = DD.minhash_dedup_pairs(d, threshold=0.5, num_hashes=32, bands=8).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)  # both algorithms consume the pair graph
     comps = connected_components(pairs)
+    comps2 = connected_components_two_phase(pairs)
+    min_id_ok = comps.groupBy("component").agg(
+        F.min("node").alias("mn"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    agree = comps.withColumnRenamed("component", "c1").join(
+        comps2.withColumnRenamed("component", "c2"), "node", "full"
+    )
     return (
-        comps.groupBy("component")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .withColumnRenamed("component", "survivor_doc_id")
+        d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(
+            min_id_ok.agg(
+                F.coalesce(
+                    F.min(F.col("mn") == F.col("component")), F.lit(True)
+                ).alias("survivor_is_min_id")
+            )
+        )
+        .crossJoin(
+            comps.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(
+                min_id_ok.agg(F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("size_sum"))
+            )
+            .select((F.col("size_sum") == F.col("n_nodes")).alias("sizes_sum_to_nodes"))
+        )
+        .crossJoin(
+            agree.agg(
+                F.coalesce(
+                    F.min(F.col("c1").isNotNull() & F.col("c2").isNotNull() & (F.col("c1") == F.col("c2"))),
+                    F.lit(True),
+                ).alias("algorithms_agree")
+            )
+        )
     )
 
 
