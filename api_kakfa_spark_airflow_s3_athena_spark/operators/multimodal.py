@@ -57,7 +57,11 @@ def _fake_decode(payload: bytes, frame_idx: int = 0) -> np.ndarray:
     pixels, distinct per frame index. STUB — replace via
     :func:`register_decoder` when a codec library
     (Pillow/torchaudio/decord) is available on the cluster."""
-    h = hash(payload) & 0x7FFFFFFF
+    import hashlib
+
+    # hashlib, not hash(): bytes-hash randomization (PYTHONHASHSEED)
+    # varies across executor processes — stub features must not
+    h = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big") & 0x7FFFFFFF
     rng = np.random.RandomState((h + frame_idx) % (2**31))
     return rng.rand(8, 8).astype(np.float32)
 

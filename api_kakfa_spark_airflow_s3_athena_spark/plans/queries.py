@@ -2812,19 +2812,25 @@ def _cleanup_stage_dirs() -> None:
     _STAGE_CACHE.clear()
 
 
+# registered at import: every scratch dir recorded in _STAGE_CACHE is
+# removed at interpreter exit regardless of which query ran first
+# (the old per-site `if not _STAGE_CACHE` guards missed registration
+# whenever a non-registering site populated the cache first)
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_stage_dirs)
+
+
 def _stage_events_stream(spark, sf_dir):
     """Stage the events table into a scratch dir and open it as a
     file streaming source (micros-encoded). Staged once per
     (app, sf_dir) — all streaming queries share the copy; the scratch
     dirs are removed at interpreter exit."""
-    import atexit
     import tempfile
 
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     stage_dir = _STAGE_CACHE.get(key)
     if stage_dir is None:
-        if not _STAGE_CACHE:
-            atexit.register(_cleanup_stage_dirs)
         stage_dir = tempfile.mkdtemp(prefix="stream_src_")
         _t(spark, sf_dir, "events").write.mode("overwrite").parquet(stage_dir)
         _STAGE_CACHE[key] = stage_dir
@@ -3206,13 +3212,9 @@ def _stage_events_stream_redelivered(spark, sf_dir):
     open it as a file stream — a deterministic at-least-once source:
     every event arrives exactly two times. Lets dedup operators prove
     exactly-once semantics against the single-copy oracle."""
-    import atexit
-
     key = f"{spark.sparkContext.applicationId}:{sf_dir}:redelivered"
     stage_dir = _STAGE_CACHE.get(key)
     if stage_dir is None:
-        if not _STAGE_CACHE:
-            atexit.register(_cleanup_stage_dirs)
         stage_dir = tempfile.mkdtemp(prefix="stream_src_redeliv_")
         ev = _t(spark, sf_dir, "events")
         ev.write.mode("append").parquet(stage_dir)
@@ -4553,10 +4555,6 @@ def incremental_rollup_daily(spark, sf_dir):
     key = f"{spark.sparkContext.applicationId}:{sf_dir}:rollup_daily"
     target = _STAGE_CACHE.get(key)
     if target is None:
-        if not _STAGE_CACHE:
-            import atexit
-
-            atexit.register(_cleanup_stage_dirs)
         target = tempfile.mkdtemp(prefix="rollup_daily_")
         _STAGE_CACHE[key] = target
 
@@ -4619,10 +4617,6 @@ def zorder_clustered_scan(spark, sf_dir):
     key = f"{spark.sparkContext.applicationId}:{sf_dir}:zorder_events"
     target = _STAGE_CACHE.get(key)
     if target is None:
-        if not _STAGE_CACHE:
-            import atexit
-
-            atexit.register(_cleanup_stage_dirs)
         target = tempfile.mkdtemp(prefix="zorder_events_")
         _STAGE_CACHE[key] = target
         zorder_write(
@@ -4731,10 +4725,6 @@ def compaction_maintenance(spark, sf_dir):
     key = f"{spark.sparkContext.applicationId}:{sf_dir}:compact"
     stage_dir = _STAGE_CACHE.get(key)
     if stage_dir is None:
-        if not _STAGE_CACHE:
-            import atexit
-
-            atexit.register(_cleanup_stage_dirs)
         stage_dir = tempfile.mkdtemp(prefix="compact_src_")
         _STAGE_CACHE[key] = stage_dir
     # re-fragment on every call so the reported stats are
