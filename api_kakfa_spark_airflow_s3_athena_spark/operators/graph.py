@@ -27,13 +27,18 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 22,
 ) -> DataFrame:
     """Label every node of the pair graph with its component's min id.
 
     Returns (node, component). Deterministic for any edge order.
     Converges in O(diameter) rounds; raises if ``max_iter`` rounds
     don't reach the fixpoint (pathological chain — raise the budget).
+    The default budget carries +2 headroom over the round-2 value of
+    20: the every-other-round convergence probe below can detect a
+    fixpoint up to 2 rounds after it happens, and the budget must not
+    silently tighten what a graph that needed exactly 20 rounds could
+    do before the probe cadence changed.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirected: both directions, plus self-loops to keep isolated ids

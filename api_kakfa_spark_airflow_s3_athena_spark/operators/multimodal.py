@@ -60,7 +60,8 @@ def _fake_decode(payload: bytes, frame_idx: int = 0) -> np.ndarray:
     import hashlib
 
     # hashlib, not hash(): bytes-hash randomization (PYTHONHASHSEED)
-    # varies across executor processes — stub features must not
+    # varies across executor processes — stub features must not vary
+    # with which executor happens to decode a payload
     h = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big") & 0x7FFFFFFF
     rng = np.random.RandomState((h + frame_idx) % (2**31))
     return rng.rand(8, 8).astype(np.float32)

@@ -49,8 +49,10 @@ def main() -> None:
     spark = local_test_session("bench")
 
     def run(name: str) -> float:
+        spec = REGISTRY[name]
+        fn = spec.bench_fn or spec.fn
         t0 = time.time()
-        df = REGISTRY[name].fn(spark, sf_dir)
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 

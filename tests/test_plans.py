@@ -146,3 +146,20 @@ def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_headline_batch_plans_never_cartesian(spark):
+    """Scale-killer sweep over the benched batch queries: an
+    accidental CartesianProduct (join condition lost in a refactor)
+    is the single fastest way to turn a 100 TB query into a
+    never-finishes query. Streaming entries are excluded (they need
+    staged source dirs); the contract queries' deliberate single-row
+    crossJoins plan as broadcast loops over 1-row sides, never
+    CartesianProduct."""
+    import bench
+
+    for name in bench.HEADLINE:
+        if name == "streaming_hourly_counts":
+            continue
+        plan, _ = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name

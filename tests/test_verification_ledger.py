@@ -1,0 +1,147 @@
+"""The verification ledger (plans/queries.py) is load-bearing: it
+decides which queries the round driver re-checks, so its latest-wins /
+demotion / rotation logic needs its own pins — a bug here silently
+stops regressions from ever being re-verified (the round-2 stale-green
+sessionize failure mode).
+
+No SparkSession needed: the ledger is pure file parsing + ordering.
+"""
+
+from __future__ import annotations
+
+import json
+
+from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
+    REGISTRY,
+    _load_verification_ledger,
+    _ordered_specs,
+)
+
+
+def _write(tmp_path, fname, data):
+    (tmp_path / fname).write_text(json.dumps(data))
+
+
+def _green(rows=5):
+    return {"hash_match": True, "schema_match": True, "rows_match": True,
+            "err": None, "spark_rows": rows, "oracle_rows": rows}
+
+
+def _fail(rows=5):
+    return {"hash_match": False, "schema_match": True, "rows_match": True,
+            "err": None, "spark_rows": rows, "oracle_rows": rows}
+
+
+def _rows_only(rows=5):
+    return {"hash_match": None, "schema_match": None, "rows_match": None,
+            "err": "no_oracle", "spark_rows": rows, "oracle_rows": None}
+
+
+def test_green_row_verifies_with_round(tmp_path):
+    _write(tmp_path, "CORRECTNESS_r01.json", {"q": _green()})
+    led = _load_verification_ledger(str(tmp_path))
+    assert led["q"] == {"ok": True, "round": 1, "rows_only": False}
+
+
+def test_later_failure_demotes(tmp_path):
+    _write(tmp_path, "CORRECTNESS_r01.json", {"q": _green()})
+    _write(tmp_path, "CORRECTNESS_r02.json", {"q": _fail()})
+    led = _load_verification_ledger(str(tmp_path))
+    assert led["q"]["ok"] is False
+
+
+def test_later_green_re_verifies_and_bumps_round(tmp_path):
+    _write(tmp_path, "CORRECTNESS_r01.json", {"q": _fail()})
+    _write(tmp_path, "CORRECTNESS_r03.json", {"q": _green()})
+    led = _load_verification_ledger(str(tmp_path))
+    assert led["q"] == {"ok": True, "round": 3, "rows_only": False}
+
+
+def test_rows_only_pass_is_weakly_verified(tmp_path):
+    # spark_rows == 0 still counts (the row exists) — vacuity is the
+    # query contract's problem, not the ledger's
+    _write(tmp_path, "CORRECTNESS_r02.json", {"q": _rows_only(rows=0)})
+    led = _load_verification_ledger(str(tmp_path))
+    assert led["q"] == {"ok": True, "round": 2, "rows_only": True}
+
+
+def test_errored_query_is_not_verified(tmp_path):
+    _write(tmp_path, "CORRECTNESS_r01.json",
+           {"q": {"hash_match": None, "err": "boom", "spark_rows": None}})
+    led = _load_verification_ledger(str(tmp_path))
+    assert led["q"]["ok"] is False
+
+
+def test_bench_null_in_newest_bench_demotes(tmp_path):
+    _write(tmp_path, "CORRECTNESS_r01.json", {"q": _green()})
+    _write(tmp_path, "BENCH_r01.json",
+           {"parsed": {"queries": {"q": 1.5}}})
+    _write(tmp_path, "BENCH_r02.json",
+           {"parsed": {"queries": {"q": None}}})
+    led = _load_verification_ledger(str(tmp_path))
+    assert led["q"]["ok"] is False
+
+
+def test_bench_null_in_older_bench_is_superseded(tmp_path):
+    _write(tmp_path, "CORRECTNESS_r01.json", {"q": _green()})
+    _write(tmp_path, "BENCH_r01.json",
+           {"parsed": {"queries": {"q": None}}})
+    _write(tmp_path, "BENCH_r02.json",
+           {"parsed": {"queries": {"q": 1.5}}})
+    led = _load_verification_ledger(str(tmp_path))
+    assert led["q"]["ok"] is True
+
+
+def test_ordering_unverified_oracle_first_then_rotation():
+    # real registry names: two oracle-backed queries plus the one
+    # legitimately rows-only query
+    oracle_names = [s.name for s in REGISTRY.values() if s.oracle][:3]
+    a, b, c = oracle_names
+    rows_only_spec = next(s.name for s in REGISTRY.values() if not s.oracle)
+    ledger = {
+        a: {"ok": True, "round": 3, "rows_only": False},
+        b: {"ok": True, "round": 1, "rows_only": False},
+        # c absent => unverified
+        rows_only_spec: {"ok": True, "round": 2, "rows_only": True},
+    }
+    order = [s.name for s in _ordered_specs(ledger)]
+    # every unverified-with-oracle query precedes every verified one
+    assert order.index(c) < order.index(b) < order.index(a)
+    # rows-only green with no oracle stays verified (not re-prioritized)
+    assert order.index(c) < order.index(rows_only_spec)
+
+
+def test_newly_oracled_rows_only_green_is_reprioritized():
+    spec = next(s for s in REGISTRY.values() if s.oracle)
+    verified_other = next(s for s in REGISTRY.values() if s.oracle and s is not spec)
+    ledger = {
+        # latest green was a weak rows-only row, but the spec now has
+        # an oracle: must be ordered as unverified to earn a hash row
+        spec.name: {"ok": True, "round": 3, "rows_only": True},
+        verified_other.name: {"ok": True, "round": 1, "rows_only": False},
+    }
+    order = [s.name for s in _ordered_specs(ledger)]
+    assert order.index(spec.name) < order.index(verified_other.name)
+
+
+def test_repo_ledger_prioritizes_converted_queries():
+    # the real repo evidence: round-3 rows-only queries that have since
+    # gained contract oracles must sit in the driver-checked prefix
+    order = [s.name for s in _ordered_specs()]
+    converted = [
+        "simhash_clusters",
+        "simhash_hamming_pairs",
+        "embedding_near_dup_lsh",
+        "semdedup_near_dup_pairs",
+        "semdedup_survivors",
+        "ann_cosine_topk_arrow",
+        "approx_distinct_and_quantiles",
+        "multimodal_feature_extract",
+        "user_api_source_ingest",
+        "names_pipeline_roundtrip",
+    ]
+    for name in converted:
+        assert order.index(name) < 15, f"{name} not in driver prefix"
+    # verified tail rotates: oldest greens come right after the
+    # unverified block, so the ~50-entry prefix re-checks them
+    assert len(order) == len(REGISTRY)
