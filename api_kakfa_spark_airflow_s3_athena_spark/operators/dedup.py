@@ -39,7 +39,9 @@ __all__ = [
     "minhash_signature",
     "oph_minhash_dense",
     "minhash_candidates",
+    "minhash_band_index",
     "minhash_dedup_pairs",
+    "minhash_delta_dedup_pairs",
     "shingle_hashes",
     "simhash",
     "simhash_dedup_pairs",
@@ -233,7 +235,7 @@ def oph_minhash_dense(
     )
 
 
-def minhash_candidates(
+def minhash_band_index(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -241,24 +243,18 @@ def minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 1,
-    max_bucket: int = 4096,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing >=1 band of the signature.
+    """The persistable LSH band index: one ``(id, band, bucket)`` row
+    per document per band — the signature is one-permutation MinHash
+    (:func:`oph_minhash_dense`), banded into ``bands`` groups of
+    consecutive bins.
 
-    The signature is one-permutation MinHash
-    (:func:`oph_minhash_dense`; ``num_hashes`` = bin count), banded
-    into ``bands`` groups of consecutive bins — O(S log S) per row
-    where the classic per-hash scheme is O(S·num_hashes).
-
-    Returns ``(id_a, id_b)`` with id_a < id_b, distinct. Pair
-    generation groups each band bucket into its (sorted) id list and
-    explodes ordered pairs — one aggregation instead of a self-join,
-    ~3x faster, same output. Buckets larger than ``max_bucket`` are
-    dropped: a bucket of size k yields k²/2 pairs, so a degenerate
-    bucket (boilerplate shingles hashing together) would dominate the
-    output with low-information pairs and blow memory; dropping
-    oversized buckets is standard LSH practice (near-dups still meet
-    in their other, more selective bands).
+    This is the 100 TB incremental-dedup artifact: write it ONCE per
+    corpus snapshot (partitioned/bucketed by ``(band, bucket)`` at
+    scale) and each new crawl batch dedups against it via
+    :func:`minhash_delta_dedup_pairs` without ever re-shingling the
+    corpus — the index rows are 3 small ints/longs however fat the
+    documents are.
     """
     bins_per_band = num_hashes // bands
     # Two materialization points, each preventing expensive-subtree
@@ -275,7 +271,7 @@ def minhash_candidates(
             _shingles_from_th(F.col("th"), shingle_n), num_hashes
         ).alias("sig"),
     )
-    banded = with_sig.select(
+    return with_sig.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -296,6 +292,35 @@ def minhash_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >=1 band of the signature
+    (:func:`minhash_band_index` built inline) — O(S log S) per row
+    where the classic per-hash scheme is O(S·num_hashes).
+
+    Returns ``(id_a, id_b)`` with id_a < id_b, distinct. Pair
+    generation groups each band bucket into its (sorted) id list and
+    explodes ordered pairs — one aggregation instead of a self-join,
+    ~3x faster, same output. Buckets larger than ``max_bucket`` are
+    dropped: a bucket of size k yields k²/2 pairs, so a degenerate
+    bucket (boilerplate shingles hashing together) would dominate the
+    output with low-information pairs and blow memory; dropping
+    oversized buckets is standard LSH practice (near-dups still meet
+    in their other, more selective bands).
+    """
+    banded = minhash_band_index(
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed
+    )
 
     grouped = (
         banded.groupBy("band", "bucket")
@@ -347,21 +372,36 @@ def minhash_dedup_pairs(
     cands = minhash_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n, seed
     ).cache()
-    # Shingle sets are computed ONLY for rows that appear in some
-    # candidate pair: broadcast the candidate id set so the corpus-side
-    # semi-join is a map-side filter (no corpus shuffle), then cache
-    # just those rows' shingle sets — nothing corpus-sized is pinned
-    # (the round-1 full-corpus cache is gone). Shingles are verified as
-    # 64-bit hashes (same fold as the signature stream, no string
-    # materialization); set Jaccard over the hashed shingles equals the
-    # string-shingle Jaccard up to a ~2^-64 collision probability.
+    return _verify_jaccard(cands, df, text_col, id_col, threshold, shingle_n, seed)
+
+
+def _verify_jaccard(
+    cands: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int,
+    seed: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against ``docs``.
+
+    Shingle sets are computed ONLY for rows that appear in some
+    candidate pair: broadcast the candidate id set so the corpus-side
+    semi-join is a map-side filter (no corpus shuffle), then cache
+    just those rows' shingle sets — nothing corpus-sized is pinned.
+    Shingles are verified as 64-bit hashes (same fold as the signature
+    stream, no string materialization); set Jaccard over the hashed
+    shingles equals the string-shingle Jaccard up to a ~2^-64
+    collision probability.
+    """
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     shingled = (
-        df.join(F.broadcast(cand_ids), id_col, "leftsemi")
+        docs.join(F.broadcast(cand_ids), id_col, "leftsemi")
         # token hashes materialized as their own projection so the
         # shingle zip-chain references an attribute, not 2n copies of
         # the tokenize+hash subtree (see token_hashes)
@@ -384,6 +424,79 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_delta_dedup_pairs(
+    delta: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs touching a NEW batch, found
+    against a PERSISTED corpus band index — the shape a 100 TB
+    training pipeline actually runs per crawl snapshot.
+
+    ``index`` is ``minhash_band_index(corpus)`` written once (at scale:
+    stored partitioned by ``(band, bucket)``); ``corpus`` supplies text
+    only for the exact-Jaccard verify of candidate rows. Per batch:
+
+    1. band the DELTA only (the corpus is never re-shingled);
+    2. the delta's distinct ``(band, bucket)`` keys (a tiny set) are
+       BROADCAST against the index — the corpus-sized side is reduced
+       by a map-side filter, no index shuffle, no corpus scan beyond
+       the index files those buckets live in when partitioned;
+    3. the hot-bucket guard censuses only the buckets the delta
+       touches (bounded by |delta| x bands, not the index);
+    4. candidate generation joins the (small, broadcast) delta bands
+       against the surviving index slice — pairs must touch the delta
+       by construction (delta-delta pairs included: the delta's own
+       bands are unioned into the slice);
+    5. exact-Jaccard verify fetches text for candidate ids only, from
+       corpus+delta, via the same broadcast semi-join as the batch
+       operator.
+
+    Equivalence contract: output == ``minhash_dedup_pairs(corpus +
+    delta)`` restricted to pairs with a delta member (same params) —
+    pinned in tests/test_dedup_similarity.py. Returns distinct
+    ``(id_a, id_b, jaccard)``, id_a < id_b.
+    """
+    dband = minhash_band_index(
+        delta, text_col, id_col, num_hashes, bands, shingle_n, seed
+    ).cache()
+    all_b = index.select(F.col(id_col), "band", "bucket").unionByName(dband)
+    dbuckets = dband.select("band", "bucket").distinct()
+    # index slice: only buckets the delta touches survive (map-side
+    # broadcast filter on the corpus-sized side)
+    hit = all_b.join(F.broadcast(dbuckets), ["band", "bucket"]).cache()
+    keep = (
+        hit.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .select("band", "bucket")
+    )
+    hit_kept = hit.join(F.broadcast(keep), ["band", "bucket"])
+    cands = (
+        dband.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("__d"))
+        .join(hit_kept.withColumnRenamed(id_col, "__c"), ["band", "bucket"])
+        .filter(F.col("__d") != F.col("__c"))
+        .select(
+            F.least("__d", "__c").alias("id_a"),
+            F.greatest("__d", "__c").alias("id_b"),
+        )
+        .distinct()
+        .cache()
+    )
+    texts = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+        delta.select(F.col(id_col), F.col(text_col))
+    )
+    return _verify_jaccard(cands, texts, text_col, id_col, threshold, shingle_n, seed)
 
 
 def simhash(text: Column, bits: int = 64, shingle_n: int = 2, seed: int = 7) -> Column:

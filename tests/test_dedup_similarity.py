@@ -265,3 +265,64 @@ def test_ivf_topk_recall_and_probe_monotonicity(spark):
         for r in ivf_topk(q, df, k=5, n_centroids=8, nprobe=1).collect()
     }
     assert top.get((0, 1)) == 1
+
+
+def test_delta_dedup_equals_full_dedup_restricted_to_delta(spark, tmp_path):
+    """The incremental path's equivalence contract: pairs from
+    minhash_delta_dedup_pairs(delta, corpus, index) == pairs from the
+    full batch operator over corpus+delta, restricted to pairs with a
+    delta member — same params, same bucket caps."""
+    import itertools
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = []
+    for i, perm in enumerate(itertools.permutations(words, 6)):
+        if i >= 30:
+            break
+        rows.append(Row(doc_id=i, text=" ".join(perm * 3)))
+    # make some near-dups across the corpus/delta split (delta ids are
+    # doc_id >= 20): 21 copies 1, 25 copies 5 with a one-word change
+    rows[21] = Row(doc_id=21, text=rows[1].text)
+    rows[25] = Row(doc_id=25, text=rows[5].text.replace("alpha", "omega", 1))
+    rows[22] = Row(doc_id=22, text=rows[20].text)  # delta-delta dup
+    docs = spark.createDataFrame(rows)
+    corpus = docs.filter(F.col("doc_id") < 20)
+    delta = docs.filter(F.col("doc_id") >= 20)
+
+    idx_dir = str(tmp_path / "mh_index")
+    DD.minhash_band_index(corpus, num_hashes=32, bands=8).write.parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_delta_dedup_pairs(
+            delta, corpus, index, threshold=0.5, num_hashes=32, bands=8
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_dedup_pairs(
+            docs, threshold=0.5, num_hashes=32, bands=8
+        ).collect()
+        if r.id_a >= 20 or r.id_b >= 20
+    }
+    assert got == full
+    assert (1, 21) in {(a, b) for a, b, _ in got}  # delta-corpus dup via index
+    assert (20, 22) in {(a, b) for a, b, _ in got}  # delta-delta dup
+
+
+def test_delta_dedup_never_emits_corpus_only_pairs(spark, tmp_path):
+    """Corpus-corpus duplicates must NOT reappear in an incremental
+    run — they were handled when the corpus was deduped."""
+    rows = [Row(doc_id=i, text=BASE) for i in range(4)]  # all identical
+    rows.append(Row(doc_id=10, text="totally different words about gardens and soil"))
+    docs = spark.createDataFrame(rows)
+    corpus = docs.filter(F.col("doc_id") < 10)
+    delta = docs.filter(F.col("doc_id") >= 10)
+    idx_dir = str(tmp_path / "mh_index2")
+    DD.minhash_band_index(corpus, num_hashes=32, bands=8).write.parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+    got = DD.minhash_delta_dedup_pairs(
+        delta, corpus, index, threshold=0.5, num_hashes=32, bands=8
+    ).collect()
+    assert got == []  # the 4 corpus dups never surface
