@@ -4771,6 +4771,165 @@ def stratified_sample_by_lang(spark, sf_dir):
 
 
 @register(
+    "heavy_hitter_tokens",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM tok, t
+        GROUP BY token, n
+        HAVING count(*) * 200 > n
+    """,
+    tags=("llm-pipeline", "text", "approx"),
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Corpus heavy hitters (boilerplate/stop-list induction): every
+    token with frequency > total/200, via the two-phase Misra-Gries
+    operator — bounded-memory per-partition candidate summaries, then
+    an exact broadcast recount of candidates only
+    (operators/frequency.py). The result is EXACT, so the oracle is
+    the naive full-histogram query filtered to the same threshold: a
+    full value-level compare that fails if the candidate phase loses
+    a single true heavy hitter."""
+    from ..operators.frequency import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), num_counters=200)
+
+
+@register(
+    "mixture_weighted_sample",
+    oracle="""
+        WITH c AS (
+            SELECT source,
+                   CAST(substr(source, 4) AS INT) % 4 + 1 AS w,
+                   count(*) AS cnt
+            FROM documents GROUP BY source
+        ),
+        t AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                   CAST(SUM(w) AS BIGINT) AS w_total
+            FROM c
+        ),
+        r AS (
+            SELECT source,
+                   least(1.0, (w * 1.0 / w_total) * (0.4 * n_total) / cnt)
+                       AS rate
+            FROM c, t
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+              CASE WHEN rate >= 1 THEN 'zzzz'
+                   ELSE printf('%04x', CAST(floor(rate * 65536) AS INT)) END
+    """,
+    tags=("llm-pipeline", "sampling"),
+)
+def mixture_weighted_sample(spark, sf_dir):
+    """Target-mixture (domain-weighted) sampling — the rebalancing
+    pass of a training-data pipeline: given per-source target weights
+    (here derived from the source index, weight = idx % 4 + 1) and a
+    total budget of 40% of the corpus, each source's keep rate is
+    min(1, share * budget / available). Rates come from one tiny
+    per-source aggregate (broadcast back); membership is the
+    md5(doc_id) hex-prefix coin at 16-bit granularity, so the sample
+    is reproducible across engines, partitionings, and reruns, and the
+    corpus side stays a row-local filter — zero corpus shuffle at any
+    scale."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "source",
+        (F.substring("source", 4, 10).cast("int") % 4 + 1).alias("w"),
+        "cnt",
+    )
+    t = c.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.sum("w").cast("long").alias("w_total"),
+    )
+    # mirror the oracle's float op order exactly: (w*1.0/w_total) *
+    # (0.4*n_total) / cnt — IEEE doubles agree when the ops do
+    r = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("w") * 1.0 / F.col("w_total"))
+            * (0.4 * F.col("n_total"))
+            / F.col("cnt"),
+        ).alias("rate"),
+    )
+    thresh = F.when(F.col("rate") >= 1, F.lit("zzzz")).otherwise(
+        F.format_string("%04x", F.floor(F.col("rate") * 65536).cast("int"))
+    )
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        d.join(F.broadcast(r), "source")
+        .filter(coin < thresh)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "dedup_survivors_policy",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text, 'aaa_curated' AS source
+            FROM documents WHERE doc_id % 9 = 0 AND length(text) > 50
+        ),
+        g AS (
+            SELECT md5(text) AS fp, doc_id, source,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY source, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY md5(text)) AS n_copies
+            FROM corpus
+        )
+        SELECT fp, doc_id AS survivor_id, source AS survivor_source,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM g WHERE rn = 1
+    """,
+    tags=("dedup", "policy"),
+)
+def dedup_survivors_policy(spark, sf_dir):
+    """Quality-ranked survivor selection — dedup where the kept copy
+    is chosen by POLICY (preferred source first, id tie-break), not
+    min-id. Planted duplicates from a preferred 'aaa_curated' source
+    (mirrored verbatim in the SQL oracle, so this is a full
+    value-level compare, not a boolean contract) must win their
+    groups despite having the LARGER id — a min-id implementation
+    fails the hash. Scale shape: the text digest is computed in the
+    scan projection and only (fp, id, source) enters the window
+    shuffle — documents never cross an exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = (
+        docs.filter((F.col("doc_id") % 9 == 0) & (F.length("text") > 50))
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .withColumn("source", F.lit("aaa_curated"))
+    )
+    corpus = docs.select("doc_id", "text", "source").unionByName(
+        planted.select("doc_id", "text", "source")
+    )
+    skinny = corpus.select(
+        F.md5("text").alias("fp"), "doc_id", "source"
+    )
+    w = Window.partitionBy("fp").orderBy("source", "doc_id")
+    return (
+        skinny.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fp",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("source").alias("survivor_source"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )
+
+
+@register(
     "embedding_quantization",
     oracle="""
         WITH v AS (
