@@ -27,7 +27,10 @@ __all__ = [
     "brute_force_topk",
     "brute_force_topk_arrow",
     "lsh_topk",
+    "ivf_centroids",
+    "ivf_index",
     "ivf_topk",
+    "ivf_topk_from_index",
     "kmeans_refine",
     "semdedup_pairs",
 ]
@@ -154,6 +157,113 @@ def brute_force_topk_arrow(
     return _ranked_topk(scored, "query_id", k)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic IVF centroid set: the ``n_centroids`` corpus
+    vectors with the smallest seeded id-hash — a uniform sample
+    reproducible with no stored model. Plans as distributed top-k
+    (orderBy+limit => TakeOrderedAndProject), never a single-partition
+    window. Returns ``(centroid_id, centroid_vec)``."""
+    return (
+        corpus.select(
+            F.col(corpus_id).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+            F.pmod(F.xxhash64(F.col(corpus_id), F.lit(seed)), F.lit(1_000_003)).alias("__h"),
+        )
+        .orderBy("__h", "centroid_id")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+
+
+def _ivf_assign(
+    df: DataFrame, centroids: DataFrame, id_out: str, vec_out: str, keep: int
+) -> DataFrame:
+    """Assign each row to its ``keep`` nearest centroid cells (one
+    broadcast scoring pass; ties break on the lower centroid id)."""
+    scored = df.join(F.broadcast(centroids)).select(
+        F.col(id_out),
+        F.col(vec_out),
+        F.col("centroid_id"),
+        cosine(F.col(vec_out), F.col("centroid_vec")).alias("__cs"),
+    )
+    w = Window.partitionBy(id_out).orderBy(F.col("__cs").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep)
+        .select(id_out, vec_out, F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+):
+    """The persistable IVF artifact pair: ``(centroids, cell_index)``
+    where ``cell_index`` is the corpus keyed by its nearest-centroid
+    ``cell`` — write it ``partitionBy("cell")`` once per snapshot and
+    every later query scans ONLY its probed cells via partition
+    pruning (:func:`ivf_topk_from_index`). The 100 TB inverted-file
+    shape: index build cost is one broadcast scoring pass, amortized
+    over every query batch that follows."""
+    centroids = ivf_centroids(corpus, n_centroids, corpus_id, vec_col, seed)
+    cell_index = _ivf_assign(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        centroids,
+        "neighbor_id",
+        "c_vec",
+        keep=1,
+    )
+    return centroids, cell_index
+
+
+def ivf_topk_from_index(
+    queries: DataFrame,
+    centroids: DataFrame,
+    cell_index: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN search against a PERSISTED IVF index (:func:`ivf_index`
+    read back from storage): queries are assigned to their ``nprobe``
+    nearest cells by one broadcast pass over the (tiny) centroid set,
+    the probed cell list filters the index — a partition-pruned scan
+    when the index was written ``partitionBy("cell")`` — and scoring
+    joins the broadcast query assignments against only those cells.
+    The corpus is never re-assigned, never fully scanned."""
+    q_assigned = _ivf_assign(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        centroids,
+        "query_id",
+        "q_vec",
+        keep=nprobe,
+    )
+    probed = q_assigned.select("cell").distinct()
+    scored = (
+        cell_index.join(F.broadcast(probed), "cell")
+        .join(F.broadcast(q_assigned), "cell")
+        .filter(~(F.col("neighbor_id") == F.col("query_id")) if exclude_self else F.lit(True))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _ranked_topk(scored, "query_id", k)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -166,7 +276,10 @@ def ivf_topk(
     seed: int = 11,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """IVF-style approximate top-k: centroid-partitioned search.
+    """IVF-style approximate top-k: centroid-partitioned search with
+    the index built inline (:func:`ivf_index` composed with
+    :func:`ivf_topk_from_index`, minus the probed-cell pre-filter that
+    only pays off once the index is stored partitioned).
 
     Training-free inverted file: ``n_centroids`` corpus vectors are
     chosen deterministically (smallest seeded hash of the id — a
@@ -177,45 +290,13 @@ def ivf_topk(
 
     Versus hyperplane LSH: cells track the data distribution (better
     recall/candidate ratio on clustered embeddings) at the cost of the
-    one-off assignment pass. At scale, persist/partition the corpus by
-    ``cell`` once; each query then touches nprobe/n_centroids of the
-    data.
+    one-off assignment pass. At scale, persist the index with
+    :func:`ivf_index` and query with :func:`ivf_topk_from_index`.
     """
-    # smallest-hash sample via orderBy+limit: plans as distributed
-    # top-k (TakeOrderedAndProject), never a single-partition window
-    centroids = (
-        corpus.select(
-            F.col(corpus_id).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
-            F.pmod(F.xxhash64(F.col(corpus_id), F.lit(seed)), F.lit(1_000_003)).alias("__h"),
-        )
-        .orderBy("__h", "centroid_id")
-        .limit(n_centroids)
-        .drop("__h")
-    )
-
-    def assign(df: DataFrame, id_out: str, vec_out: str, keep: int) -> DataFrame:
-        scored = df.join(F.broadcast(centroids)).select(
-            F.col(id_out),
-            F.col(vec_out),
-            F.col("centroid_id"),
-            cosine(F.col(vec_out), F.col("centroid_vec")).alias("__cs"),
-        )
-        w = Window.partitionBy(id_out).orderBy(F.col("__cs").desc(), F.col("centroid_id"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= keep)
-            .select(id_out, vec_out, F.col("centroid_id").alias("cell"))
-        )
-
-    c_assigned = assign(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        "neighbor_id",
-        "c_vec",
-        keep=1,
-    )
-    q_assigned = assign(
+    centroids, c_assigned = ivf_index(corpus, n_centroids, corpus_id, vec_col, seed)
+    q_assigned = _ivf_assign(
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        centroids,
         "query_id",
         "q_vec",
         keep=nprobe,

@@ -1996,6 +1996,50 @@ def ann_cosine_topk_ivf(spark, sf_dir):
 
 
 @register(
+    "ann_cosine_topk_ivf_indexed",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS query_id,
+               true AS top1_is_self,
+               true AS scores_exact,
+               true AS within_k
+        FROM embeddings WHERE vec_id < 8
+    """,
+    tags=("similarity", "ivf", "incremental"),
+)
+def ann_cosine_topk_ivf_indexed(spark, sf_dir):
+    """ANN against a PERSISTED IVF index — the amortized 100 TB shape:
+    ``ivf_index`` is written once per session ``partitionBy("cell")``
+    and read BACK from parquet, so the query provably runs off the
+    stored inverted file (queries touch only probed cell partitions;
+    the corpus is never re-assigned). Same deterministic
+    self-retrieval contract as the inline IVF variant: with
+    self-exclusion off, each query's own cell is its first probe, so
+    rank-1 must be itself at cos 1.0; every score re-verified against
+    the corpus; ranks exactly 1..n <= k. Index/inline equivalence is
+    pinned in tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:ivf_index"
+    idx_dir = _STAGE_CACHE.get(key)
+    if idx_dir is None:
+        idx_dir = tempfile.mkdtemp(prefix="ivf_index_")
+        centroids, cell_index = SIM.ivf_index(emb, n_centroids=16)
+        centroids.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids"))
+        cell_index.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(idx_dir, "cells")
+        )
+        _STAGE_CACHE[key] = idx_dir
+    centroids = spark.read.parquet(os.path.join(idx_dir, "centroids"))
+    cell_index = spark.read.parquet(os.path.join(idx_dir, "cells"))
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    approx = SIM.ivf_topk_from_index(
+        queries, centroids, cell_index, k=10, nprobe=4, exclude_self=False
+    )
+    return _ann_self_retrieval_contract(approx, emb, k=10)
+
+
+@register(
     "ann_cosine_topk_arrow",
     oracle="""
         SELECT CAST(vec_id AS BIGINT) AS query_id,

@@ -326,3 +326,44 @@ def test_delta_dedup_never_emits_corpus_only_pairs(spark, tmp_path):
         delta, corpus, index, threshold=0.5, num_hashes=32, bands=8
     ).collect()
     assert got == []  # the 4 corpus dups never surface
+
+
+def test_ivf_indexed_equals_inline(spark, tmp_path):
+    """ivf_topk_from_index over a parquet-persisted index must return
+    exactly what the inline ivf_topk computes with the same params —
+    the probed-cell pre-filter and the storage roundtrip may not
+    change a single row."""
+    import os
+
+    rng = np.random.RandomState(3)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.rand(16)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk_from_index,
+    )
+
+    centroids, cells = ivf_index(emb, n_centroids=8)
+    cdir, xdir = str(tmp_path / "cent"), str(tmp_path / "cells")
+    centroids.write.parquet(cdir)
+    cells.write.partitionBy("cell").parquet(xdir)
+    got = {
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in ivf_topk_from_index(
+            queries,
+            spark.read.parquet(cdir),
+            spark.read.parquet(xdir),
+            k=5,
+            nprobe=3,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=3).collect()
+    }
+    assert got == want and got
