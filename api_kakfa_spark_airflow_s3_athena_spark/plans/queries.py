@@ -1709,6 +1709,111 @@ def delta_dedup_incremental(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_ingest",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 21 = 0 AND length(text) > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+               true AS pairs_equal_batch,
+               true AS planted_recall_ok
+        FROM documents
+    """,
+    tags=("streaming", "dedup", "incremental"),
+)
+def streaming_dedup_ingest(spark, sf_dir):
+    """Continuous-ingest dedup, bounded replay: a documents slice
+    (doc_id % 3 == 0) streams in three micro-batches through
+    ``streaming/dedup.dedup_ingest_sink`` — each batch dedups against
+    the MinHash index of strictly earlier epochs, then appends itself
+    to index/corpus/pair stores (epoch-overwrite idempotence). Planted
+    duplicates (doc_id % 21, +10M, arriving in the LAST epoch) must be
+    found against index entries written epochs earlier. Contract:
+    the union of per-epoch pair logs is EXACTLY the batch operator's
+    output over the whole staged corpus (every near-dup discovered
+    once, when its later member arrives — the streaming/batch
+    equivalence that makes continuous ingestion trustworthy), plus
+    recall 1.0 on the plants. Counts cross the engine compare."""
+    from ..streaming.dedup import dedup_ingest_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    offset = 10_000_000
+    sl = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    plant_cond = (F.col("doc_id") % 21 == 0) & (F.length("text") > 50)
+    plants = (
+        docs.filter(plant_cond)
+        .select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    )
+    params = dict(threshold=0.5, num_hashes=32, bands=8)
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:stream_dedup"
+    base = _STAGE_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_dedup_")
+        src = os.path.join(base, "src")
+        # three epoch files: two corpus thirds, then the final third
+        # plus every plant — so plant pairs MUST resolve via the index
+        epochs = [
+            sl.filter(F.col("doc_id") % 9 == 0),
+            sl.filter(F.col("doc_id") % 9 == 3),
+            sl.filter(F.col("doc_id") % 9 == 6).unionByName(plants),
+        ]
+        for i, e in enumerate(epochs):
+            e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_partitions(spark):
+            q = dedup_ingest_sink(
+                stream,
+                index_path=os.path.join(base, "index"),
+                corpus_path=os.path.join(base, "corpus"),
+                pairs_path=os.path.join(base, "pairs"),
+                checkpoint=os.path.join(base, "ckpt"),
+                available_now=True,
+                **params,
+            )
+            q.awaitTermination()
+        _STAGE_CACHE[key] = base
+    streamed = spark.read.parquet(os.path.join(base, "pairs")).select(
+        "id_a", "id_b", "jaccard"
+    )
+    batch = DD.minhash_dedup_pairs(sl.unionByName(plants), **params).select(
+        "id_a", "id_b", F.col("jaccard").alias("jaccard_b")
+    )
+    cmp = streamed.join(batch, ["id_a", "id_b"], "full")
+    is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
+        F.col("id_a") % 21 == 0
+    )
+    pair_agg = cmp.agg(
+        F.coalesce(
+            F.min(
+                F.col("jaccard").isNotNull()
+                & F.col("jaccard_b").isNotNull()
+                & (F.col("jaccard") == F.col("jaccard_b"))
+            ),
+            F.lit(True),
+        ).alias("pairs_equal_batch"),
+        F.sum((is_planted_pair & F.col("jaccard").isNotNull()).cast("long")).alias(
+            "n_recovered"
+        ),
+    )
+    doc_agg = docs.agg(
+        F.sum((F.col("doc_id") % 3 == 0).cast("long")).alias("n_docs"),
+        F.sum(plant_cond.cast("long")).alias("n_planted"),
+    )
+    return doc_agg.crossJoin(pair_agg).select(
+        "n_docs",
+        "n_planted",
+        "pairs_equal_batch",
+        (F.coalesce(F.col("n_recovered"), F.lit(0)) == F.col("n_planted")).alias(
+            "planted_recall_ok"
+        ),
+    )
+
+
+@register(
     "simhash_clusters",
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,

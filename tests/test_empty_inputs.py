@@ -57,3 +57,43 @@ def test_kmeans_with_fewer_rows_than_k(spark):
     rows = out.collect()
     assert len(rows) == 3
     assert len(hist) == 2
+
+
+def test_heavy_hitters_on_empty_corpus(empty_docs):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.frequency import (
+        heavy_hitters,
+    )
+
+    assert heavy_hitters(empty_docs, num_counters=8).count() == 0
+
+
+def test_delta_dedup_with_empty_delta(spark, empty_docs):
+    """An empty crawl batch is a legitimate snapshot: the incremental
+    path must return zero pairs, not fail on empty banding."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    index = DD.minhash_band_index(docs, num_hashes=16, bands=4)
+    out = DD.minhash_delta_dedup_pairs(
+        empty_docs, docs, index, num_hashes=16, bands=4
+    )
+    assert out.count() == 0
+
+
+def test_delta_dedup_with_empty_corpus_index(spark, empty_docs):
+    """First-ever batch: empty index, delta dedups only against
+    itself."""
+    from pyspark.sql import Row
+
+    delta = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five six seven eight nine ten"),
+            Row(doc_id=2, text="one two three four five six seven eight nine ten"),
+        ]
+    )
+    empty_index = DD.minhash_band_index(empty_docs, num_hashes=16, bands=4)
+    got = DD.minhash_delta_dedup_pairs(
+        delta, empty_docs, empty_index, threshold=0.5, num_hashes=16, bands=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
