@@ -249,9 +249,14 @@ def ivf_topk_from_index(
         "q_vec",
         keep=nprobe,
     )
-    probed = q_assigned.select("cell").distinct()
+    # probed cells are a subset of the centroid ids, so this collect is
+    # bounded by n_centroids whatever the query-set size — turning the
+    # cell restriction into a LITERAL IN-filter gives guaranteed STATIC
+    # partition pruning on a partitionBy("cell") index (PartitionFilters
+    # in the scan), instead of relying on runtime DPP to fire
+    probed = [r.cell for r in q_assigned.select("cell").distinct().collect()]
     scored = (
-        cell_index.join(F.broadcast(probed), "cell")
+        cell_index.filter(F.col("cell").isin(probed))
         .join(F.broadcast(q_assigned), "cell")
         .filter(~(F.col("neighbor_id") == F.col("query_id")) if exclude_self else F.lit(True))
         .select(

@@ -163,3 +163,38 @@ def test_headline_batch_plans_never_cartesian(spark):
             continue
         plan, _ = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_index_scan_is_partition_pruned(spark, tmp_path):
+    """The persisted IVF index must be read with static
+    PartitionFilters on cell — only probed cell partitions' files are
+    listed/scanned; at 100 TB this is the whole point of storing the
+    corpus partitionBy(cell)."""
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk_from_index,
+    )
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in rng.rand(8)]) for i in range(60)]
+    )
+    centroids, cells = ivf_index(emb, n_centroids=6)
+    cdir, xdir = str(tmp_path / "c"), str(tmp_path / "x")
+    centroids.write.parquet(cdir)
+    cells.write.partitionBy("cell").parquet(xdir)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = ivf_topk_from_index(
+        queries, spark.read.parquet(cdir), spark.read.parquet(xdir), k=3, nprobe=2
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and "IN" in m.group(1).upper()
