@@ -5021,6 +5021,110 @@ def mixture_weighted_sample(spark, sf_dir):
 
 
 @register(
+    "per_group_reservoir_sample",
+    oracle="""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+    tags=("llm-pipeline", "sampling"),
+)
+def per_group_reservoir_sample(spark, sf_dir):
+    """Deterministic per-group 'reservoir': at most 20 docs per
+    language, chosen by md5(doc_id) order — the per-stratum cap a
+    training mix needs (bound every group, never oversample a tiny
+    one), with membership reproducible across engines/runs/
+    partitionings like the other coin-based samplers. One shuffle of
+    (lang, id, coin) skinny rows; the window never sees text."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "corpus_drift_check",
+    oracle="""
+        WITH ref AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_ref
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+        ),
+        cur AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_cur
+            FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+        ),
+        t AS (
+            SELECT CAST((SELECT SUM(n_ref) FROM ref) AS BIGINT) AS tr,
+                   CAST((SELECT SUM(n_cur) FROM cur) AS BIGINT) AS tc
+        )
+        SELECT lang,
+               coalesce(n_ref, 0) AS n_ref,
+               coalesce(n_cur, 0) AS n_cur,
+               round(coalesce(n_ref, 0) * 1.0 / tr, 6) AS share_ref,
+               round(coalesce(n_cur, 0) * 1.0 / tc, 6) AS share_cur,
+               round(
+                   (coalesce(n_cur, 0) * 1.0 / tc - coalesce(n_ref, 0) * 1.0 / tr)
+                   * (coalesce(n_cur, 0) * 1.0 / tc - coalesce(n_ref, 0) * 1.0 / tr)
+                   / greatest(coalesce(n_ref, 0) * 1.0 / tr, 0.000001), 6
+               ) AS chi2_term
+        FROM ref FULL JOIN cur USING (lang), t
+    """,
+    tags=("llm-pipeline", "quality", "stats"),
+)
+def corpus_drift_check(spark, sf_dir):
+    """Snapshot drift detection — the data-quality gate between two
+    corpus versions (here: even/odd doc_id halves standing in for
+    consecutive crawl snapshots): per-language counts, shares, and the
+    chi-square drift contribution (cur-share vs ref-share; epsilon
+    floor guards division). Chi-square instead of PSI keeps the math
+    pure +,*,/ — no libm log whose last ulp could differ across
+    engines — so every value hash-compares exactly at 6 dp. Two tiny
+    per-lang aggregates and a broadcast of two scalars; the corpus is
+    scanned once per side with only (lang) read."""
+    d = _t(spark, sf_dir, "documents")
+    ref = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    )
+    cur = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+    )
+    t = ref.agg(F.sum("n_ref").cast("long").alias("tr")).crossJoin(
+        cur.agg(F.sum("n_cur").cast("long").alias("tc"))
+    )
+    j = ref.join(cur, "lang", "full").crossJoin(F.broadcast(t))
+    nr = F.coalesce(F.col("n_ref"), F.lit(0))
+    nc = F.coalesce(F.col("n_cur"), F.lit(0))
+    share_ref = nr * 1.0 / F.col("tr")
+    share_cur = nc * 1.0 / F.col("tc")
+    diff = share_cur - share_ref
+    return j.select(
+        "lang",
+        nr.alias("n_ref"),
+        nc.alias("n_cur"),
+        F.round(share_ref, 6).alias("share_ref"),
+        F.round(share_cur, 6).alias("share_cur"),
+        F.round(
+            diff * diff / F.greatest(share_ref, F.lit(0.000001)), 6
+        ).alias("chi2_term"),
+    )
+
+
+@register(
     "dedup_survivors_policy",
     oracle="""
         WITH corpus AS (
