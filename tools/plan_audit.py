@@ -35,6 +35,13 @@ AUDIT = [
     "training_data_funnel",
     "conversion_rates_daily",
     "bucketed_join_revenue_by_status",
+    # round 4 additions: incremental-artifact and sampling paths
+    "delta_dedup_incremental",
+    "ann_cosine_topk_ivf_indexed",
+    "heavy_hitter_tokens",
+    "mixture_weighted_sample",
+    "per_group_reservoir_sample",
+    "dedup_survivors_policy",
 ]
 
 
