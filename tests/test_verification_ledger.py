@@ -124,10 +124,26 @@ def test_newly_oracled_rows_only_green_is_reprioritized():
     assert order.index(spec.name) < order.index(verified_other.name)
 
 
-def test_repo_ledger_prioritizes_converted_queries():
-    # the real repo evidence: round-3 rows-only queries that have since
-    # gained contract oracles must sit in the driver-checked prefix
-    order = [s.name for s in _ordered_specs()]
+def test_repo_ledger_prioritizes_converted_queries(tmp_path):
+    # Pinned to the round-1..3 evidence snapshot (copied into tmp_path),
+    # NOT the live repo ledger: once a later driver run hash-greens the
+    # converted queries they are *correctly* demoted to the verified
+    # tail, so asserting against the live ledger would self-obsolete
+    # (the round-4 failure mode). The rule under test: a rows-only
+    # green whose spec has since gained an oracle is re-prioritized
+    # into the driver-checked prefix.
+    import shutil
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+                  "CORRECTNESS_r03.json", "BENCH_r01.json",
+                  "BENCH_r02.json", "BENCH_r03.json"):
+        src = repo / fname
+        if src.exists():
+            shutil.copy(src, tmp_path / fname)
+    ledger = _load_verification_ledger(str(tmp_path))
+    order = [s.name for s in _ordered_specs(ledger)]
     converted = [
         "simhash_clusters",
         "simhash_hamming_pairs",
