@@ -11,8 +11,9 @@ guarantee from Agarwal et al., PODS 2012):
 
 1. *Candidate phase*: each partition maintains a bounded Misra-Gries
    summary of ``num_counters`` counters over its local token stream
-   (an Arrow-batched ``mapInPandas`` pass — the only Python step, and
-   it is O(tokens) with an O(num_counters) dict). MG guarantees any
+   (an Arrow-batched ``mapInPandas`` pass — the only Python step,
+   vectorized: pandas value_counts per batch + MG summary merge, so
+   interpreted-Python cost is O(distinct-per-batch)). MG guarantees any
    item with local frequency > n_p/num_counters survives locally; by
    pigeonhole, any item with GLOBAL frequency > N/num_counters
    exceeds that bound in at least one partition, so the union of
@@ -40,35 +41,52 @@ from ..functions.text import tokens
 __all__ = ["heavy_hitters"]
 
 
+# The ONE tokenization, used by all three sides of the contract:
+# Java's non-Unicode \s is exactly [ \t\n\x0B\f\r], so this Python/RE2
+# class matches functions.text.tokens (JVM split on \s+) and the
+# DuckDB oracle (regexp_split_to_array on the same class) character
+# for character. A bare Python str.split() would additionally split on
+# Unicode whitespace (NBSP etc.) and silently diverge.
+WS_CLASS = r"[ \t\n\x0b\f\r]+"
+
+
 def _mg_candidates(num_counters: int, text_col: str):
-    """Per-partition Misra-Gries candidate pass (mapInPandas)."""
+    """Per-partition Misra-Gries candidate pass (mapInPandas),
+    vectorized: each Arrow batch is tokenized and counted with pandas
+    ``split/explode/value_counts`` (C-level), and the batch histogram is
+    merged into the running MG summary with the Agarwal et al. (PODS
+    2012) summary merge — sum counts, then subtract the (k+1)-th
+    largest count and drop non-positive counters. A batch histogram is
+    itself an error-free MG summary, so the merge keeps the standard
+    guarantee: any token with partition frequency > n_p/num_counters
+    survives the pass. Python cost is O(distinct-per-batch), not
+    O(tokens)."""
     import pandas as pd
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        counters: dict = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for text in pdf[text_col]:
-                if text is None:
-                    continue
-                # bare split() == runs-of-whitespace, empties dropped —
-                # the same semantics as functions.text.tokens (\s+ split
-                # + nonempty filter) used by the exact recount
-                for tok in text.split():
-                    if tok in counters:
-                        counters[tok] += 1
-                    elif len(counters) < num_counters:
-                        counters[tok] = 1
-                    else:
-                        # decrement-all step; drop zeroed counters
-                        dead = []
-                        for key in counters:
-                            counters[key] -= 1
-                            if counters[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counters[key]
-        if counters:
-            yield pd.DataFrame({"token": list(counters.keys())})
+            toks = (
+                pdf[text_col]
+                .dropna()
+                .str.split(WS_CLASS, regex=True)
+                .explode()
+            )
+            toks = toks[toks.notna() & (toks != "")]
+            if toks.empty:
+                continue
+            vc = toks.value_counts()
+            counters = (
+                vc if counters.empty
+                else counters.add(vc, fill_value=0).astype("int64")
+            )
+            if len(counters) > num_counters:
+                # MG merge reduction: subtract the (k+1)-th largest
+                # count from everything, keep strictly-positive
+                thresh = counters.nlargest(num_counters + 1).iloc[-1]
+                counters = counters[counters > thresh] - thresh
+        if len(counters):
+            yield pd.DataFrame({"token": counters.index.astype(str)})
 
     return gen
 

@@ -4933,8 +4933,9 @@ def stratified_sample_by_lang(spark, sf_dir):
     "heavy_hitter_tokens",
     oracle="""
         WITH tok AS (
-            SELECT unnest(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS token
+            SELECT unnest(list_filter(
+                       regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                       x -> x <> '')) AS token
             FROM documents
         ),
         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)

@@ -67,6 +67,23 @@ def test_candidate_phase_is_bounded(spark):
     assert per_part and all(r.n <= 4 for r in per_part)
 
 
+def test_heavy_hitters_mixed_whitespace_matches_jvm_tokenizer(spark):
+    """Tab/newline/CR split like Java \\s+; NBSP (Unicode whitespace,
+    NOT in Java's ASCII \\s) must NOT split — the candidate pass and
+    the JVM recount have to agree on every one of these or a true
+    heavy hitter silently never enters the candidate set."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a\ta\na  a\ra"),
+            Row(doc_id=1, text="a a a a"),
+            Row(doc_id=2, text="b b b b"),  # NBSP-glued token
+        ]
+    )
+    got = {(r.token, r.freq) for r in heavy_hitters(docs, num_counters=2).collect()}
+    assert got == _naive(spark, docs, 2)
+    assert ("a", 9) in got
+
+
 def test_heavy_hitters_empty_and_null_texts(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=0, text=""), Row(doc_id=1, text=None), Row(doc_id=2, text="a a a")]
