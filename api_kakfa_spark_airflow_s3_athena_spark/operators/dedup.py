@@ -493,9 +493,15 @@ def minhash_delta_dedup_pairs(
         .distinct()
         .cache()
     )
-    texts = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
-        delta.select(F.col(id_col), F.col(text_col))
-    )
+    # Delta rows win when a doc_id exists in both stores (re-ingest /
+    # update of an existing document): without keying the union the two
+    # id joins in _verify_jaccard would fan out — duplicate (id_a,id_b)
+    # rows, some verified against the stale corpus copy. A broadcast
+    # anti-join on the (small) delta's ids keys it without shuffling
+    # the corpus-sized side.
+    texts = corpus.select(F.col(id_col), F.col(text_col)).join(
+        F.broadcast(delta.select(id_col)), id_col, "left_anti"
+    ).unionByName(delta.select(F.col(id_col), F.col(text_col)))
     return _verify_jaccard(cands, texts, text_col, id_col, threshold, shingle_n, seed)
 
 

@@ -531,8 +531,12 @@ def semdedup_pairs(
     The within-cluster self-join shuffles once on the (int) cluster id;
     clusters above ``max_cluster`` are dropped (same guard as the LSH
     dedup paths — a degenerate cluster would reintroduce the quadratic
-    blowup this operator exists to avoid). Returns distinct
-    ``(id_a, id_b, cos)`` with ``id_a < id_b`` and cos >= threshold.
+    blowup this operator exists to avoid). NOTE: a dropped cell takes
+    ALL its pairs with it — recall guarantees (e.g. planted-duplicate
+    contracts) hold only while every cell stays under ``max_cluster``;
+    size ``k`` ~ |corpus|/4000 to keep expected cells far below it.
+    Returns distinct ``(id_a, id_b, cos)`` with ``id_a < id_b`` and
+    cos >= threshold.
     """
     assigned, _ = kmeans_refine(
         corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col, seed=seed

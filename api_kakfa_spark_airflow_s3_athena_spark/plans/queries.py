@@ -1972,6 +1972,17 @@ def _planted_vectors(emb, modulo: int, offset: int = 10_000_000):
     return emb.unionByName(planted), plant_cond
 
 
+def _semdedup_k(corpus, target_cell: int = 4000) -> int:
+    """k for the semdedup queries, scaled so the EXPECTED k-means cell
+    size stays far under semdedup_pairs' max_cluster=10_000 guard —
+    with fixed k=8 any corpus past ~80k vectors could exceed the guard
+    and silently drop a planted pair's whole cell, voiding the
+    recall-1.0 contract. One cheap count(); k=8 at every test SF (so
+    driver hashes are unchanged), grows linearly from ~32k vectors."""
+    n = corpus.count()
+    return max(8, -(-n // target_cell))
+
+
 def _pair_cosine_recheck(pairs, corpus, threshold: float, id_col: str = "vec_id",
                          vec_col: str = "embedding"):
     """Recompute cosine for emitted pairs by joining ids back to the
@@ -2248,14 +2259,19 @@ def semdedup_near_dup_pairs(spark, sf_dir):
     vector has identical distances to every centroid and the argmin
     tie-breaks identically, so a plant ALWAYS co-clusters with its
     original and scores cosine 1.0 >= threshold — recall on plants is
-    1.0 by construction whatever the (deterministic) clustering does.
+    1.0 by construction whatever the (deterministic) clustering does,
+    PROVIDED no cell exceeds the operator's max_cluster guard (an
+    oversize cell is dropped pairs-and-all); k scales with corpus size
+    here precisely so expected cell size stays far under that guard.
     Every emitted pair's cosine is independently recomputed from the
     corpus vectors. Threshold 0.4 because the synthetic embeddings'
     most-similar natural pair sits at cos 0.479."""
     emb = _t(spark, sf_dir, "embeddings")
     offset = 10_000_000
     corpus, plant_cond = _planted_vectors(emb, 13, offset)
-    pairs = SIM.semdedup_pairs(corpus, k=8, iters=2, threshold=0.4).cache()
+    pairs = SIM.semdedup_pairs(
+        corpus, k=_semdedup_k(corpus), iters=2, threshold=0.4
+    ).cache()
     is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
         F.col("id_a") % 13 == 0
     )
@@ -3443,9 +3459,9 @@ def semdedup_survivors(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     offset = 10_000_000
     corpus, plant_cond = _planted_vectors(emb, 13, offset)
-    pairs = SIM.semdedup_pairs(corpus, k=8, iters=1, threshold=0.4).select(
-        "id_a", "id_b"
-    ).localCheckpoint(eager=True)
+    pairs = SIM.semdedup_pairs(
+        corpus, k=_semdedup_k(corpus), iters=1, threshold=0.4
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     comps = connected_components(pairs)
     sizes = comps.groupBy("component").agg(
         F.min("node").alias("mn"), F.count(F.lit(1)).alias("cluster_size")

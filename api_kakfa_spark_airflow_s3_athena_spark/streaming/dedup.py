@@ -64,42 +64,42 @@ def dedup_ingest_batch(
     append (epoch-idempotently) to pairs / index / corpus stores."""
     spark = batch.sparkSession
     docs = batch.select(F.col(id_col), F.col(text_col))
-    if target_exists(spark, index_path):
-        # "prior corpus" = strictly earlier epochs (epoch ids are
-        # monotone in structured streaming): a failed attempt's partial
-        # output must not feed its own retry, and a replayed epoch must
-        # reproduce its original result even if later epochs have since
-        # landed — both fall out of the strict < filter
-        index = (
-            spark.read.parquet(index_path)
-            .filter(F.col("epoch") < epoch_id)
-            .select(id_col, "band", "bucket")
-        )
-        corpus = (
-            spark.read.parquet(corpus_path)
-            .filter(F.col("epoch") < epoch_id)
-            .select(id_col, text_col)
-        )
-    else:
-        index = spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField(id_col, T.LongType()),
-                    T.StructField("band", T.IntegerType()),
-                    T.StructField("bucket", T.LongType()),
-                ]
-            ),
-        )
-        corpus = spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField(id_col, T.LongType()),
-                    T.StructField(text_col, T.StringType()),
-                ]
-            ),
-        )
+    # "prior corpus" = strictly earlier epochs (epoch ids are monotone
+    # in structured streaming): a failed attempt's partial output must
+    # not feed its own retry, and a replayed epoch must reproduce its
+    # original result even if later epochs have since landed — both
+    # fall out of the strict < filter. Each store probes its OWN path:
+    # a crash between the per-store writes below can leave one store
+    # an epoch ahead of another, and probing only one path would turn
+    # every retry into a PATH_NOT_FOUND crash loop on the other.
+    def _earlier(path: str, schema: T.StructType) -> DataFrame:
+        if target_exists(spark, path):
+            return (
+                spark.read.parquet(path)
+                .filter(F.col("epoch") < epoch_id)
+                .select(*[f.name for f in schema.fields])
+            )
+        return spark.createDataFrame([], schema)
+
+    index = _earlier(
+        index_path,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+            ]
+        ),
+    )
+    corpus = _earlier(
+        corpus_path,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(text_col, T.StringType()),
+            ]
+        ),
+    )
     pairs = minhash_delta_dedup_pairs(
         docs,
         corpus,
@@ -112,11 +112,15 @@ def dedup_ingest_batch(
         shingle_n=shingle_n,
         seed=seed,
     )
-    pairs.write.mode("overwrite").parquet(_epoch_dir(pairs_path, epoch_id))
+    # Write order: corpus -> index -> pairs. The reads above take only
+    # strictly-earlier epochs, so this epoch's own directories never
+    # feed its computation; writing the pairs log last means a pairs
+    # epoch dir existing implies the whole epoch landed.
+    docs.write.mode("overwrite").parquet(_epoch_dir(corpus_path, epoch_id))
     minhash_band_index(
         docs, text_col, id_col, num_hashes, bands, shingle_n, seed
     ).write.mode("overwrite").parquet(_epoch_dir(index_path, epoch_id))
-    docs.write.mode("overwrite").parquet(_epoch_dir(corpus_path, epoch_id))
+    pairs.write.mode("overwrite").parquet(_epoch_dir(pairs_path, epoch_id))
 
 
 def dedup_ingest_sink(

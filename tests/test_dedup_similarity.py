@@ -311,6 +311,27 @@ def test_delta_dedup_equals_full_dedup_restricted_to_delta(spark, tmp_path):
     assert (20, 22) in {(a, b) for a, b, _ in got}  # delta-delta dup
 
 
+def test_delta_dedup_reingested_id_verifies_against_delta_text(spark, tmp_path):
+    """A doc_id present in BOTH corpus and delta (re-ingest/update of
+    an existing document): the unioned verify text set is keyed with
+    delta winning, so the output has no duplicate (id_a, id_b) rows
+    and the jaccard is computed against the NEW text, not the stale
+    corpus copy."""
+    other = "totally different words about gardens and soil and rain"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=BASE), Row(doc_id=5, text=other)]
+    )
+    # doc 5 re-ingested, now a copy of doc 1
+    delta = spark.createDataFrame([Row(doc_id=5, text=BASE)])
+    idx_dir = str(tmp_path / "mh_index3")
+    DD.minhash_band_index(corpus, num_hashes=32, bands=8).write.parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+    got = DD.minhash_delta_dedup_pairs(
+        delta, corpus, index, threshold=0.5, num_hashes=32, bands=8
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 5, 1.0)]
+
+
 def test_delta_dedup_never_emits_corpus_only_pairs(spark, tmp_path):
     """Corpus-corpus duplicates must NOT reappear in an incremental
     run — they were handled when the corpus was deduped."""

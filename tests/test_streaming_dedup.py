@@ -82,6 +82,34 @@ def test_streamed_pairs_equal_full_batch_dedup(spark, tmp_path):
     assert idx.select("doc_id").distinct().count() == 24
 
 
+def test_partial_epoch_crash_recovers(spark, tmp_path):
+    """A crash between the per-store writes (e.g. index epoch dir
+    landed, corpus epoch dir did not — or only the corpus landed) must
+    not crash-loop the retry: each store read probes its own path and
+    only strictly-earlier epochs feed the computation."""
+    rows = _corpus_rows()
+    paths = {
+        "index_path": str(tmp_path / "index"),
+        "corpus_path": str(tmp_path / "corpus"),
+        "pairs_path": str(tmp_path / "pairs"),
+    }
+    b0 = spark.createDataFrame(rows[:8])
+    # simulate a crashed epoch 0 that wrote ONLY the index store
+    DD.minhash_band_index(
+        b0, "text", "doc_id", PARAMS["num_hashes"], PARAMS["bands"], 3, 1
+    ).write.parquet(paths["index_path"] + "/epoch=0")
+    # retry of epoch 0 must succeed (no PATH_NOT_FOUND on corpus)...
+    dedup_ingest_batch(b0, 0, **paths, **PARAMS)
+    # ...and epoch 1 sees a consistent prior state
+    b1 = spark.createDataFrame(rows[8:16])
+    dedup_ingest_batch(b1, 1, **paths, **PARAMS)
+    found = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(paths["pairs_path"]).collect()
+    }
+    assert (1, 9) in found  # the batch0->batch1 planted dup
+
+
 def test_replayed_epoch_is_idempotent(spark, tmp_path):
     """Re-running an epoch (the foreachBatch retry case) rewrites its
     own directories — pair counts must not change."""
