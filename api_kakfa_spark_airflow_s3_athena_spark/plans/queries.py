@@ -5781,18 +5781,29 @@ def approx_sketch_contract(spark, sf_dir):
 
 @register(
     "compaction_maintenance",
-    # no oracle: filesystem maintenance is not SQL-expressible; the
-    # rows-only check pins the deterministic stats row, pytest
-    # (tests/test_maintenance.py) pins untouched-partition identity
+    # contract oracle: the filesystem op itself is not SQL-expressible,
+    # but its INVARIANTS are hash-checkable — the Spark side computes
+    # row-preservation, content-checksum-preservation, and file-count
+    # reduction as genuine booleans over the staged store; the oracle
+    # asserts them true and pins the row count to count(documents).
+    # pytest (tests/test_maintenance.py) additionally pins
+    # untouched-partition identity.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               true AS rows_preserved,
+               true AS content_preserved,
+               true AS files_reduced
+        FROM documents
+    """,
     tags=("maintenance",),
 )
 def compaction_maintenance(spark, sf_dir):
     """Small-file compaction as a query: stage the documents table as
     16 fragment files (a day of micro-batches in miniature), compact
-    to the byte target, and report the deterministic before/after
-    stats plus a row-count invariant. The rewrite is coalesce-based —
-    narrow, shuffle-free — and skips already-compact partitions
-    (operators/maintenance.py)."""
+    to the byte target, and report the invariants — no row lost, an
+    order-independent xxhash64 content checksum unchanged, file count
+    reduced. The rewrite is coalesce-based — narrow, shuffle-free —
+    and skips already-compact partitions (operators/maintenance.py)."""
     import tempfile
 
     from ..operators.maintenance import compact_parquet
@@ -5807,21 +5818,31 @@ def compaction_maintenance(spark, sf_dir):
     _t(spark, sf_dir, "documents").repartition(16).write.mode(
         "overwrite"
     ).parquet(stage_dir)
-    n_before = spark.read.parquet(stage_dir).count()
+
+    def _snap(path):
+        df = spark.read.parquet(path)
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+            ).alias("chk"),
+        ).collect()[0]
+        return row.n, row.chk
+
+    n_before, chk_before = _snap(stage_dir)
     stats = compact_parquet(spark, stage_dir, target_bytes=1 << 30)
-    n_after = spark.read.parquet(stage_dir).count()
+    n_after, chk_after = _snap(stage_dir)
     return spark.createDataFrame(
         [
             (
-                stats["files_before"],
-                stats["files_after"],
-                stats["partitions_rewritten"],
-                n_before,
                 n_after,
+                n_before == n_after,
+                chk_before == chk_after,
+                stats["files_after"] < stats["files_before"],
             )
         ],
-        "files_before int, files_after int, partitions_rewritten int, "
-        "rows_before long, rows_after long",
+        "n_rows long, rows_preserved boolean, content_preserved boolean, "
+        "files_reduced boolean",
     )
 
 
