@@ -45,7 +45,9 @@ def connected_components(
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)  # computed once, joined every round
+        # lazy: the baseline label_sum probe below materializes it;
+        # every round then joins the checkpointed blocks
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -86,7 +88,9 @@ def connected_components(
         # every intervening round was a no-op (labels are monotone
         # non-increasing), i.e. the fixpoint was reached.
         if it % 2 == 1 or it == max_iter - 1:
-            labels = labels.localCheckpoint(eager=True)
+            # lazy checkpoint + probe = ONE job per probe round: the
+            # sum aggregate materializes the checkpoint blocks
+            labels = labels.localCheckpoint(eager=False)
             cur_sum = label_sum(labels)
             if cur_sum == prev_sum:
                 return labels
@@ -137,7 +141,7 @@ def connected_components_two_phase(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # ---- large-star ----
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(
@@ -157,7 +161,13 @@ def connected_components_two_phase(
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .union(mn.select(F.col("u"), F.col("mn").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            # LAZY checkpoint: the exceptAll probe below is the round's
+            # one and only job — it materializes the checkpoint blocks
+            # as a side effect, so the next round (and the final
+            # labels) read truncated lineage without a separate eager
+            # materialization job. Halves driver jobs per round vs
+            # eager-checkpoint-then-probe.
+            .localCheckpoint(eager=False)
         )
         changed = new_e.exceptAll(e).limit(1).count()
         e = new_e
