@@ -1620,6 +1620,33 @@ def minhash_near_dup_pairs(spark, sf_dir):
     )
 
 
+def _delta_dedup_inputs(spark, sf_dir):
+    """Stage the incremental-dedup inputs: (delta, corpus, persisted
+    index read back from parquet). The index is built once per session
+    (at scale: written partitioned by band/bucket at snapshot time);
+    shared by the contract query and the bare-operator bench row."""
+    docs = _t(spark, sf_dir, "documents")
+    offset = 10_000_000
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    plant_cond = (
+        (F.col("doc_id") % 7 == 3)
+        & (F.col("doc_id") % 5 != 0)
+        & (F.length("text") > 50)
+    )
+    plants = docs.filter(plant_cond).withColumn("doc_id", F.col("doc_id") + offset)
+    delta = docs.filter(F.col("doc_id") % 5 == 0).unionByName(plants)
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:mh_index"
+    idx_dir = _STAGE_CACHE.get(key)
+    if idx_dir is None:
+        idx_dir = tempfile.mkdtemp(prefix="mh_index_")
+        DD.minhash_band_index(corpus, num_hashes=32, bands=8).write.mode(
+            "overwrite"
+        ).parquet(idx_dir)
+        _STAGE_CACHE[key] = idx_dir
+    index = spark.read.parquet(idx_dir)
+    return delta, corpus, index, plant_cond, offset
+
+
 @register(
     "delta_dedup_incremental",
     oracle="""
@@ -1636,6 +1663,12 @@ def minhash_near_dup_pairs(spark, sf_dir):
         FROM documents
     """,
     tags=("dedup", "lsh", "incremental"),
+    bench_fn=lambda spark, sf_dir: DD.minhash_delta_dedup_pairs(
+        *_delta_dedup_inputs(spark, sf_dir)[:3],
+        threshold=0.5,
+        num_hashes=32,
+        bands=8,
+    ),
 )
 def delta_dedup_incremental(spark, sf_dir):
     """Incremental crawl-batch dedup against a PERSISTED MinHash band
@@ -1652,27 +1685,7 @@ def delta_dedup_incremental(spark, sf_dir):
     independent string shingles. Corpus/delta/plant counts cross the
     engine compare."""
     docs = _t(spark, sf_dir, "documents")
-    offset = 10_000_000
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    plant_cond = (
-        (F.col("doc_id") % 7 == 3)
-        & (F.col("doc_id") % 5 != 0)
-        & (F.length("text") > 50)
-    )
-    plants = docs.filter(plant_cond).withColumn("doc_id", F.col("doc_id") + offset)
-    delta = docs.filter(F.col("doc_id") % 5 == 0).unionByName(plants)
-    # the index is the persisted artifact: built once per session and
-    # re-read from parquet (at scale: written partitioned by band/bucket
-    # at snapshot time)
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}:mh_index"
-    idx_dir = _STAGE_CACHE.get(key)
-    if idx_dir is None:
-        idx_dir = tempfile.mkdtemp(prefix="mh_index_")
-        DD.minhash_band_index(corpus, num_hashes=32, bands=8).write.mode(
-            "overwrite"
-        ).parquet(idx_dir)
-        _STAGE_CACHE[key] = idx_dir
-    index = spark.read.parquet(idx_dir)
+    delta, corpus, index, plant_cond, offset = _delta_dedup_inputs(spark, sf_dir)
     # localCheckpoint, not cache: the contract harness consumes pairs
     # three times (agg + both recheck joins), and each consumer would
     # otherwise embed the whole delta-dedup subplan — checkpointing
@@ -1718,6 +1731,61 @@ def delta_dedup_incremental(spark, sf_dir):
     )
 
 
+def _run_stream_dedup(spark, sf_dir, base):
+    """Stage the 3-epoch document stream under ``base`` and run the
+    continuous-ingest dedup sink to completion (availableNow). Shared
+    by the contract query (cached per session) and the bench row
+    (fresh dir per call, so the measured time IS the ingest run)."""
+    from ..streaming.dedup import dedup_ingest_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    offset = 10_000_000
+    sl = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    plant_cond = (F.col("doc_id") % 21 == 0) & (F.length("text") > 50)
+    plants = (
+        docs.filter(plant_cond)
+        .select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    )
+    src = os.path.join(base, "src")
+    # three epoch files: two corpus thirds, then the final third
+    # plus every plant — so plant pairs MUST resolve via the index
+    epochs = [
+        sl.filter(F.col("doc_id") % 9 == 0),
+        sl.filter(F.col("doc_id") % 9 == 3),
+        sl.filter(F.col("doc_id") % 9 == 6).unionByName(plants),
+    ]
+    for i, e in enumerate(epochs):
+        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = dedup_ingest_sink(
+            stream,
+            index_path=os.path.join(base, "index"),
+            corpus_path=os.path.join(base, "corpus"),
+            pairs_path=os.path.join(base, "pairs"),
+            checkpoint=os.path.join(base, "ckpt"),
+            available_now=True,
+            threshold=0.5,
+            num_hashes=32,
+            bands=8,
+        )
+        q.awaitTermination()
+
+
+def _stream_dedup_bench(spark, sf_dir):
+    """Bench row: one full 3-epoch ingest into a fresh directory; the
+    returned pairs log is what the noop sink consumes."""
+    base = tempfile.mkdtemp(prefix="stream_dedup_bench_")
+    _run_stream_dedup(spark, sf_dir, base)
+    return spark.read.parquet(os.path.join(base, "pairs")).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 @register(
     "streaming_dedup_ingest",
     oracle="""
@@ -1730,6 +1798,7 @@ def delta_dedup_incremental(spark, sf_dir):
         FROM documents
     """,
     tags=("streaming", "dedup", "incremental"),
+    bench_fn=_stream_dedup_bench,
 )
 def streaming_dedup_ingest(spark, sf_dir):
     """Continuous-ingest dedup, bounded replay: a documents slice
@@ -1744,8 +1813,6 @@ def streaming_dedup_ingest(spark, sf_dir):
     once, when its later member arrives — the streaming/batch
     equivalence that makes continuous ingestion trustworthy), plus
     recall 1.0 on the plants. Counts cross the engine compare."""
-    from ..streaming.dedup import dedup_ingest_sink
-
     docs = _t(spark, sf_dir, "documents")
     offset = 10_000_000
     sl = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
@@ -1759,32 +1826,7 @@ def streaming_dedup_ingest(spark, sf_dir):
     base = _STAGE_CACHE.get(key)
     if base is None:
         base = tempfile.mkdtemp(prefix="stream_dedup_")
-        src = os.path.join(base, "src")
-        # three epoch files: two corpus thirds, then the final third
-        # plus every plant — so plant pairs MUST resolve via the index
-        epochs = [
-            sl.filter(F.col("doc_id") % 9 == 0),
-            sl.filter(F.col("doc_id") % 9 == 3),
-            sl.filter(F.col("doc_id") % 9 == 6).unionByName(plants),
-        ]
-        for i, e in enumerate(epochs):
-            e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        with _stream_partitions(spark):
-            q = dedup_ingest_sink(
-                stream,
-                index_path=os.path.join(base, "index"),
-                corpus_path=os.path.join(base, "corpus"),
-                pairs_path=os.path.join(base, "pairs"),
-                checkpoint=os.path.join(base, "ckpt"),
-                available_now=True,
-                **params,
-            )
-            q.awaitTermination()
+        _run_stream_dedup(spark, sf_dir, base)
         _STAGE_CACHE[key] = base
     streamed = spark.read.parquet(os.path.join(base, "pairs")).select(
         "id_a", "id_b", "jaccard"
@@ -2121,6 +2163,38 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     return _ann_self_retrieval_contract(approx, emb, k=10)
 
 
+def _ivf_persisted_index(spark, sf_dir):
+    """Build-once-read-back IVF index (centroids + partitionBy("cell")
+    inverted file); shared by the contract query and the bench row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:ivf_index"
+    idx_dir = _STAGE_CACHE.get(key)
+    if idx_dir is None:
+        idx_dir = tempfile.mkdtemp(prefix="ivf_index_")
+        centroids, cell_index = SIM.ivf_index(emb, n_centroids=16)
+        centroids.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids"))
+        cell_index.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(idx_dir, "cells")
+        )
+        _STAGE_CACHE[key] = idx_dir
+    return (
+        spark.read.parquet(os.path.join(idx_dir, "centroids")),
+        spark.read.parquet(os.path.join(idx_dir, "cells")),
+    )
+
+
+def _ivf_indexed_bench(spark, sf_dir):
+    centroids, cell_index = _ivf_persisted_index(spark, sf_dir)
+    queries = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+    )
+    return SIM.ivf_topk_from_index(
+        queries, centroids, cell_index, k=10, nprobe=4, exclude_self=False
+    )
+
+
 @register(
     "ann_cosine_topk_ivf_indexed",
     oracle="""
@@ -2131,6 +2205,7 @@ def ann_cosine_topk_ivf(spark, sf_dir):
         FROM embeddings WHERE vec_id < 8
     """,
     tags=("similarity", "ivf", "incremental"),
+    bench_fn=_ivf_indexed_bench,
 )
 def ann_cosine_topk_ivf_indexed(spark, sf_dir):
     """ANN against a PERSISTED IVF index — the amortized 100 TB shape:
@@ -2144,18 +2219,7 @@ def ann_cosine_topk_ivf_indexed(spark, sf_dir):
     the corpus; ranks exactly 1..n <= k. Index/inline equivalence is
     pinned in tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}:ivf_index"
-    idx_dir = _STAGE_CACHE.get(key)
-    if idx_dir is None:
-        idx_dir = tempfile.mkdtemp(prefix="ivf_index_")
-        centroids, cell_index = SIM.ivf_index(emb, n_centroids=16)
-        centroids.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids"))
-        cell_index.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(idx_dir, "cells")
-        )
-        _STAGE_CACHE[key] = idx_dir
-    centroids = spark.read.parquet(os.path.join(idx_dir, "centroids"))
-    cell_index = spark.read.parquet(os.path.join(idx_dir, "cells"))
+    centroids, cell_index = _ivf_persisted_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
