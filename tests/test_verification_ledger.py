@@ -93,22 +93,26 @@ def test_bench_null_in_older_bench_is_superseded(tmp_path):
 
 
 def test_ordering_unverified_oracle_first_then_rotation():
-    # real registry names: two oracle-backed queries plus the one
-    # legitimately rows-only query
+    # real registry names: three oracle-backed queries; since round 4
+    # the registry is fully oracled, so the "rows-only spec stays
+    # verified" arm is only exercised if an oracle-less spec exists
     oracle_names = [s.name for s in REGISTRY.values() if s.oracle][:3]
     a, b, c = oracle_names
-    rows_only_spec = next(s.name for s in REGISTRY.values() if not s.oracle)
     ledger = {
         a: {"ok": True, "round": 3, "rows_only": False},
         b: {"ok": True, "round": 1, "rows_only": False},
         # c absent => unverified
-        rows_only_spec: {"ok": True, "round": 2, "rows_only": True},
     }
+    rows_only_spec = next(
+        (s.name for s in REGISTRY.values() if not s.oracle), None)
+    if rows_only_spec is not None:
+        ledger[rows_only_spec] = {"ok": True, "round": 2, "rows_only": True}
     order = [s.name for s in _ordered_specs(ledger)]
     # every unverified-with-oracle query precedes every verified one
     assert order.index(c) < order.index(b) < order.index(a)
-    # rows-only green with no oracle stays verified (not re-prioritized)
-    assert order.index(c) < order.index(rows_only_spec)
+    if rows_only_spec is not None:
+        # rows-only green with no oracle stays verified (not re-prioritized)
+        assert order.index(c) < order.index(rows_only_spec)
 
 
 def test_newly_oracled_rows_only_green_is_reprioritized():

@@ -1,0 +1,188 @@
+"""sf1.0-scale validation of the heavy operators (round-5 verdict #2).
+
+All CORRECTNESS evidence is sf<=0.1; the 100 TB claims rest on plan
+shape. This tool makes the scaling claim *measured*: it generates a
+10x documents/embeddings dataset (sf1.0-equivalent: 50k docs, 20k
+vectors — same schemas, same text/vector character as the driver's
+testdata, plus ~2% planted near-dups so the dedup candidate structure
+stays realistic), runs each heavy operator end-to-end (noop sink) at
+sf0.1 and at sf1.0, and prints the wall-time ratio per operator.
+
+Pass criterion (from VERDICT r04): ratio <~ 12x is near-linear;
+>= 30x exposes a hidden quadratic or plan blowup before a real
+cluster would.
+
+The generated data lives under .scale/ (gitignored) and is a
+PERFORMANCE fixture only — correctness always runs against the
+driver's /root/testdata parquet.
+
+    python tools/scale_check.py [--mult 10] [--ops op1,op2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_SF = "/root/testdata/sf0.1"
+
+# The sf0.1 corpus vocabulary (documents.text is space-joined picks
+# from this set — same flavor as the driver generator's output).
+VOCAB = [
+    "spark", "line", "column", "order", "small", "sort", "fast", "value",
+    "batch", "part", "scan", "query", "agg", "table", "stream", "hash",
+    "filter", "customer", "slow", "vector", "join", "shuffle", "key",
+    "row", "page", "cache", "disk", "plan", "stage", "task", "node",
+    "block", "index", "merge", "split", "group", "window", "frame",
+]
+
+HEAVY_OPS = [
+    "minhash_near_dup_pairs",
+    "delta_dedup_incremental",
+    "simhash_hamming_pairs",
+    "ann_cosine_topk_ivf_indexed",
+    "heavy_hitter_tokens",
+    "embedding_kmeans_clusters",
+    "semdedup_near_dup_pairs",
+]
+
+
+def generate(spark, mult: int, out_dir: str) -> None:
+    """10x-scale documents + embeddings with the driver tables'
+    schemas. Fully distributed (spark.range + xxhash64 picks — no
+    driver-side data), deterministic, with planted near-dup pairs:
+    every doc with id % 50 == 1 is a one-word-appended copy of id-1,
+    so LSH/banding finds real candidates instead of an empty set."""
+    n_docs = 5000 * mult
+    n_vecs = 2000 * mult
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    # near-dup plant: text is generated from base_id, identical for
+    # (id-1, id) pairs where id % 50 == 1, then the copy gets a suffix
+    base = base.withColumn(
+        "base_id",
+        F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    n_words = (F.pmod(F.xxhash64("base_id", F.lit("len")), F.lit(70)) + 10)
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            vocab,
+            F.pmod(F.xxhash64(F.col("base_id"), i), F.lit(len(VOCAB))).cast("int")
+            + 1,
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(
+        F.col("doc_id") % 50 == 1, F.concat(text, F.lit(" extra"))
+    ).otherwise(text)
+    langs = F.array(*[F.lit(x) for x in ("en", "en", "en", "zh", "de", "fr", "es")])
+    docs = base.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(
+            langs, F.pmod(F.xxhash64("doc_id", F.lit("lang")), F.lit(7)).cast("int") + 1
+        ).alias("lang"),
+        F.concat(
+            F.lit("src"),
+            F.pmod(F.xxhash64("doc_id", F.lit("src")), F.lit(20)).cast("int"),
+        ).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    # embeddings: 64-dim float vectors around 10 label centroids.
+    # center[label][d] and noise both derive from xxhash64 -> U(-1,1);
+    # noise amplitude 0.3 keeps clusters separable (kmeans/semdedup
+    # behave like the sf0.1 fixture, not like uniform noise).
+    def u(seedcol, d):
+        return (
+            F.pmod(F.xxhash64(seedcol, d), F.lit(1_000_003)).cast("double")
+            / 500_001.5
+            - 1.0
+        )
+
+    vecs = (
+        spark.range(n_vecs)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("label", (F.col("vec_id") % 10).cast("int"))
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: (u(F.col("label").cast("long"), d) + 0.3 * u(F.col("vec_id"), d))
+        .cast("float"),
+    )
+    vecs.select("vec_id", emb.alias("embedding"), "label").repartition(
+        32
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--ops", type=str, default=",".join(HEAVY_OPS))
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
+    from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
+
+    spark = local_test_session("scale_check")
+    scale_dir = os.path.join(REPO, ".scale", f"sf{args.mult / 10:g}")
+
+    if not os.path.exists(os.path.join(scale_dir, "embeddings.parquet")):
+        t0 = time.time()
+        generate(spark, args.mult, scale_dir)
+        print(f"generated {scale_dir} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    def run(name: str, sf_dir: str) -> float:
+        spec = REGISTRY[name]
+        fn = spec.bench_fn or spec.fn
+        best = None
+        for _ in range(args.runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            took = time.time() - t0
+            best = took if best is None else min(best, took)
+        return best
+
+    # warm both dirs' file listings + session codegen outside timing
+    for d in (BASE_SF, scale_dir):
+        spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+        spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
+
+    results = {}
+    for name in args.ops.split(","):
+        t_small = run(name, BASE_SF)
+        t_big = run(name, scale_dir)
+        ratio = t_big / t_small if t_small else float("inf")
+        results[name] = {
+            "sf0.1_sec": round(t_small, 2),
+            f"sf{args.mult / 10:g}_sec": round(t_big, 2),
+            "ratio": round(ratio, 1),
+            "verdict": "near-linear"
+            if ratio <= 12
+            else ("watch" if ratio < 30 else "SUPERLINEAR"),
+        }
+        print(json.dumps({name: results[name]}), file=sys.stderr)
+
+    print(json.dumps({"mult": args.mult, "results": results}, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
