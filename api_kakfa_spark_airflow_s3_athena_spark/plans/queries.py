@@ -2311,8 +2311,14 @@ def embedding_kmeans_clusters(spark, sf_dir):
         FROM embeddings
     """,
     tags=("dedup", "similarity", "clustering"),
+    # k scales with corpus size exactly like the contract fn below —
+    # a pinned k=8 turns cells quadratic past ~32k vectors (measured:
+    # the 10x scale fixture took >15 min against seconds with scaling)
     bench_fn=lambda spark, sf_dir: SIM.semdedup_pairs(
-        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.4
+        _t(spark, sf_dir, "embeddings"),
+        k=_semdedup_k(_t(spark, sf_dir, "embeddings")),
+        iters=2,
+        threshold=0.4,
     ),
 )
 def semdedup_near_dup_pairs(spark, sf_dir):
@@ -5908,6 +5914,208 @@ def compaction_maintenance(spark, sf_dir):
         "n_rows long, rows_preserved boolean, content_preserved boolean, "
         "files_reduced boolean",
     )
+
+
+@register(
+    "boilerplate_span_coverage",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                       i -> struct_pack(pos := i,
+                           win := array_to_string(list_slice(t, i, i + 7), ' '))))
+                       AS s
+            FROM toks
+        ),
+        w2 AS (SELECT doc_id, source, s.pos AS pos, s.win AS win FROM wins),
+        bp AS (
+            SELECT source, win FROM w2
+            GROUP BY source, win HAVING count(DISTINCT doc_id) >= 3
+        ),
+        covpos AS (
+            SELECT w.doc_id, unnest(range(w.pos, w.pos + 8)) AS p
+            FROM w2 w JOIN bp b ON w.source = b.source AND w.win = b.win
+        ),
+        cov AS (SELECT DISTINCT doc_id, p FROM covpos),
+        agg AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(a.n_covered, 0) AS BIGINT) AS n_covered,
+               CAST(COALESCE(a.n_covered, 0) AS DOUBLE)
+                   / greatest(len(t.t), 1) AS coverage_frac
+        FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    tags=("text", "llm-pipeline", "dedup", "quality"),
+)
+def boilerplate_span_coverage(spark, sf_dir):
+    """CCNet/RefinedWeb-style boilerplate detection: for each document,
+    the fraction of its token positions covered by an 8-token window
+    that appears in >= 3 distinct documents of the SAME source (nav
+    bars, license footers, templated headers — the spans a pipeline
+    strips before training). Plan: windows-with-positions (narrow
+    posexplode of the zip_with shingle array — no HOF outer-capture,
+    NOTES.md), one (source, window) aggregate to find boilerplate keys,
+    a key-wise join back, and a distinct-position rollup; never a
+    doc x doc compare. At 100 TB the window key would be the 8-byte
+    rolling hash the MinHash pipeline already computes; strings are
+    kept so the DuckDB twin is byte-identical. All-integer counts with
+    one final division (float-parity recipe)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    wins = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(TX.word_shingles(F.col("text"), 8)).alias("pos0", "win"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "win")
+    bp = (
+        wins.groupBy("source", "win")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("source", F.col("win").alias("bwin"))
+    )
+    cov = (
+        wins.join(
+            bp, (wins.source == bp.source) & (wins.win == bp.bwin)
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p"),
+        )
+        .distinct()
+    )
+    agg = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_covered"))
+    base = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_covered", F.lit(0)).cast("bigint").alias("n_covered"),
+        (
+            F.coalesce("n_covered", F.lit(0)).cast("double")
+            / F.greatest("n_tokens", F.lit(1))
+        ).alias("coverage_frac"),
+    )
+
+
+@register(
+    "cluster_aware_split",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       list_transform(string_split(text, ' '),
+                                      x -> lower(x)))), ' ')) AS fp
+            FROM documents
+        ),
+        withrep AS (
+            SELECT doc_id, fp,
+                   min(doc_id) OVER (PARTITION BY fp) AS cluster_rep
+            FROM fp
+        )
+        SELECT doc_id, cluster_rep,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, cluster_rep,
+                   CAST(('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS b
+            FROM withrep
+        )
+    """,
+    tags=("llm-pipeline", "sampling", "dedup", "policy"),
+)
+def cluster_aware_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: every document inherits the
+    split of its duplicate-cluster REPRESENTATIVE (min doc_id over the
+    bag-of-words fingerprint from doc_fingerprint_dedup), so no two
+    copies of the same content ever land in different splits — the
+    eval-contamination failure mode of hashing raw doc ids. Split =
+    first 32 md5 bits of the representative id mod 100 (80/10/10),
+    deterministic and engine-portable. Plan: ONE exchange (window min
+    over the fingerprint) and row-local hashing — no join, and the
+    text itself never shuffles, only (doc_id, digest) pairs."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.transform(F.split("text", " "), F.lower))),
+            " ",
+        )
+    )
+    withfp = d.select("doc_id", fp.alias("fp"))
+    rep = F.min("doc_id").over(Window.partitionBy("fp"))
+    withrep = withfp.select("doc_id", rep.alias("cluster_rep"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_rep").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return withrep.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "quality_classifier_scores",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   unnest(list_concat(t,
+                       list_transform(range(1, greatest(len(t), 1)),
+                           i -> t[i] || ' ' || t[i + 1]))) AS feat
+            FROM toks
+        ),
+        b AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 1024
+                       AS bucket
+            FROM feats
+        ),
+        w AS (
+            SELECT doc_id, bucket,
+                   CAST(('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000003 - 500001 AS w_int
+            FROM b
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(CAST(sum(w_int) AS BIGINT) AS DOUBLE)
+                   / (count(*) * 500001) AS score,
+               CAST(sum(w_int) AS BIGINT) > 0 AS keep
+        FROM w GROUP BY doc_id
+    """,
+    tags=("llm-pipeline", "text", "classifier"),
+)
+def quality_classifier_scores(spark, sf_dir):
+    """fastText-style linear quality-classifier inference over every
+    document: hashed unigram+bigram features (hashing trick — fixed
+    2^10 feature space, no vocabulary shipped), a broadcast weight
+    table, and an exact-integer dot product with one final division
+    (bit-stable across engines). The weight table here is the
+    deterministic md5-derived stand-in from operators/scoring.py — a
+    trained model's quantized weights drop into the same join. Plan:
+    explode -> broadcast join -> one (doc_id) aggregate; the corpus
+    never shuffles, only (doc_id, partial-sum) rows."""
+    from ..operators import scoring as SC
+
+    d = _t(spark, sf_dir, "documents")
+    weights = SC.pseudo_weights(spark, 1024)
+    return SC.linear_text_classifier(d, weights, n_buckets=1024)
 
 
 # ---------------------------------------------------------------------

@@ -1,0 +1,145 @@
+"""Round-5 LLM-pipeline operators: linear classifier inference
+(operators/scoring.py), leakage-safe cluster-aware splits, and
+boilerplate span coverage — behavior pins independent of the DuckDB
+oracle dual-run."""
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+    WEIGHT_SCALE,
+    hashed_feature_buckets,
+    linear_text_classifier,
+    pseudo_weights,
+)
+from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
+    boilerplate_span_coverage,
+    cluster_aware_split,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_bucket(feat: str, n_buckets: int) -> int:
+    return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _py_weight(bucket: int) -> int:
+    h = int(hashlib.md5(f"w{bucket}".encode()).hexdigest()[:8], 16)
+    return h % (2 * WEIGHT_SCALE + 1) - WEIGHT_SCALE
+
+
+def test_feature_buckets_match_reference_hash(spark):
+    """Spark's conv(md5)-based bucket equals hashlib's — the property
+    that lets any engine (oracle, feature store) reproduce features."""
+    df = spark.createDataFrame([Row(text="alpha beta gamma")])
+    got = df.select(
+        hashed_feature_buckets(F.col("text"), 256).alias("b")
+    ).collect()[0].b
+    feats = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    assert got == [_py_bucket(f, 256) for f in feats]
+
+
+def test_pseudo_weights_range_and_determinism(spark):
+    w = pseudo_weights(spark, 64).collect()
+    assert len(w) == 64
+    assert all(-WEIGHT_SCALE <= r.w_int <= WEIGHT_SCALE for r in w)
+    assert [r.w_int for r in w] == [_py_weight(r.bucket) for r in w]
+
+
+def test_classifier_score_is_exact_dot_product(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x y x"), Row(doc_id=2, text="solo")]
+    )
+    weights = pseudo_weights(spark, 32)
+    out = {
+        r.doc_id: r
+        for r in linear_text_classifier(docs, weights, n_buckets=32).collect()
+    }
+    # doc 1: unigrams x,y,x + bigrams "x y","y x" -> 5 features
+    feats = ["x", "y", "x", "x y", "y x"]
+    score_int = sum(_py_weight(_py_bucket(f, 32)) for f in feats)
+    assert out[1].n_feats == 5
+    assert out[1].score == score_int / (5 * WEIGHT_SCALE)
+    assert out[1].keep == (score_int > 0)
+    # doc 2: one unigram, no bigram
+    assert out[2].n_feats == 1
+
+
+def test_classifier_empty_text_produces_no_row(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text=""), Row(doc_id=2, text="a")])
+    weights = pseudo_weights(spark, 16)
+    ids = [r.doc_id for r in linear_text_classifier(docs, weights, n_buckets=16).collect()]
+    assert ids == [2]
+
+
+def test_classifier_plan_broadcasts_weights(spark):
+    """The weight table must broadcast — a shuffle join on bucket would
+    reshuffle the exploded corpus feature stream at 100 TB."""
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    plan = linear_text_classifier(
+        docs, pseudo_weights(spark, 16), n_buckets=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cluster_aware_split_no_leakage(spark):
+    """Every fingerprint cluster lands in exactly one split, and split
+    fractions are plausibly 80/10/10."""
+    out = cluster_aware_split(spark, SF)
+    per_cluster = (
+        out.groupBy("cluster_rep").agg(F.count_distinct("split").alias("ns")).collect()
+    )
+    assert all(r.ns == 1 for r in per_cluster)
+    frac = {
+        r.split: r.n
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(frac.values())
+    assert frac.get("train", 0) / total > 0.6
+    assert 0 < frac.get("val", 0) / total < 0.25
+    assert 0 < frac.get("test", 0) / total < 0.25
+
+
+def test_cluster_aware_split_duplicates_share_split(spark):
+    """Two reordered copies of the same content (same bag-of-words)
+    must inherit the same split — the leakage the operator prevents."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="split_docs_")
+    spark.createDataFrame(
+        [
+            Row(doc_id=100, text="b a c", lang="en", source="s", n_chars=5),
+            Row(doc_id=205, text="c b a", lang="en", source="s", n_chars=5),
+            Row(doc_id=1, text="totally different words", lang="en", source="s", n_chars=23),
+        ]
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: (r.cluster_rep, r.split) for r in cluster_aware_split(spark, d).collect()}
+    assert out[100] == out[205]
+    assert out[100][0] == 100  # min doc_id is the representative
+
+
+def test_boilerplate_coverage_planted_span(spark):
+    """8 identical lead tokens in 3 docs of one source = boilerplate;
+    a doc sharing the span in a DIFFERENT source is not flagged."""
+    import tempfile
+
+    lead = "w1 w2 w3 w4 w5 w6 w7 w8"
+    d = tempfile.mkdtemp(prefix="bp_docs_")
+    rows = [
+        Row(doc_id=i, text=f"{lead} unique{i} tail{i}", lang="en", source="a", n_chars=1)
+        for i in range(3)
+    ] + [
+        Row(doc_id=10, text=f"{lead} other words", lang="en", source="b", n_chars=1),
+        Row(doc_id=11, text="short text", lang="en", source="b", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in boilerplate_span_coverage(spark, d).collect()}
+    for i in range(3):
+        assert out[i].n_tokens == 10
+        assert out[i].n_covered == 8  # exactly the planted window
+        assert abs(out[i].coverage_frac - 0.8) < 1e-12
+    assert out[10].n_covered == 0  # same span, different source
+    assert out[11].n_covered == 0 and out[11].n_tokens == 2  # sub-window doc survives

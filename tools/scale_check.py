@@ -105,10 +105,15 @@ def generate(spark, mult: int, out_dir: str) -> None:
         os.path.join(out_dir, "documents.parquet")
     )
 
-    # embeddings: 64-dim float vectors around 10 label centroids.
-    # center[label][d] and noise both derive from xxhash64 -> U(-1,1);
-    # noise amplitude 0.3 keeps clusters separable (kmeans/semdedup
-    # behave like the sf0.1 fixture, not like uniform noise).
+    # embeddings: 64-dim float vectors = weak label signal + dominant
+    # noise, both from xxhash64 -> U(-1,1). The driver's sf0.1 fixture
+    # is near-uniform (its most-similar natural pair sits at cos 0.479,
+    # per the semdedup docstring); a tightly-clustered fixture would
+    # make every within-cell pair clear semdedup's 0.4 threshold and
+    # turn the benchmark into an output-volume test (measured: ~25M
+    # emitted pairs, >15 min at 20k vectors). Signal 0.5 / noise 1.0
+    # puts same-label cosine ~0.2: structure for kmeans, realistic
+    # pair counts.
     def u(seedcol, d):
         return (
             F.pmod(F.xxhash64(seedcol, d), F.lit(1_000_003)).cast("double")
@@ -123,7 +128,7 @@ def generate(spark, mult: int, out_dir: str) -> None:
     )
     emb = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
-        lambda d: (u(F.col("label").cast("long"), d) + 0.3 * u(F.col("vec_id"), d))
+        lambda d: (0.5 * u(F.col("label").cast("long"), d) + u(F.col("vec_id"), d))
         .cast("float"),
     )
     vecs.select("vec_id", emb.alias("embedding"), "label").repartition(
@@ -135,7 +140,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--ops", type=str, default=",".join(HEAVY_OPS))
-    ap.add_argument("--runs", type=int, default=1)
+    # best-of-2 by default: the first run at each scale pays codegen
+    # compile (cached across scales — same plan, different data), which
+    # otherwise deflates the big-scale run's ratio below 1.0
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--base",
+        type=str,
+        default=BASE_SF,
+        help="comparison dir (e.g. .scale/sf1 to measure the sf1->sf10 step)",
+    )
     args = ap.parse_args()
 
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
@@ -161,17 +175,18 @@ def main() -> None:
         return best
 
     # warm both dirs' file listings + session codegen outside timing
-    for d in (BASE_SF, scale_dir):
+    base_dir = args.base
+    for d in (base_dir, scale_dir):
         spark.read.parquet(os.path.join(d, "documents.parquet")).count()
         spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
 
     results = {}
     for name in args.ops.split(","):
-        t_small = run(name, BASE_SF)
+        t_small = run(name, base_dir)
         t_big = run(name, scale_dir)
         ratio = t_big / t_small if t_small else float("inf")
         results[name] = {
-            "sf0.1_sec": round(t_small, 2),
+            "base_sec": round(t_small, 2),
             f"sf{args.mult / 10:g}_sec": round(t_big, 2),
             "ratio": round(ratio, 1),
             "verdict": "near-linear"
@@ -180,7 +195,7 @@ def main() -> None:
         }
         print(json.dumps({name: results[name]}), file=sys.stderr)
 
-    print(json.dumps({"mult": args.mult, "results": results}, indent=2))
+    print(json.dumps({"mult": args.mult, "base": base_dir, "results": results}, indent=2))
     spark.stop()
 
 
