@@ -2368,6 +2368,69 @@ def semdedup_near_dup_pairs(spark, sf_dir):
 
 
 @register(
+    "semdedup_pairs_arrow",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN vec_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_planted,
+               true AS planted_recall_ok,
+               true AS cos_verified_ok
+        FROM embeddings
+    """,
+    tags=("dedup", "similarity", "clustering", "arrow"),
+    bench_fn=lambda spark, sf_dir: SIM.semdedup_pairs_arrow(
+        _t(spark, sf_dir, "embeddings"),
+        k=_semdedup_k(_t(spark, sf_dir, "embeddings")),
+        iters=2,
+        threshold=0.4,
+    ),
+)
+def semdedup_pairs_arrow(spark, sf_dir):
+    """SemDeDup with the within-cell compare as numpy Gram-matrix
+    blocks (applyInPandas per cell) instead of the JVM expression
+    fold — the production hot path at scale (the fold walks an
+    expression tree per element; one BLAS product per cell strip is
+    ~the ANN arrow speedup, NOTES.md). Same planted-duplicate recall
+    contract as semdedup_near_dup_pairs; the cosine recheck tolerance
+    is 1.1e-6 (numpy half-even vs JVM half-up rounding can land one
+    6th-decimal step apart on ulp-divergent doubles — the
+    ann_cosine_topk_arrow precedent). Exact pair-set equivalence with
+    the fold path is pinned in tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    offset = 10_000_000
+    corpus, plant_cond = _planted_vectors(emb, 13, offset)
+    pairs = SIM.semdedup_pairs_arrow(
+        corpus, k=_semdedup_k(corpus), iters=2, threshold=0.4
+    ).cache()
+    is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
+        F.col("id_a") % 13 == 0
+    )
+    rechecked = _pair_cosine_recheck(pairs, corpus, 0.4)
+    pair_agg = rechecked.agg(
+        F.sum(is_planted_pair.cast("long")).alias("n_recovered"),
+        F.coalesce(
+            F.min(
+                (F.col("cos2") >= 0.4 - 1.1e-6)
+                & (F.abs(F.col("cos2") - F.col("cos")) < 1.1e-6)
+            ),
+            F.lit(True),
+        ).alias("cos_verified_ok"),
+    )
+    emb_agg = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(plant_cond.cast("long")).cast("long").alias("n_planted"),
+    )
+    return emb_agg.crossJoin(pair_agg).select(
+        "n_vecs",
+        "n_planted",
+        (F.coalesce(F.col("n_recovered"), F.lit(0)) == F.col("n_planted")).alias(
+            "planted_recall_ok"
+        ),
+        "cos_verified_ok",
+    )
+
+
+@register(
     "ann_cosine_topk_lsh",
     oracle="""
         SELECT CAST(vec_id AS BIGINT) AS query_id,

@@ -203,6 +203,40 @@ def test_semdedup_finds_planted_pair_within_cluster(spark):
         assert r.id_a < r.id_b and r.cos >= 0.95
 
 
+def test_semdedup_arrow_matches_fold_path(spark):
+    """The Gram-block arrow scorer must emit the SAME pair set as the
+    JVM fold, with cosines within the shared-rounding tolerance (numpy
+    half-even vs JVM half-up can differ one 6th-decimal step)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        semdedup_pairs_arrow,
+    )
+
+    df, _ = _embeddings(spark, n=60, dim=8, seed=5)
+    fold = {(r.id_a, r.id_b): r.cos
+            for r in semdedup_pairs(df, k=4, iters=2, threshold=0.9).collect()}
+    arrow = {(r.id_a, r.id_b): r.cos
+             for r in semdedup_pairs_arrow(df, k=4, iters=2, threshold=0.9).collect()}
+    assert set(fold) == set(arrow)
+    assert all(abs(fold[k] - arrow[k]) < 1.1e-6 for k in fold)
+    assert (0, 1) in arrow
+
+
+def test_semdedup_arrow_blocking_is_exact(spark):
+    """Strip-wise Gram computation (block smaller than the cell) must
+    not drop or duplicate pairs across strip boundaries."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        semdedup_pairs_arrow,
+    )
+
+    df, _ = _embeddings(spark, n=60, dim=8, seed=5)
+    whole = {(r.id_a, r.id_b)
+             for r in semdedup_pairs_arrow(df, k=1, iters=1, threshold=0.2).collect()}
+    stripped = {(r.id_a, r.id_b)
+                for r in semdedup_pairs_arrow(df, k=1, iters=1, threshold=0.2,
+                                              block=7).collect()}
+    assert whole == stripped and len(whole) > 10
+
+
 def test_brute_force_guard_rejects_huge_query_sets(spark):
     df, _ = _embeddings(spark)
     q = df.select(F.col("vec_id").alias("query_id"), "embedding")

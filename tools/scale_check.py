@@ -51,7 +51,11 @@ HEAVY_OPS = [
     "ann_cosine_topk_ivf_indexed",
     "heavy_hitter_tokens",
     "embedding_kmeans_clusters",
-    "semdedup_near_dup_pairs",
+    # the JVM-fold semdedup (semdedup_near_dup_pairs bench_fn) is
+    # deliberately absent: measured >20 min at 20k vectors (the
+    # expression fold pays an expression-tree walk per Gram element);
+    # the arrow path below is the production hot path at scale
+    "semdedup_pairs_arrow",
 ]
 
 
