@@ -1,0 +1,113 @@
+"""Keyword retrieval over the corpus: BM25 scoring and top-k search.
+
+The reference has no text-retrieval surface (SURVEY.md §2 — its
+queries are Athena SQL over pipeline output); this extends the
+LLM-pipeline family: corpus search is how a training-data pipeline
+audits coverage ("show me the top docs for this topic") and builds
+targeted eval slices.
+
+Spark-first shape: the query-term set is a tiny literal array, so the
+token stream is FILTERED to query terms before anything aggregates —
+the shuffle carries only (doc_id, term, tf) rows for matching terms,
+never the full token stream. Document lengths and corpus stats come
+from one scan-level aggregate each; per-term document frequencies are
+a handful of rows broadcast into the scoring join. Scoring is
+row-local arithmetic; the only wide operation after the tf aggregate
+is the final top-k (rank on rounded score with id tie-break — the
+NOTES.md float-parity recipe: ln() is a transcendental, so scores are
+rounded before ranking/output on both engines).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document BM25 score for a bag of query terms.
+
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    with the Robertson/Sparck-Jones idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Returns ``(id, n_match_terms, score)`` for documents matching at
+    least one term; ``score`` is rounded to ``round_dp`` decimals (the
+    chain multiplies transcendentals — bit-stability across engines
+    requires rounding, NOTES.md)."""
+    lower_terms = [t.lower() for t in terms]
+    base = docs.select(
+        F.col(id_col).alias("id"), TX.tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    lens = base.select("id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    # term frequencies, query terms only: the explode is corpus-wide
+    # but the filter collapses it before the shuffle
+    tf = (
+        base.select("id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(lower_terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (
+        F.col("tf").cast("double")
+        * (k1 + 1.0)
+        / (F.col("tf").cast("double") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        scored.withColumn("part", idf * tf_norm)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_match_terms"),
+            F.round(F.sum("part"), round_dp).alias("score"),
+        )
+    )
+
+
+def keyword_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25, deterministic: rank on the rounded
+    score descending with id ascending as tie-break.
+
+    The cut is ``orderBy().limit(k)`` — Spark plans it as
+    TakeOrderedAndProject (per-partition partial top-k, then a k-row
+    merge on the driver side of the exchange), NOT a global sort: the
+    matching-doc set can be millions of rows at corpus scale. Only the
+    k survivors see the row_number window (single tiny partition by
+    construction)."""
+    scored = bm25_scores(docs, terms, text_col=text_col, id_col=id_col)
+    top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "n_match_terms", "score", "rnk"
+    )

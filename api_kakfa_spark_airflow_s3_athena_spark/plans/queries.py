@@ -6181,6 +6181,70 @@ def quality_classifier_scores(spark, sf_dir):
     return SC.linear_text_classifier(d, weights, n_buckets=1024)
 
 
+@register(
+    "keyword_search_bm25",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                       AS toks
+            FROM documents
+        ),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+        stats AS (
+            SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+            FROM lens
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+            WHERE term IN ('spark', 'customer', 'slow')
+            GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        parts AS (
+            SELECT t.doc_id,
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl
+                      / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS part
+            FROM tf t
+            JOIN dft d USING (term)
+            JOIN lens l USING (doc_id), stats s
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_match_terms,
+                   round(sum(part), 4) AS score
+            FROM parts GROUP BY doc_id
+        ),
+        top AS (
+            SELECT doc_id, n_match_terms, score
+            FROM scored ORDER BY score DESC, doc_id LIMIT 10
+        )
+        SELECT doc_id, n_match_terms, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rnk
+        FROM top
+    """,
+    tags=("text", "llm-pipeline", "retrieval", "topk"),
+)
+def keyword_search_bm25(spark, sf_dir):
+    """BM25 keyword search over the corpus (k1=1.2, b=0.75, RSJ idf):
+    the audit/eval-slice retrieval a training-data pipeline runs
+    ("top docs for this topic"). Plan: the corpus token stream is
+    filtered to the 3 literal query terms BEFORE the tf aggregate (the
+    shuffle carries only matching (doc, term) rows), document
+    frequencies broadcast back, and the cut is TakeOrderedAndProject —
+    never a global sort. Scores round to 4 dp before ranking on both
+    engines (ln() is transcendental; NOTES.md float recipe), ties
+    break on doc_id."""
+    from ..operators import retrieval as RET
+
+    d = _t(spark, sf_dir, "documents")
+    return RET.keyword_topk(d, ["spark", "customer", "slow"], k=10)
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #

@@ -143,3 +143,62 @@ def test_boilerplate_coverage_planted_span(spark):
         assert abs(out[i].coverage_frac - 0.8) < 1e-12
     assert out[10].n_covered == 0  # same span, different source
     assert out[11].n_covered == 0 and out[11].n_tokens == 2  # sub-window doc survives
+
+
+def test_bm25_matches_hand_computation(spark):
+    """BM25 on a 3-doc corpus against the textbook formula."""
+    import math
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat cat dog"),
+            Row(doc_id=2, text="dog bird"),
+            Row(doc_id=3, text="fish fish fish fish"),
+        ]
+    )
+    out = {r.id: r for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+    n, avgdl = 3, 9 / 3
+    k1, b = 1.2, 0.75
+
+    def score(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1].n_match_terms == 2
+    assert out[1].score == round(score(2, 1, 3) + score(1, 2, 3), 4)
+    assert out[2].n_match_terms == 1
+    assert out[2].score == round(score(1, 2, 2), 4)
+    assert 3 not in out  # no matching term -> no row
+
+
+def test_keyword_topk_plan_avoids_global_sort(spark):
+    """The k-cut must plan as TakeOrderedAndProject, not a full
+    Sort+Exchange of the scored set."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.retrieval import (
+        keyword_topk,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="a b") for i in range(20)])
+    plan = (
+        keyword_topk(docs, ["a"], k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_keyword_topk_rank_is_deterministic(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.retrieval import (
+        keyword_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x y z" if i % 2 else "x") for i in range(10)]
+    )
+    a = [(r.doc_id, r.rnk) for r in keyword_topk(docs, ["x", "y"], k=5).collect()]
+    bq = [(r.doc_id, r.rnk) for r in keyword_topk(docs, ["x", "y"], k=5).collect()]
+    assert a == bq and len(a) == 5
+    assert [r for _, r in a] == [1, 2, 3, 4, 5]
