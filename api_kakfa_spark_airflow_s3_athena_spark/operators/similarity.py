@@ -33,6 +33,10 @@ __all__ = [
     "ivf_topk_from_index",
     "kmeans_refine",
     "semdedup_pairs",
+    "semdedup_pairs_arrow",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -394,10 +398,11 @@ def kmeans_refine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 9,
+    return_centroids: bool = False,
 ):
     """Lloyd's k-means over the embedding column — the clustering pass
     behind SemDeDup-style curation (cluster, then drop near-identical
-    members per cluster) and IVF index builds.
+    members per cluster) and IVF / product-quantization index builds.
 
     Spark shape per iteration (the standard distributed Lloyd's):
     centroids live on the DRIVER as a k x dim float array (tiny) and
@@ -412,8 +417,9 @@ def kmeans_refine(
     argmin ties break on the lower cluster id.
 
     Returns ``(assignments DataFrame[id, cluster, sq_dist], inertia
-    per iteration list)``; callers wanting the centroids re-derive
-    them from the assignment in one aggregate.
+    per iteration list)``, or with ``return_centroids=True`` a third
+    element: the final k x dim numpy centroid matrix (already on the
+    driver — the PQ codebook path needs it verbatim).
     """
     import numpy as np
     import pandas as pd
@@ -510,6 +516,8 @@ def kmeans_refine(
     final = base.mapInPandas(
         make_assign(cents), schema="id long, cluster int, sq_dist double"
     )
+    if return_centroids:
+        return final, inertia_history, cents
     return final, inertia_history
 
 
@@ -649,4 +657,164 @@ def semdedup_pairs_arrow(
 
     return bounded.groupBy("cluster").applyInPandas(
         cell_pairs, schema="id_a long, id_b long, cos double"
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 9,
+):
+    """Product-quantization codebooks (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    vector into ``m`` contiguous subspaces and run distributed Lloyd's
+    independently in each — ``m`` small k-means jobs over dim/m-wide
+    slices, each the same scan + skinny-shuffle shape as
+    :func:`kmeans_refine`. Returns the (m, ksub, dim//m) numpy
+    codebook tensor (m * ksub * dim/m doubles — driver-tiny; at scale
+    this trains on a SAMPLE of the corpus, the standard practice).
+
+    Deterministic: per-subspace seeds derive from ``seed + subspace``.
+    """
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col)
+        )
+        _, _, cents = kmeans_refine(
+            sub,
+            k=ksub,
+            iters=iters,
+            vec_col=vec_col,
+            id_col=id_col,
+            seed=seed + j,
+            return_centroids=True,
+        )
+        books.append(cents)
+    return np.asarray(books)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as m byte-sized codes (nearest codeword per
+    subspace, first-min tie-break => deterministic): 64-dim float
+    corpus -> m ints per row, a ~32x storage cut. One narrow
+    mapInPandas pass — the encoded table is what a 100 TB deployment
+    persists (and re-encodes incrementally per ingest batch)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(books)
+    m, _, dsub = books.shape
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                d = sub @ books[j].T * -2.0 + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        enc, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    books,
+    k: int = 10,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: per
+    query, an (m x ksub) lookup table of exact subspace distances to
+    every codeword is built once on the driver; scoring a corpus row
+    is then m table lookups + adds — no floats from the corpus are
+    read at all. The encoded table never shuffles: each Arrow batch
+    emits its local top-k per query and one TakeOrdered-style merge
+    ranks the |batches| * |Q| * k skinny rows.
+
+    Returns ``(query_id, neighbor_id, adist, rnk)`` ranked by
+    ascending approximate distance (rounded to 6 dp), neighbor id as
+    tie-break. Approximate by construction: quantization error bounds
+    recall, but an EXACT-duplicate pair has identical codes, so its
+    ADC distances tie exactly — the property the planted contract
+    pins."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(books)
+    m, ksub, dsub = books.shape
+    qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(
+        max_queries + 1
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(f"pq_topk got > {max_queries} queries")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    # luts[q, j, c] = ||q_sub_j - books[j, c]||^2  (exact, driver-side)
+    luts = np.empty((len(qids), m, ksub), dtype=np.float64)
+    for j in range(m):
+        sub = qmat[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ books[j].T
+            + (books[j] ** 2).sum(axis=1)
+        )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            for qi, qid in enumerate(qids):
+                # adist[i] = sum_j lut[j, codes[i, j]]
+                d = luts[qi][np.arange(m), codes].sum(axis=1)
+                d = np.round(np.maximum(d, 0.0), 6)
+                order = np.lexsort((ids, d))[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[order],
+                        "adist": d[order],
+                    }
+                )
+
+    scored = encoded.mapInPandas(
+        score, schema="query_id long, neighbor_id long, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adist", "rnk")
     )

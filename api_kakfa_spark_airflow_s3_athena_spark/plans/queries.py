@@ -6182,6 +6182,71 @@ def quality_classifier_scores(spark, sf_dir):
 
 
 @register(
+    "ann_pq_adc_topk",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS query_id,
+               true AS top1_is_self,
+               true AS plant_at_rank2,
+               true AS plant_dist_eq_self,
+               true AS within_k
+        FROM embeddings WHERE vec_id < 8
+    """,
+    tags=("similarity", "pq", "arrow"),
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance scoring
+    (Jegou et al. 2011): per-subspace codebooks, m-byte codes, and a
+    per-query LUT so corpus scoring is m lookups + adds per row — the
+    ~32x-compressed 100 TB similarity path. Contract (per query,
+    deterministic BY CONSTRUCTION): for every subspace the query's own
+    codeword minimizes the subspace distance, so ADC(q, q) <= ADC(q, x)
+    for ALL x — the query itself is a global ADC minimum and its
+    planted exact copy (identical codes) ties it exactly. Hence:
+    top-1 is self (id tie-break), the plant sits at rank 2 with
+    bit-equal distance, and ranks are contiguous 1..k. Codebook
+    training, encoding, and scoring exactness are pinned in
+    tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    offset = 10_000_000
+    plants = emb.filter(F.col("vec_id") < 8).withColumn(
+        "vec_id", F.col("vec_id") + offset
+    )
+    corpus = emb.unionByName(plants)
+    books = SIM.pq_codebooks(corpus, m=8, ksub=16, iters=2)
+    encoded = SIM.pq_encode(corpus, books)
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = SIM.pq_topk(queries_df, encoded, books, k=5)
+    agg = topk.groupBy("query_id").agg(
+        F.min(
+            F.when(F.col("neighbor_id") == F.col("query_id"), F.col("rnk"))
+        ).alias("self_rnk"),
+        F.min(
+            F.when(F.col("neighbor_id") == F.col("query_id") + offset, F.col("rnk"))
+        ).alias("plant_rnk"),
+        F.min(
+            F.when(F.col("neighbor_id") == F.col("query_id"), F.col("adist"))
+        ).alias("self_d"),
+        F.min(
+            F.when(F.col("neighbor_id") == F.col("query_id") + offset, F.col("adist"))
+        ).alias("plant_d"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("rnk").alias("nd"),
+        F.max("rnk").alias("maxr"),
+    )
+    return agg.select(
+        F.col("query_id").cast("long"),
+        (F.col("self_rnk") == 1).alias("top1_is_self"),
+        (F.col("plant_rnk") == 2).alias("plant_at_rank2"),
+        (F.col("self_d") == F.col("plant_d")).alias("plant_dist_eq_self"),
+        ((F.col("n") == 5) & (F.col("nd") == 5) & (F.col("maxr") == 5)).alias(
+            "within_k"
+        ),
+    )
+
+
+@register(
     "keyword_search_bm25",
     oracle="""
         WITH base AS (

@@ -49,6 +49,12 @@ HEADLINE = HEADLINE_R01 + [
     "ann_cosine_topk_ivf_indexed",
     "streaming_dedup_ingest",
     "heavy_hitter_tokens",
+    # round-5 additions
+    "semdedup_pairs_arrow",
+    "keyword_search_bm25",
+    "quality_classifier_scores",
+    "boilerplate_span_coverage",
+    "cluster_aware_split",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit
