@@ -6197,13 +6197,16 @@ def ann_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN with asymmetric-distance scoring
     (Jegou et al. 2011): per-subspace codebooks, m-byte codes, and a
     per-query LUT so corpus scoring is m lookups + adds per row — the
-    ~32x-compressed 100 TB similarity path. Contract (per query,
-    deterministic BY CONSTRUCTION): for every subspace the query's own
-    codeword minimizes the subspace distance, so ADC(q, q) <= ADC(q, x)
-    for ALL x — the query itself is a global ADC minimum and its
-    planted exact copy (identical codes) ties it exactly. Hence:
-    top-1 is self (id tie-break), the plant sits at rank 2 with
-    bit-equal distance, and ranks are contiguous 1..k. Codebook
+    ~32x-compressed 100 TB similarity path. Contract (per query): for
+    every subspace the query's own codeword minimizes the subspace
+    distance, so ADC(q, q) <= ADC(q, x) for ALL x — the query is a
+    global ADC minimum BY CONSTRUCTION, and its planted exact copy
+    (identical codes) ties it bit-exactly. A distinct co-coded vector
+    with a smaller id could in principle tie and win rank 1 (observed
+    in the unit fixture's planted near-dup); on the near-uniform
+    driver embeddings no such tie exists, so the oracle additionally
+    pins: top-1 is self, the plant sits at rank 2 with bit-equal
+    distance, and ranks are contiguous 1..k. Codebook
     training, encoding, and scoring exactness are pinned in
     tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")

@@ -422,3 +422,75 @@ def test_ivf_indexed_equals_inline(spark, tmp_path):
         for r in ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=3).collect()
     }
     assert got == want and got
+
+
+def test_pq_encode_deterministic_and_shaped(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    df, _ = _embeddings(spark, n=60, dim=8, seed=5)
+    books = pq_codebooks(df, m=4, ksub=4, iters=2)
+    assert books.shape == (4, 4, 2)
+    codes1 = {r.vec_id: r.codes for r in pq_encode(df, books).collect()}
+    codes2 = {r.vec_id: r.codes for r in pq_encode(df, books).collect()}
+    assert codes1 == codes2
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in codes1.values())
+    # the planted near-identical pair (0, 1) should share codes
+    assert codes1[0] == codes1[1]
+
+
+def test_pq_adc_matches_explicit_lookup(spark):
+    """pq_topk's ADC distance equals the hand-computed LUT sum for
+    every returned (query, neighbor) pair."""
+    import numpy as np
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    df, vecs = _embeddings(spark, n=40, dim=8, seed=3)
+    books = pq_codebooks(df, m=4, ksub=4, iters=2)
+    codes = {r.vec_id: np.array(r.codes) for r in pq_encode(df, books).collect()}
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(q, pq_encode(df, books), books, k=4).collect()
+    qvecs = {i: np.asarray(vecs[i], dtype=np.float64) for i in range(3)}
+    for r in out:
+        qv, c = qvecs[r.query_id], codes[r.neighbor_id]
+        expect = sum(
+            ((qv[j * 2 : (j + 1) * 2] - books[j][c[j]]) ** 2).sum() for j in range(4)
+        )
+        assert abs(r.adist - round(max(expect, 0.0), 6)) < 1e-9
+
+
+def test_pq_self_is_global_adc_minimum(spark):
+    """ADC(q, q) <= ADC(q, x) for all x — the contract property: the
+    query's own codeword minimizes every subspace distance."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    df, _ = _embeddings(spark, n=50, dim=8, seed=7)
+    books = pq_codebooks(df, m=4, ksub=4, iters=2)
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(q, pq_encode(df, books), books, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        self_d = next(r.adist for r in rows if r.neighbor_id == qid)
+        # rank-1 achieves the self distance — nothing scores closer; a
+        # co-coded vector (the fixture plants 1 as a near-dup of 0) may
+        # TIE and win on id order, so rank-1 identity is not asserted
+        assert rows[0].adist == self_d
+        assert any(r.neighbor_id == qid for r in rows[:2])
