@@ -51,3 +51,57 @@ def test_hot_key_spreads_over_salt_buckets(spark):
         .n_salts
     )
     assert spread >= 2, f"hot key landed in {spread} salt bucket(s) — salting is a no-op"
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """AQE's OptimizeSkewedJoin capability pin — the runtime mitigation
+    a 100 TB join relies on when a key is hot. Rounds 1-2 could not
+    provoke it; round 5 isolated BOTH preconditions the failed probes
+    violated, and they are exactly what a production job must know:
+
+    1. both join children must be BARE shuffle stages — an aggregate
+       between the right side's exchange and the join made AQE skip
+       the rule entirely (it cannot replicate a non-bare stage), so
+       the right side here is materialized to parquet first;
+    2. a skewed partition splits only at MAPPER boundaries — a
+       single-file scan gives one mapper and nothing to split, so the
+       map side is spread over 32 mappers (at scale this is free:
+       every real fact table has thousands of mappers).
+    """
+    import tempfile
+
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents").repartition(32)
+        skewed = docs.withColumn(
+            "k",
+            F.when(F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 9, F.lit("hot")).otherwise(
+                F.concat(F.lit("cold"), (F.col("doc_id") % 50).cast("string"))
+            ),
+        )
+        rd = tempfile.mkdtemp(prefix="skew_right_")
+        skewed.groupBy("k").agg(F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(rd)
+        right = spark.read.parquet(rd)
+        j = skewed.join(right, "k").select(F.sum(F.length("text")).alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "OptimizeSkewedJoin did not fire"
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
