@@ -30,6 +30,7 @@ __all__ = [
     "MEDIA_META",
     "attach_media_meta",
     "extract_features",
+    "resize_media",
     "sample_frames",
     "DecoderNotAvailable",
     "register_decoder",
@@ -165,5 +166,59 @@ def sample_frames(
                     idxs.append(fi)
                     frames.append(arr.ravel()[:16].astype(np.float32).tolist())
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_h: int = 4,
+    out_w: int = 4,
+) -> DataFrame:
+    """Decode + resize each payload to ``out_h x out_w`` -> flattened
+    ``array<float>`` plus the realized dimensions — the
+    normalize-before-training stage of an image pipeline.
+
+    The resize itself is area-averaging over an integer grid (numpy
+    reshape/mean when the source divides evenly, strided index
+    sampling otherwise) — deterministic, codec-free, and exactly what
+    a real decoder's output would flow through; swapping the stub for
+    Pillow via :func:`register_decoder` changes pixel VALUES only,
+    never the Spark contract (schema, batch shape, payload dropped on
+    output).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _resize(arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape
+        if h % out_h == 0 and w % out_w == 0:
+            return arr.reshape(out_h, h // out_h, out_w, w // out_w).mean(axis=(1, 3))
+        ri = (np.arange(out_h) * h) // out_h
+        ci = (np.arange(out_w) * w) // out_w
+        return arr[np.ix_(ri, ci)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pix = []
+            for payload in pdf[payload_col]:
+                arr = _DECODER(bytes(payload), 0)
+                pix.append(_resize(arr).ravel().astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "height": out_h,
+                    "width": out_w,
+                    "pixels": pix,
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

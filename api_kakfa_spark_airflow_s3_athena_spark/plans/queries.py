@@ -40,6 +40,7 @@ from ..functions.transforms import parse_kafka_value, synthetic_users, to_kafka_
 from ..functions.vectors import cosine, l2_norm
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
+from ..operators.multimodal import resize_media as MM_resize
 from ..sources.tables import load_table
 from ..streaming import pipeline as SP
 from ..streaming import stateful as STF
@@ -1331,6 +1332,77 @@ def multimodal_feature_extract(spark, sf_dir):
                 F.col("feature").isNotNull()
                 & F.col("feature2").isNotNull()
                 & (F.col("feature") == F.col("feature2"))
+            ),
+            F.lit(False),
+        ).alias("deterministic_ok"),
+    )
+
+
+@register(
+    "multimodal_resize_grid",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               true AS dims_ok,
+               true AS mean_preserved_ok,
+               true AS deterministic_ok
+        FROM documents
+    """,
+    tags=("multimodal",),
+    bench_fn=lambda spark, sf_dir: MM_resize(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        ),
+        out_h=4,
+        out_w=4,
+    ),
+)
+def multimodal_resize_grid(spark, sf_dir):
+    """Binary payload -> decode -> area-average resize to 4x4 (the
+    normalize-before-training image stage; stub decoder, real Spark
+    plumbing). Contract: (a) one row per document, (b) realized dims
+    and pixel-vector length match the request, (c) the 4x4
+    area-average of an 8x8 source PRESERVES THE MEAN exactly (each
+    output pixel averages a disjoint 2x2 block, so mean(pixels) ==
+    mean(source) == the extract_features stub's mean over the same
+    payload — checked via a second independent decode path to 6 dp),
+    (d) two resize passes are bitwise identical."""
+    from ..operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    r1 = MM_resize(d, out_h=4, out_w=4)
+    r2 = MM_resize(d, out_h=4, out_w=4).select(
+        F.col("doc_id"), F.col("pixels").alias("pixels2")
+    )
+    # independent mean of the SAME decoded 8x8 source: the stub is
+    # deterministic, and extract_features flattens all 64 pixels
+    feats = extract_features(d, feature_dim=64).select(
+        "doc_id",
+        (F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) / 64).alias(
+            "src_mean"
+        ),
+    )
+    mean_pix = F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x) / 16
+    joined = r1.join(r2, "doc_id", "full").join(feats, "doc_id", "full")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(
+            F.min(
+                (F.col("height") == 4)
+                & (F.col("width") == 4)
+                & (F.size("pixels") == 16)
+            ),
+            F.lit(False),
+        ).alias("dims_ok"),
+        F.coalesce(
+            F.min(F.abs(mean_pix - F.col("src_mean")) < 1e-6), F.lit(False)
+        ).alias("mean_preserved_ok"),
+        F.coalesce(
+            F.min(
+                F.col("pixels").isNotNull()
+                & F.col("pixels2").isNotNull()
+                & (F.col("pixels") == F.col("pixels2"))
             ),
             F.lit(False),
         ).alias("deterministic_ok"),

@@ -75,3 +75,43 @@ def test_registered_decoder_receives_frame_offsets(spark):
         assert got == [0.0, 10.0, 20.0]  # every_n * frame_idx reached the decoder
     finally:
         MM.register_decoder(MM._fake_decode)
+
+
+def test_resize_media_area_average_exact(spark):
+    """4x4 output of the 8x8 stub source: each output pixel is the mean
+    of a disjoint 2x2 block — verified against a local decode."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.multimodal import (
+        _fake_decode,
+        resize_media,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"pix"))])
+    got = resize_media(df, out_h=4, out_w=4).collect()[0]
+    src = _fake_decode(b"pix", 0)
+    expect = src.reshape(4, 2, 4, 2).mean(axis=(1, 3)).ravel()
+    assert got.height == 4 and got.width == 4
+    assert np.allclose(got.pixels, expect, atol=1e-6)
+
+
+def test_resize_media_strided_fallback(spark):
+    """Non-divisible target (3x5 from 8x8) falls back to strided index
+    sampling: output pixels are exact source pixels at grid indices."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.multimodal import (
+        _fake_decode,
+        resize_media,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"pix"))])
+    got = resize_media(df, out_h=3, out_w=5).collect()[0]
+    src = _fake_decode(b"pix", 0)
+    ri = (np.arange(3) * 8) // 3
+    ci = (np.arange(5) * 8) // 5
+    expect = src[np.ix_(ri, ci)].ravel()
+    assert len(got.pixels) == 15
+    assert np.allclose(got.pixels, expect, atol=1e-6)
