@@ -434,6 +434,15 @@ def kmeans_refine(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        # empty corpus (a fully-filtered ingest batch is routine at
+        # scale): empty assignment, no iterations, 0 x 0 centroids
+        empty = corpus.sparkSession.createDataFrame(
+            [], "id long, cluster int, sq_dist double"
+        )
+        if return_centroids:
+            return empty, [], np.zeros((0, 0))
+        return empty, []
     cents = np.asarray([r.v for r in seeds], dtype=np.float64)
     base = corpus.select(F.col(id_col), F.col(vec_col))
     inertia_history = []

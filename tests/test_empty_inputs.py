@@ -97,3 +97,45 @@ def test_delta_dedup_with_empty_corpus_index(spark, empty_docs):
         delta, empty_docs, empty_index, threshold=0.5, num_hashes=16, bands=4
     ).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_round5_ops_on_empty_corpus(spark, empty_docs, empty_vecs):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.retrieval import (
+        bm25_scores,
+        keyword_topk,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+        linear_text_classifier,
+        pseudo_weights,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        semdedup_pairs_arrow,
+    )
+
+    assert bm25_scores(empty_docs, ["x"]).count() == 0
+    assert keyword_topk(empty_docs, ["x"], k=3).count() == 0
+    w = pseudo_weights(spark, 16)
+    assert linear_text_classifier(empty_docs, w, n_buckets=16).count() == 0
+    assert semdedup_pairs_arrow(empty_vecs, k=2, iters=1).count() == 0
+
+    # PQ: codebooks need data (training), but ENCODE/SCORE must accept
+    # an empty corpus — a filtered-out ingest batch is routine
+    import numpy as np
+
+    books = np.zeros((2, 2, 1))
+    assert pq_encode(empty_vecs, books).count() == 0
+    one_q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    assert pq_topk(one_q, pq_encode(empty_vecs, books), books, k=3).count() == 0
+
+
+def test_resize_on_empty_payloads(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert resize_media(empty).count() == 0
