@@ -558,6 +558,13 @@ def semdedup_pairs(
     assigned, _ = kmeans_refine(
         corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col, seed=seed
     )
+    # lazy local checkpoint: the assignment is a PYTHON mapInPandas
+    # corpus pass, and the plan consumes `member` multiple times (cell
+    # census + bounded join + the pair compare) — without truncation
+    # every consumer re-runs the assignment (audited: 4 passes in the
+    # fold path, 2 in the arrow path). The checkpointed relation is
+    # skinny: (id, cluster, sq_dist).
+    assigned = assigned.localCheckpoint(eager=False)
     member = corpus.select(F.col(id_col), F.col(vec_col)).join(
         assigned.select(F.col("id").alias(id_col), "cluster"), id_col
     )
@@ -621,6 +628,13 @@ def semdedup_pairs_arrow(
     assigned, _ = kmeans_refine(
         corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col, seed=seed
     )
+    # lazy local checkpoint: the assignment is a PYTHON mapInPandas
+    # corpus pass, and the plan consumes `member` multiple times (cell
+    # census + bounded join + the pair compare) — without truncation
+    # every consumer re-runs the assignment (audited: 4 passes in the
+    # fold path, 2 in the arrow path). The checkpointed relation is
+    # skinny: (id, cluster, sq_dist).
+    assigned = assigned.localCheckpoint(eager=False)
     member = corpus.select(F.col(id_col), F.col(vec_col)).join(
         assigned.select(F.col("id").alias(id_col), "cluster"), id_col
     )

@@ -42,6 +42,13 @@ AUDIT = [
     "mixture_weighted_sample",
     "per_group_reservoir_sample",
     "dedup_survivors_policy",
+    # round 5 additions: retrieval/classifier/split/boilerplate/PQ
+    "keyword_search_bm25",
+    "quality_classifier_scores",
+    "cluster_aware_split",
+    "boilerplate_span_coverage",
+    "semdedup_pairs_arrow",
+    "ann_pq_adc_topk",
 ]
 
 
