@@ -3817,6 +3817,120 @@ def streaming_hourly_counts(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+@register(
+    "doc_chunking_for_embedding",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        spec AS (
+            SELECT doc_id, t,
+                   CAST(1 + (greatest(len(t) - 32, 0) + 15) // 16 AS BIGINT)
+                       AS n_chunks
+            FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id,
+               CAST(j AS INTEGER) AS chunk_id,
+               CAST(1 + j * 16 AS INTEGER) AS chunk_start,
+               CAST(len(list_slice(t, 1 + j * 16, j * 16 + 32)) AS INTEGER)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(t, 1 + j * 16, j * 16 + 32), ' ')
+                   AS chunk_text
+        FROM (SELECT doc_id, t, unnest(range(0, n_chunks)) AS j FROM spec)
+    """,
+    tags=("text", "llm-pipeline", "chunking"),
+)
+def doc_chunking_for_embedding(spark, sf_dir, chunk: int = 32, stride: int = 16):
+    """RAG/embedding-prep chunking: overlapping token windows (size 32,
+    stride 16) per document, the stage feeding an embedding model.
+    Chunk count is exact integer arithmetic (1 + ceil(max(n-32,0)/16)),
+    the last chunk always reaches the document tail, and short tails
+    stay attached to their window (n_chunk_tokens < 32 only on the
+    final chunk). Shape: tokenize once, posexplode a chunk-index
+    sequence, slice AFTER the explode — slicing inside a
+    transform-over-sequence lambda would inline the token subtree per
+    index (the NOTES.md HOF-capture trap). Row-local throughout: zero
+    shuffles, safe at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.size("t")
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    spec = base.withColumn(
+        "n_chunks",
+        (
+            F.lit(1)
+            + F.floor(
+                (F.greatest(n - chunk, F.lit(0)) + (stride - 1)) / stride
+            )
+        ).cast("bigint"),
+    )
+    exploded = spec.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("j"),
+    )
+    sliced = F.slice(F.col("t"), F.col("j") * stride + 1, chunk)
+    return exploded.select(
+        "doc_id",
+        F.col("j").cast("int").alias("chunk_id"),
+        (F.col("j") * stride + 1).cast("int").alias("chunk_start"),
+        F.size(sliced).cast("int").alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "streaming_static_enrichment",
+    oracle="""
+        SELECT c.c_mktsegment AS mktsegment, e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_enrichment(spark, sf_dir):
+    """Stream-static enrichment join — the dimension-lookup shape every
+    event pipeline runs (stream joined to a slowly-changing dim table,
+    re-broadcast per micro-batch so dim updates between batches are
+    picked up; no state store involved, unlike stream-stream joins).
+    The stream side never shuffles for the join; the per-segment
+    aggregate is the only stateful operator. Bounded replay == the
+    batch join oracle by construction."""
+    src = _stage_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    enriched = src.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money_sum(_m("value"), "sum_value"),
+    )
+    out_key = f"{spark.sparkContext.applicationId}:{sf_dir}:enrich_out"
+    out_dir = _STAGE_CACHE.get(out_key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="stream_enrich_out_")
+        _STAGE_CACHE[out_key] = out_dir
+
+    def write_batch(batch, _epoch):
+        batch.write.mode("overwrite").parquet(out_dir)
+
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 _STAGE_CACHE: Dict[str, str] = {}
 
 

@@ -141,3 +141,80 @@ def test_simhash_hamming_pairs_equal_brute_force_random(spark, ws, flips):
         .collect()
     }
     assert got == want
+
+
+@SLOW
+@given(ws=st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=90))
+def test_chunking_covers_every_token_and_reconstructs(spark, ws):
+    """Every token position lands in >= 1 chunk; stride-aligned chunk
+    prefixes reconstruct the document exactly."""
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
+        doc_chunking_for_embedding,
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="chunk_prop_")
+    spark.createDataFrame(
+        [(0, " ".join(ws), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = sorted(
+        doc_chunking_for_embedding(spark, d).collect(), key=lambda r: r.chunk_id
+    )
+    n = len(ws)
+    covered = set()
+    for r in rows:
+        assert 1 <= r.chunk_start <= n
+        assert r.n_chunk_tokens == len(r.chunk_text.split(" "))
+        covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+    assert covered == set(range(1, n + 1))
+    # non-overlapping reconstruction: first `stride` tokens of each
+    # chunk, plus the tail of the last one
+    recon = []
+    for r in rows:
+        recon.extend(r.chunk_text.split(" ")[:16])
+    recon.extend(rows[-1].chunk_text.split(" ")[16:])
+    assert recon == ws
+
+
+@SLOW
+@given(ws=st.lists(st.text(alphabet="abcd", min_size=1, max_size=4), min_size=1, max_size=40))
+def test_classifier_score_bounded_by_one(spark, ws):
+    """|score| = |sum w_i| / (n * WEIGHT_SCALE) <= 1 for any text."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+        linear_text_classifier,
+        pseudo_weights,
+    )
+
+    docs = spark.createDataFrame([(1, " ".join(ws))], "doc_id long, text string")
+    out = linear_text_classifier(docs, pseudo_weights(spark, 32), n_buckets=32).collect()
+    assert len(out) == 1
+    assert -1.0 <= out[0].score <= 1.0
+    assert out[0].n_feats == len(ws) + max(len(ws) - 1, 0)
+
+
+@SLOW
+@given(
+    a=st.lists(st.text(alphabet="xy", min_size=1, max_size=2), min_size=1, max_size=20),
+    b=st.lists(st.text(alphabet="xy", min_size=1, max_size=2), min_size=1, max_size=20),
+)
+def test_cluster_split_leakage_invariant(spark, a, b):
+    """Docs with equal bag-of-words ALWAYS share a split, whatever the
+    corpus around them."""
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
+        cluster_aware_split,
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="split_prop_")
+    rows = [
+        (0, " ".join(a), "en", "s", 1),
+        (1, " ".join(reversed(a)), "en", "s", 1),  # same bag
+        (2, " ".join(b), "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in cluster_aware_split(spark, d).collect()}
+    assert out[0].split == out[1].split
+    assert out[0].cluster_rep == out[1].cluster_rep == 0
