@@ -51,6 +51,7 @@ HEADLINE = HEADLINE_R01 + [
     "heavy_hitter_tokens",
     # round-5 additions
     "semdedup_pairs_arrow",
+    "simhash_hamming_pairs_arrow",
     "keyword_search_bm25",
     "quality_classifier_scores",
     "boilerplate_span_coverage",

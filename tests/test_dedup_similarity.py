@@ -494,3 +494,79 @@ def test_pq_self_is_global_adc_minimum(spark):
         # TIE and win on id order, so rank-1 identity is not asserted
         assert rows[0].adist == self_d
         assert any(r.neighbor_id == qid for r in rows[:2])
+
+
+def test_simhash_hamming_blocks_variants_identical(spark):
+    """The block-combination tables (Manku-style wide keys) must return
+    EXACTLY the default banding's pair set — blocks only trades
+    shuffle volume against key collisions, never results."""
+    words = BASE.split()
+    rows = [Row(doc_id=0, text=BASE)]
+    for i in range(1, 30):
+        w = list(words)
+        for j in range(i % 4):
+            w[(i * 3 + j) % len(w)] = f"tok{i}_{j}"
+        rows.append(Row(doc_id=i, text=" ".join(w)))
+    docs = spark.createDataFrame(rows)
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_hamming_pairs(docs, max_distance=3).collect()
+    }
+    for nb in (6, 8):
+        wide = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in DD.simhash_hamming_pairs(docs, max_distance=3, blocks=nb).collect()
+        }
+        assert wide == base, f"blocks={nb} diverged"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="blocks"):
+        DD.simhash_hamming_pairs(docs, max_distance=3, blocks=3)
+
+
+def test_simhash_arrow_pairs_match_brute_force_on_own_signatures(spark):
+    """The arrow pipeline's pair set must equal the brute-force
+    all-pairs compare over ITS OWN signatures (the hash family differs
+    from the JVM fold, so equality is checked within-family)."""
+    words = BASE.split()
+    rows = [Row(doc_id=0, text=BASE)]
+    for i in range(1, 30):
+        w = list(words)
+        for j in range(i % 4):
+            w[(i * 3 + j) % len(w)] = f"tok{i}_{j}"
+        rows.append(Row(doc_id=i, text=" ".join(w)))
+    docs = spark.createDataFrame(rows)
+    k = 3
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_hamming_pairs_arrow(docs, max_distance=k).collect()
+    }
+    sigs = DD.simhash_signatures_arrow(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .collect()
+    }
+    assert got == want
+
+
+def test_simhash_arrow_signatures_deterministic_across_partitionings(spark):
+    """SipHash-keyed signatures must not depend on batch/partition
+    boundaries — same doc, same signature, any layout."""
+    rows = [Row(doc_id=i, text=f"alpha beta gamma delta tok{i} epsilon") for i in range(40)]
+    one = {r.doc_id: r.sig for r in DD.simhash_signatures_arrow(
+        spark.createDataFrame(rows).coalesce(1)).collect()}
+    many = {r.doc_id: r.sig for r in DD.simhash_signatures_arrow(
+        spark.createDataFrame(rows).repartition(13)).collect()}
+    assert one == many
+    # empty + null text -> signature 0, rows preserved
+    edge = spark.createDataFrame([Row(doc_id=100, text=""), Row(doc_id=101, text=None)])
+    sigs = {r.doc_id: r.sig for r in DD.simhash_signatures_arrow(edge).collect()}
+    assert sigs == {100: 0, 101: 0}
