@@ -56,6 +56,12 @@ HEAVY_OPS = [
     # expression fold pays an expression-tree walk per Gram element);
     # the arrow path below is the production hot path at scale
     "semdedup_pairs_arrow",
+    "simhash_hamming_pairs_arrow",
+    "boilerplate_span_coverage",
+    "keyword_search_bm25",
+    "quality_classifier_scores",
+    "doc_chunking_for_embedding",
+    "cluster_aware_split",
 ]
 
 
