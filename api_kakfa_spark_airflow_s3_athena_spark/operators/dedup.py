@@ -612,18 +612,19 @@ def simhash_hamming_pairs(
     )
 
 
-def hamming_pairs_from_sigs(
+def _banded_sigs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
     max_distance: int = 3,
-    max_bucket: int = 4096,
     blocks: Optional[int] = None,
 ) -> DataFrame:
-    """The banding half of :func:`simhash_hamming_pairs`, reusable over
-    ANY 64-bit signature column (JVM fold, Arrow scorer, or a stored
-    signature table — the per-crawl-snapshot shape persists signatures
-    and re-bands only)."""
+    """Pigeonhole band keys for a signature relation: one row per
+    (signature, block-combination table) with the combo's chunks
+    packed into an equality-joinable struct key. Row-local bit ops
+    only — banding a STORED signature table costs no re-hash of text,
+    which is what makes the incremental path cheap. Columns:
+    ``(id, sig, band, key)``."""
     from itertools import combinations
 
     nblocks = blocks if blocks is not None else max_distance + 1
@@ -644,7 +645,7 @@ def hamming_pairs_from_sigs(
         )
 
     combos = list(combinations(range(nblocks), nblocks - max_distance))
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col).alias("id"),
         F.col("sig"),
         F.explode(
@@ -652,8 +653,6 @@ def hamming_pairs_from_sigs(
                 *[
                     F.struct(
                         F.lit(t).alias("band"),
-                        # key = the combo's chunks packed into a struct
-                        # (equality-joinable; avoids >63-bit packing)
                         F.struct(
                             *[
                                 chunk_bits(c).alias(f"c{i}")
@@ -666,6 +665,21 @@ def hamming_pairs_from_sigs(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.key")
+
+
+def hamming_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_distance: int = 3,
+    max_bucket: int = 4096,
+    blocks: Optional[int] = None,
+) -> DataFrame:
+    """The banding half of :func:`simhash_hamming_pairs`, reusable over
+    ANY 64-bit signature column (JVM fold, Arrow scorer, or a stored
+    signature table — the per-crawl-snapshot shape persists signatures
+    and re-bands only)."""
+    banded = _banded_sigs(sigs, id_col, sig_col, max_distance, blocks)
 
     grouped = (
         banded.groupBy("band", "key")
@@ -875,4 +889,74 @@ def simhash_hamming_pairs_arrow(
         max_distance=max_distance,
         max_bucket=max_bucket,
         blocks=blocks,
+    )
+
+
+def simhash_delta_hamming_pairs(
+    delta: DataFrame,
+    sig_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    shingle_n: int = 2,
+    seed: int = 7,
+    max_bucket: int = 4096,
+    blocks: Optional[int] = None,
+) -> DataFrame:
+    """Incremental SimHash dedup: Hamming-<=d pairs touching a NEW
+    batch, found against a PERSISTED signature table — the simhash
+    twin of :func:`minhash_delta_dedup_pairs`.
+
+    ``sig_index`` is ``simhash_signatures_arrow(corpus)`` written once
+    (8 bytes/doc); the corpus text is NEVER touched again — banding a
+    stored signature is row-local bit ops, and the exact verify is
+    ``bit_count`` over signatures already in hand (unlike MinHash,
+    which must re-fetch text for the Jaccard verify). Per batch:
+
+    1. signature + band the DELTA only (the one Arrow pass);
+    2. the delta's distinct (band, key) set is BROADCAST against the
+       banded index — map-side filter, no index shuffle;
+    3. hot-bucket census bounded by the buckets the delta touches;
+    4. pairs = delta bands x surviving slice, exact Hamming filter —
+       every pair touches the delta by construction (delta-delta
+       included; index rows for re-ingested delta ids are replaced by
+       the delta's fresh signatures via an anti-join).
+
+    Equivalence: output == ``hamming_pairs_from_sigs(all sigs)``
+    restricted to delta-touching pairs (test-pinned). Returns
+    distinct ``(id_a, id_b, hamming)``, id_a < id_b.
+    """
+    dsigs = simhash_signatures_arrow(
+        delta, text_col=text_col, id_col=id_col, shingle_n=shingle_n, seed=seed
+    )
+    dband = _banded_sigs(dsigs, id_col, "sig", max_distance, blocks).cache()
+    idx = sig_index.join(F.broadcast(delta.select(id_col)), id_col, "left_anti")
+    all_b = _banded_sigs(idx, id_col, "sig", max_distance, blocks).unionByName(dband)
+    dkeys = dband.select("band", "key").distinct()
+    hit = all_b.join(F.broadcast(dkeys), ["band", "key"]).cache()
+    keep = (
+        hit.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .select("band", "key")
+    )
+    hit_kept = hit.join(F.broadcast(keep), ["band", "key"])
+    return (
+        dband.select(
+            "band", "key", F.col("id").alias("__d"), F.col("sig").alias("__ds")
+        )
+        .join(
+            hit_kept.select(
+                "band", "key", F.col("id").alias("__c"), F.col("sig").alias("__cs")
+            ),
+            ["band", "key"],
+        )
+        .filter(F.col("__d") != F.col("__c"))
+        .select(
+            F.least("__d", "__c").alias("id_a"),
+            F.greatest("__d", "__c").alias("id_b"),
+            F.bit_count(F.col("__ds").bitwiseXOR(F.col("__cs"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )

@@ -2509,6 +2509,117 @@ def simhash_hamming_pairs_arrow(spark, sf_dir):
     )
 
 
+def _simhash_delta_inputs(spark, sf_dir):
+    """Stage the incremental-simhash inputs: (delta, corpus, persisted
+    signature index read back from parquet — 8 bytes/doc, written once
+    per snapshot at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    offset = 10_000_000
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    plant_cond = (
+        (F.col("doc_id") % 9 == 2)
+        & (F.col("doc_id") % 5 != 0)
+        & (F.length("text") > 50)
+    )
+    plants = docs.filter(plant_cond).withColumn("doc_id", F.col("doc_id") + offset)
+    delta = docs.filter(F.col("doc_id") % 5 == 0).unionByName(plants)
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:sh_index"
+    idx_dir = _STAGE_CACHE.get(key)
+    if idx_dir is None:
+        idx_dir = tempfile.mkdtemp(prefix="sh_index_")
+        DD.simhash_signatures_arrow(corpus).write.mode("overwrite").parquet(idx_dir)
+        _STAGE_CACHE[key] = idx_dir
+    index = spark.read.parquet(idx_dir)
+    return delta, corpus, index, plant_cond, offset
+
+
+@register(
+    "simhash_delta_incremental",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corpus,
+               CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delta_new,
+               CAST(SUM(CASE WHEN doc_id % 9 = 2 AND doc_id % 5 <> 0
+                             AND length(text) > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_planted,
+               true AS planted_recall_ok,
+               true AS pairs_touch_delta,
+               true AS hamming_verified_ok
+        FROM documents
+    """,
+    tags=("dedup", "lsh", "incremental", "arrow"),
+    bench_fn=lambda spark, sf_dir: (
+        lambda delta, _corpus, index, *_: DD.simhash_delta_hamming_pairs(
+            delta, index, max_distance=3
+        )
+    )(*_simhash_delta_inputs(spark, sf_dir)),
+)
+def simhash_delta_incremental(spark, sf_dir):
+    """Incremental SimHash dedup against a PERSISTED 8-byte-per-doc
+    signature table (simhash twin of delta_dedup_incremental; the
+    corpus text is never touched after the index write — banding a
+    stored signature is row-local bit ops). Contract: planted exact
+    copies of corpus docs (doc_id % 9 == 2, id +10M) in the delta are
+    recovered THROUGH THE INDEX at distance 0 (identical text =>
+    identical Arrow signature, pigeonhole recall 1.0); every emitted
+    pair touches the delta; every Hamming distance re-verified from a
+    fresh signature pass. Full-banding equivalence restricted to
+    delta-touching pairs is pinned in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    delta, corpus, index, plant_cond, offset = _simhash_delta_inputs(spark, sf_dir)
+    pairs = DD.simhash_delta_hamming_pairs(
+        delta, index, max_distance=3
+    ).localCheckpoint(eager=True)
+    is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
+        F.col("id_a") % 9 == 2
+    )
+    in_delta = lambda c: (c % 5 == 0) | (c >= offset)  # noqa: E731
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    texts = corpus.unionByName(delta)
+    sigs = DD.simhash_signatures_arrow(
+        texts.join(F.broadcast(pair_ids), "doc_id", "leftsemi")
+    ).select("doc_id", F.col("sig").alias("sig2"))
+    rechecked = pairs.join(
+        sigs.select(F.col("doc_id").alias("id_a"), F.col("sig2").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("id_b"), F.col("sig2").alias("sig_b")),
+        "id_b",
+    ).withColumn("h2", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+    pair_agg = rechecked.agg(
+        F.sum((is_planted_pair & (F.col("hamming") == 0)).cast("long")).alias(
+            "n_recovered"
+        ),
+        F.coalesce(F.min(in_delta(F.col("id_a")) | in_delta(F.col("id_b"))), F.lit(True)).alias(
+            "pairs_touch_delta"
+        ),
+        F.coalesce(
+            F.min((F.col("h2") == F.col("hamming")) & (F.col("h2") <= 3)),
+            F.lit(True),
+        ).alias("hamming_verified_ok"),
+    )
+    doc_agg = docs.agg(
+        F.sum((F.col("doc_id") % 5 != 0).cast("long")).cast("long").alias("n_corpus"),
+        F.sum((F.col("doc_id") % 5 == 0).cast("long")).cast("long").alias("n_delta_new"),
+        F.sum(plant_cond.cast("long")).cast("long").alias("n_planted"),
+    )
+    return doc_agg.crossJoin(pair_agg).select(
+        "n_corpus",
+        "n_delta_new",
+        "n_planted",
+        (F.coalesce(F.col("n_recovered"), F.lit(0)) == F.col("n_planted")).alias(
+            "planted_recall_ok"
+        ),
+        "pairs_touch_delta",
+        "hamming_verified_ok",
+    )
+
+
 @register(
     "semdedup_pairs_arrow",
     oracle="""

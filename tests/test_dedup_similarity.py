@@ -570,3 +570,52 @@ def test_simhash_arrow_signatures_deterministic_across_partitionings(spark):
     edge = spark.createDataFrame([Row(doc_id=100, text=""), Row(doc_id=101, text=None)])
     sigs = {r.doc_id: r.sig for r in DD.simhash_signatures_arrow(edge).collect()}
     assert sigs == {100: 0, 101: 0}
+
+
+def test_simhash_delta_equivalence_with_full_banding(spark):
+    """Delta pairs through the persisted signature index == full
+    banding over corpus+delta restricted to delta-touching pairs."""
+    words = BASE.split()
+    rows = []
+    for i in range(40):
+        w = list(words)
+        for j in range(i % 4):
+            w[(i * 3 + j) % len(w)] = f"tok{i}_{j}"
+        rows.append(Row(doc_id=i, text=" ".join(w)))
+    all_docs = spark.createDataFrame(rows)
+    corpus = all_docs.filter(F.col("doc_id") % 5 != 0)
+    delta = all_docs.filter(F.col("doc_id") % 5 == 0)
+
+    index = DD.simhash_signatures_arrow(corpus)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_delta_hamming_pairs(delta, index, max_distance=3).collect()
+    }
+    full = DD.hamming_pairs_from_sigs(
+        DD.simhash_signatures_arrow(all_docs), max_distance=3
+    )
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in full.collect()
+        if r.id_a in delta_ids or r.id_b in delta_ids
+    }
+    assert got == want and got  # non-vacuous
+
+
+def test_simhash_delta_reingested_id_uses_fresh_signature(spark):
+    """A doc_id present in both index and delta must use the DELTA's
+    text: the stale index signature is replaced, no duplicate pairs."""
+    corpus = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c d e f"), Row(doc_id=1, text="a b c d e f")]
+    )
+    index = DD.simhash_signatures_arrow(corpus)
+    # doc 1 re-ingested with totally different text + a new exact dup of 0
+    delta = spark.createDataFrame(
+        [Row(doc_id=1, text="q r s t u v w x y z"), Row(doc_id=2, text="a b c d e f")]
+    )
+    pairs = DD.simhash_delta_hamming_pairs(delta, index, max_distance=0).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 2) in got          # new exact dup found through the index
+    assert (0, 1) not in got      # stale signature for 1 must NOT match
+    assert len(pairs) == len(got)  # no duplicate rows
