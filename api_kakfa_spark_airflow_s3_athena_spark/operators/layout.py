@@ -34,7 +34,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_write"]
+__all__ = ["export_shard", "sharded_export", "zorder_value", "zorder_write"]
 
 
 def zorder_value(codes: Sequence[Column], bits: int = 10) -> Column:
@@ -117,3 +117,52 @@ def zorder_write(
         .parquet(path)
     )
     return resolved
+
+
+def export_shard(id_col: Column, n_shards: int) -> Column:
+    """Deterministic shard assignment for training-data export: the
+    16-bit hex prefix of ``md5(id)`` mod ``n_shards``. Same coin
+    family as `plans/queries.deterministic_sample` — reproducible
+    across engines, runs, partitionings, and retries, with no seed
+    plumbing; a uniform 16-bit coin keeps shards balanced to ~1/256
+    for any n_shards well under 65536."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("int")
+
+
+def sharded_export(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> None:
+    """The deterministic global shuffle a training export needs: every
+    row goes to shard ``md5(id) % n_shards`` (`export_shard`) and is
+    ordered INSIDE its shard by the full md5 key — a pseudo-random
+    interleave of the whole corpus that any engine can reproduce and
+    any failed run can resume (shards are independent; rewriting one
+    is idempotent). ``rand()``-based shuffles have none of those
+    properties.
+
+    Layout: ``path/shard=<k>/`` via ``partitionBy`` after one
+    repartition ON the shard column, so each task writes exactly one
+    shard file and the exchange carries each row once. Readers that
+    stream shards in shard order then rows in file order see a stable
+    global permutation. At 100 TB pick ``n_shards`` so a shard is a
+    few GB (the unit of retry and of reader parallelism).
+    """
+    out = (
+        df.withColumn("__shard", export_shard(F.col(id_col), n_shards))
+        .withColumn("__key", F.md5(F.col(id_col).cast("string")))
+        .repartition(n_shards, F.col("__shard"))
+        .sortWithinPartitions("__shard", "__key")
+        .drop("__key")
+    )
+    (
+        out.write.mode("overwrite")
+        .partitionBy("__shard")
+        .parquet(path)
+    )

@@ -27,7 +27,7 @@ from typing import Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_partials"]
+__all__ = ["salted_agg", "salted_join", "salted_partials"]
 
 
 def salted_partials(
@@ -68,3 +68,52 @@ def salted_agg(
     """
     partial = salted_partials(df, keys, measures, salt_buckets)
     return partial.groupBy(*keys).agg(*[f.alias(name) for _, f, name in measures])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join for skewed keys: the (big, skewed) ``left``
+    side gets a per-row salt, the ``right`` side is replicated once
+    per salt value, and the join runs on ``(*on, __salt)`` — so a hot
+    key's probe rows spread over ``salt_buckets`` reducers instead of
+    serializing on one. Result is row-identical to the plain join.
+
+    When to use instead of AQE's OptimizeSkewedJoin (which is the
+    first choice): AQE can only split a *bare shuffle stage* at
+    *mapper boundaries* (tests/test_skew.py pins both preconditions),
+    so a skewed join whose child is an unmaterialized aggregate, or
+    whose hot key sits inside one mapper, still serializes. Salting is
+    the plan-level fix that works unconditionally.
+
+    Cost model at 100 TB: the right side is shuffled ``salt_buckets``
+    times over — so use this when right is far smaller than left (but
+    too big or too dynamic to broadcast) and left's key histogram is
+    Zipf. The salt hashes ``monotonically_increasing_id()`` — per-row,
+    never key-derived (a key-derived salt sends every hot-key row to
+    the same bucket and the operator degrades to an expensive
+    identity).
+
+    ``how``: "inner" or "left". Left rows carry exactly one salt and
+    match only the one replica with that salt, so left-outer semantics
+    (unmatched rows survive once, with NULLs) are preserved exactly.
+    Right/full-outer would see every unmatched right row
+    ``salt_buckets`` times — not supported.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), F.lit(0x5A17)),
+        F.lit(salt_buckets),
+    ).cast("int")
+    salted_left = left.withColumn("__salt", salt)
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_left.join(
+        replicated_right, [*on, "__salt"], how
+    ).drop("__salt")

@@ -6789,6 +6789,99 @@ def curation_pipeline_v2(spark, sf_dir):
     )
 
 
+@register(
+    "salted_join_segment_events",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("skew", "join", "agg"),
+)
+def salted_join_segment_events(spark, sf_dir):
+    """Event enrichment through the salted join (`operators/skew.
+    salted_join`): events carry a Zipf-ish user key, the customer dim
+    is replicated once per salt, the join runs on (key, salt) — so a
+    hot user's rows spread over 8 reducers instead of serializing on
+    one. The oracle is the PLAIN join: salting must be result-
+    transparent (row-identical output, same rollup). This is the
+    fallback for skew that AQE's OptimizeSkewedJoin cannot split —
+    non-bare shuffle stages and single-mapper hot keys
+    (tests/test_skew.py pins both preconditions)."""
+    from ..operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(e, c, ["c_custkey"], salt_buckets=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(MONEY)), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumnRenamed("c_mktsegment", "segment")
+    )
+
+
+N_EXPORT_SHARDS = 8
+
+
+@register(
+    "export_shard_manifest",
+    oracle=f"""
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % {N_EXPORT_SHARDS} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT)
+                   AS total_tokens,
+               min(md5(CAST(doc_id AS VARCHAR))) AS first_key,
+               max(md5(CAST(doc_id AS VARCHAR))) AS last_key
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("llm-pipeline", "export", "layout"),
+)
+def export_shard_manifest(spark, sf_dir):
+    """Manifest of the deterministic training-export shuffle
+    (`operators/layout.sharded_export`): every document is assigned a
+    shard by an md5 coin on its id and ordered inside the shard by the
+    full md5 — a global pseudo-random interleave that is reproducible
+    across engines, runs, partitionings, and retries (the property a
+    resumable 100 TB export needs; ``rand()`` has none of them). The
+    manifest is the audit artifact: per-shard doc/token budget plus
+    the shard's order-key range. Balance is structural — a 16-bit
+    uniform coin mod {N_EXPORT_SHARDS}. One exchange on the skinny
+    (shard, key, n_tok) projection; the texts themselves would move
+    once, in the write."""
+    from ..operators.layout import export_shard
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    key = F.md5(F.col("doc_id").cast("string"))
+    return (
+        d.select(
+            export_shard(F.col("doc_id"), N_EXPORT_SHARDS).alias("shard"),
+            key.alias("key"),
+            F.size(toks).cast("long").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("key").alias("first_key"),
+            F.max("key").alias("last_key"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #

@@ -105,3 +105,62 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain_inner_and_left(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.skew import salted_join
+
+    # hot key 7 (400 rows), cold keys, plus keys 900+ with no dim match
+    rows = (
+        [Row(k=7, v=i) for i in range(400)]
+        + [Row(k=i % 50, v=i) for i in range(200)]
+        + [Row(k=900 + i, v=i) for i in range(5)]
+    )
+    left = spark.createDataFrame(rows).repartition(8)
+    right = spark.createDataFrame(
+        [Row(k=i, label=f"dim{i}") for i in range(60)]
+    )
+
+    def multiset(df):
+        out = {}
+        for r in df.collect():
+            key = tuple(sorted(r.asDict().items()))
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    for how in ("inner", "left"):
+        plain = multiset(left.join(right, ["k"], how))
+        salted = multiset(salted_join(left, right, ["k"], 8, how))
+        assert salted == plain, how
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    import pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full")
+
+
+def test_salted_join_hot_key_spreads(spark):
+    """The hot key's probe rows must occupy >1 (key, salt) group —
+    otherwise the replicated join degraded to the plain single-reducer
+    layout (the key-derived-salt failure mode)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [Row(k=7, v=i) for i in range(2000)]
+    ).repartition(8)
+    right = spark.createDataFrame([Row(k=7, label="hot")])
+    joined = salted_join(left, right, ["k"], salt_buckets=8)
+    assert joined.count() == 2000
+    # reconstruct the salt the operator applies: per-row, id-hashed
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), F.lit(0x5A17)), F.lit(8)
+    )
+    n_buckets = (
+        left.withColumn("__salt", salt).select("__salt").distinct().count()
+    )
+    assert n_buckets > 1
