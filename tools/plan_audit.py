@@ -49,6 +49,8 @@ AUDIT = [
     "boilerplate_span_coverage",
     "semdedup_pairs_arrow",
     "ann_pq_adc_topk",
+    "salted_join_segment_events",
+    "export_shard_manifest",
 ]
 
 
