@@ -6882,6 +6882,103 @@ def export_shard_manifest(spark, sf_dir):
     )
 
 
+def _fuzzy_decon_inputs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    offset = 20_000_000
+    eval_d = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+    plant_cond = (F.col("doc_id") % 39 == 0) & (F.length("text") > 50)
+    plants = (
+        docs.filter(plant_cond)
+        .select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id", "text")
+        .unionByName(plants)
+    )
+    return eval_d, train, plant_cond, offset
+
+
+def _fuzzy_decon_bare(spark, sf_dir):
+    eval_d, train, _, _ = _fuzzy_decon_inputs(spark, sf_dir)
+    index = DD.minhash_band_index(
+        train, "text", "doc_id", num_hashes=32, bands=8
+    )
+    return DD.minhash_delta_dedup_pairs(
+        eval_d, train, index, threshold=0.5, num_hashes=32, bands=8
+    )
+
+
+@register(
+    "fuzzy_decontamination",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_eval,
+               CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train,
+               CAST(SUM(CASE WHEN doc_id % 39 = 0 AND length(text) > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+               true AS planted_flagged_ok,
+               true AS pairs_touch_eval,
+               true AS jaccard_verified_ok
+        FROM documents
+    """,
+    tags=("llm-pipeline", "dedup", "decontamination"),
+    bench_fn=_fuzzy_decon_bare,
+)
+def fuzzy_decontamination(spark, sf_dir):
+    """NEAR-duplicate eval decontamination — the fuzzy complement to
+    the exact-trigram `contamination_check`: train docs whose Jaccard
+    with any held-out eval doc clears 0.5 are flagged for removal, via
+    the delta-dedup machinery with the EVAL set as the delta (eval is
+    tiny, so only eval is shingled against the train band index —
+    the train corpus is never re-shingled, the per-benchmark shape a
+    100 TB pipeline runs for every eval suite it protects). Split:
+    eval = doc_id % 13 == 0, train = the rest plus planted verbatim
+    copies of eval docs (doc_id % 39 == 0, id +20M) — contaminated by
+    construction. Contract: every planted copy is flagged through the
+    index (recall 1.0), every emitted pair touches the eval side, and
+    every flagged Jaccard re-verifies from independent string
+    shingles. Eval/train/plant counts cross the engine compare."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_d, train, plant_cond, offset = _fuzzy_decon_inputs(spark, sf_dir)
+    pairs = _fuzzy_decon_bare(spark, sf_dir).localCheckpoint(eager=True)
+    is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
+        F.col("id_a") % 39 == 0
+    )
+    is_eval = lambda c: (c % 13 == 0) & (c < offset)  # noqa: E731
+    rechecked = _shingle_jaccard_recheck(
+        pairs, train.unionByName(eval_d)
+    )
+    pair_agg = rechecked.agg(
+        F.sum(is_planted_pair.cast("long")).alias("n_recovered"),
+        F.coalesce(
+            F.min(is_eval(F.col("id_a")) | is_eval(F.col("id_b"))), F.lit(True)
+        ).alias("pairs_touch_eval"),
+        F.coalesce(
+            F.min(
+                (F.col("j2") >= 0.5) & (F.abs(F.col("j2") - F.col("jaccard")) < 1e-6)
+            ),
+            F.lit(True),
+        ).alias("jaccard_verified_ok"),
+    )
+    doc_agg = docs.agg(
+        F.sum((F.col("doc_id") % 13 == 0).cast("long")).alias("n_eval"),
+        F.sum((F.col("doc_id") % 13 != 0).cast("long")).alias("n_train"),
+        F.sum(plant_cond.cast("long")).alias("n_planted"),
+    )
+    return doc_agg.crossJoin(pair_agg).select(
+        "n_eval",
+        "n_train",
+        "n_planted",
+        (F.coalesce(F.col("n_recovered"), F.lit(0)) == F.col("n_planted")).alias(
+            "planted_flagged_ok"
+        ),
+        "pairs_touch_eval",
+        "jaccard_verified_ok",
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
