@@ -42,6 +42,8 @@ __all__ = [
     "minhash_band_index",
     "minhash_dedup_pairs",
     "minhash_delta_dedup_pairs",
+    "minhash_signatures_arrow",
+    "minhash_dedup_pairs_arrow",
     "shingle_hashes",
     "simhash",
     "simhash_dedup_pairs",
@@ -271,6 +273,19 @@ def minhash_band_index(
             _shingles_from_th(F.col("th"), shingle_n), num_hashes
         ).alias("sig"),
     )
+    return _bands_from_sig(with_sig, id_col, num_hashes, bands)
+
+
+def _bands_from_sig(
+    with_sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band a ``(id, sig array<bigint>)`` frame into ``(id, band,
+    bucket)`` rows: each band's bucket is the xxhash64 of its slice of
+    the signature, so downstream candidate generation shuffles 3 small
+    ints per doc per band — never the signature, never the text.
+    Shared by the JVM and Arrow signature families (the bucket hash is
+    family-agnostic: any array<bigint> signature bands the same way)."""
+    bins_per_band = num_hashes // bands
     return with_sig.select(
         F.col(id_col),
         F.explode(
@@ -292,6 +307,36 @@ def minhash_band_index(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
+
+
+def _pairs_from_bands(
+    banded: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """Distinct ordered candidate pairs from an ``(id, band, bucket)``
+    frame: group each bucket into its sorted id list and explode
+    ordered pairs — one aggregation instead of a self-join (~3x
+    faster, same output). Buckets over ``max_bucket`` are dropped (a
+    size-k bucket yields k²/2 pairs; near-dups still meet in their
+    other, more selective bands)."""
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a: F.transform(
+                F.filter(F.col("ids"), lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
 
 
 def minhash_candidates(
@@ -321,26 +366,7 @@ def minhash_candidates(
     banded = minhash_band_index(
         df, text_col, id_col, num_hashes, bands, shingle_n, seed
     )
-
-    grouped = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a: F.transform(
-                F.filter(F.col("ids"), lambda b: b > a),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    return _pairs_from_bands(banded, id_col, max_bucket)
 
 
 def jaccard(a_tokens: Column, b_tokens: Column) -> Column:
@@ -960,3 +986,134 @@ def simhash_delta_hamming_pairs(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bins: int = 64,
+    shingle_n: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """Densified one-permutation MinHash signatures via vectorized
+    Arrow batches — the throughput path for the signature pass, which
+    dominates the banded pipeline's cost exactly as it does for
+    SimHash (see :func:`simhash_signatures_arrow`; same measurement
+    logic, same fix).
+
+    Per batch everything is C-speed: pandas ``str.split`` tokenize,
+    shingles as one vectorized ``str.cat`` over shifted flat arrays,
+    SipHash via ``pd.util.hash_array`` (seeded through ``hash_key``,
+    deterministic across processes/machines), per-(doc, bin) minima
+    via ``np.minimum.at`` on a dense (docs x bins) matrix, and
+    rotation densification (Shrivastava & Li 2014: an empty bin takes
+    the value of the next occupied bin, wrapping past the end) as two
+    vectorized reverse scans over the bin axis.
+
+    Output schema ``(id, sig array<bigint>)`` matches the JVM family
+    (:func:`oph_minhash_dense` upstream of :func:`minhash_band_index`)
+    so the SAME banding/pair-generation helpers consume either. The
+    shingle hash family differs from the JVM fold's xxhash64, so
+    SIGNATURES DIFFER from the JVM path — both are valid OPH
+    instantiations (identical text => identical signature within a
+    family), but the two families' signatures must not be mixed in
+    one index. Docs with no shingles yield an all-null signature,
+    matching the JVM path's empty-doc banding sentinel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    hash_key = f"{seed:016d}"[-16:]
+    MAXU = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def gen(batches):
+        for pdf in batches:
+            n_docs = len(pdf)
+            if not n_docs:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            toks = pdf[text_col].fillna("").str.split()
+            lens = toks.str.len().fillna(0).astype(int).to_numpy()
+            total = int(lens.sum())
+            M = np.full((n_docs, num_bins), MAXU, dtype=np.uint64)
+            if total:
+                flat = np.empty(total, dtype=object)
+                pos = 0
+                for lst in toks:
+                    if lst:
+                        flat[pos : pos + len(lst)] = lst
+                        pos += len(lst)
+                doc_idx = np.repeat(np.arange(n_docs), lens)
+                m = total - (shingle_n - 1)
+                if m > 0:
+                    keep = np.ones(m, dtype=bool)
+                    for k in range(1, shingle_n):
+                        keep &= doc_idx[:m] == doc_idx[k : k + m]
+                    sh = pd.Series(flat[:m][keep], dtype=object)
+                    for k in range(1, shingle_n):
+                        sh = sh.str.cat(
+                            pd.Series(flat[k : k + m][keep], dtype=object), sep=" "
+                        )
+                    sh_doc = doc_idx[:m][keep]
+                    if len(sh):
+                        h = pd.util.hash_array(
+                            sh.to_numpy(dtype=object), hash_key=hash_key
+                        )
+                        bins = (h % np.uint64(num_bins)).astype(np.int64)
+                        np.minimum.at(M, (sh_doc, bins), h)
+            occ = M != MAXU
+            any_occ = occ.any(axis=1)
+            # rotation densification: two reverse scans; after pass 1
+            # the carry holds the lowest occupied bin's value, which is
+            # exactly the wrap target pass 2 seeds the tail with
+            out = M.copy()
+            carry = np.zeros(n_docs, dtype=np.uint64)
+            for _ in range(2):
+                for b in range(num_bins - 1, -1, -1):
+                    o = occ[:, b]
+                    carry = np.where(o, M[:, b], carry)
+                    out[:, b] = np.where(o, M[:, b], carry)
+            signed = out.view(np.int64)
+            none_row = [None] * num_bins
+            sigs = [
+                signed[i].tolist() if any_occ[i] else none_row
+                for i in range(n_docs)
+            ]
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"{id_col} long, sig array<long>"
+    )
+
+
+def minhash_dedup_pairs_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """:func:`minhash_dedup_pairs` with the Arrow signature pass —
+    identical banding (:func:`_bands_from_sig`), identical pair
+    generation (:func:`_pairs_from_bands`), and the SAME exact-Jaccard
+    verification (:func:`_verify_jaccard` compares hashed shingle
+    SETS, which is hash-family-agnostic: set Jaccard over 64-bit
+    shingle hashes equals string-shingle Jaccard up to ~2^-64
+    collisions). Only candidate RECALL depends on the signature
+    family; every emitted pair is exactly verified either way."""
+    sigs = minhash_signatures_arrow(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_bins=num_hashes,
+        shingle_n=shingle_n,
+        seed=seed,
+    )
+    banded = _bands_from_sig(sigs, id_col, num_hashes, bands)
+    cands = _pairs_from_bands(banded, id_col, max_bucket).cache()
+    return _verify_jaccard(cands, df, text_col, id_col, threshold, shingle_n, seed)

@@ -1692,6 +1692,68 @@ def minhash_near_dup_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "minhash_near_dup_pairs_arrow",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 41 = 0 AND length(text) > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+               true AS planted_recall_ok,
+               true AS pairs_verified_ok
+        FROM documents
+    """,
+    tags=("dedup", "lsh", "arrow"),
+    bench_fn=lambda spark, sf_dir: DD.minhash_dedup_pairs_arrow(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=32, bands=8
+    ),
+)
+def minhash_near_dup_pairs_arrow(spark, sf_dir):
+    """minhash_near_dup_pairs with the VECTORIZED signature pass
+    (pd.util.hash_array SipHash shingles + numpy per-bin minima +
+    vectorized rotation densification — the same Arrow rewrite that
+    bought simhash 14x at 500k docs, where the signature pass
+    dominates). Banding, pair generation, and the exact-Jaccard
+    verify are the SAME code as the JVM path; only the signature
+    family differs, so this carries its own planted contract:
+    (a) planted exact-text duplicates (doc_id % 41, id offset +10M)
+    — identical text means identical Arrow signatures, so banding
+    recall on plants is 1.0 by construction — all recovered; (b)
+    every emitted pair's Jaccard recomputed independently from exact
+    STRING shingles clears the 0.5 threshold and agrees with the
+    emitted value. BENCH times the bare operator (``bench_fn``)."""
+    docs = _t(spark, sf_dir, "documents")
+    offset = 10_000_000
+    corpus, plant_cond = _planted_docs(docs, 41, offset)
+    pairs = DD.minhash_dedup_pairs_arrow(
+        corpus, threshold=0.5, num_hashes=32, bands=8
+    ).localCheckpoint(eager=True)
+    is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
+        F.col("id_a") % 41 == 0
+    )
+    doc_agg = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(plant_cond.cast("long")).cast("long").alias("n_planted"),
+    )
+    rechecked = _shingle_jaccard_recheck(pairs, corpus)
+    pair_agg = rechecked.agg(
+        F.sum(is_planted_pair.cast("long")).alias("n_recovered"),
+        F.coalesce(
+            F.min(
+                (F.col("j2") >= 0.5) & (F.abs(F.col("j2") - F.col("jaccard")) < 1e-6)
+            ),
+            F.lit(True),
+        ).alias("pairs_verified_ok"),
+    )
+    return doc_agg.crossJoin(pair_agg).select(
+        "n_docs",
+        "n_planted",
+        (F.coalesce(F.col("n_recovered"), F.lit(0)) == F.col("n_planted")).alias(
+            "planted_recall_ok"
+        ),
+        "pairs_verified_ok",
+    )
+
+
 def _delta_dedup_inputs(spark, sf_dir):
     """Stage the incremental-dedup inputs: (delta, corpus, persisted
     index read back from parquet). The index is built once per session

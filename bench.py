@@ -52,6 +52,7 @@ HEADLINE = HEADLINE_R01 + [
     # round-5 additions
     "semdedup_pairs_arrow",
     "simhash_hamming_pairs_arrow",
+    "minhash_near_dup_pairs_arrow",
     "simhash_delta_incremental",
     "keyword_search_bm25",
     "quality_classifier_scores",

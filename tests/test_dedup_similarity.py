@@ -619,3 +619,100 @@ def test_simhash_delta_reingested_id_uses_fresh_signature(spark):
     assert (0, 2) in got          # new exact dup found through the index
     assert (0, 1) not in got      # stale signature for 1 must NOT match
     assert len(pairs) == len(got)  # no duplicate rows
+
+
+def test_minhash_arrow_finds_planted_near_dups(spark):
+    """Same planted corpus as the JVM path: exact dup always survives
+    (identical text => identical Arrow signatures => same band
+    buckets), near dup caught, unrelated docs never paired."""
+    pairs = DD.minhash_dedup_pairs_arrow(
+        _docs(spark), threshold=0.5, num_hashes=32, bands=16, shingle_n=3
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 2) in found or (1, 2) in found
+    for r in pairs:
+        assert not (r.id_a in (3, 4) or r.id_b in (3, 4))
+    # the reported jaccard is EXACT (same verify stage as the JVM path)
+    j = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert j[(0, 1)] == 1.0
+
+
+def test_minhash_arrow_signatures_deterministic_across_partitionings(spark):
+    """SipHash-keyed signatures must not depend on batch/partition
+    boundaries — same doc, same signature, any layout."""
+    rows = [
+        Row(doc_id=i, text=f"alpha beta gamma delta tok{i} epsilon zeta eta")
+        for i in range(40)
+    ]
+    one = {r.doc_id: tuple(r.sig) for r in DD.minhash_signatures_arrow(
+        spark.createDataFrame(rows).coalesce(1)).collect()}
+    many = {r.doc_id: tuple(r.sig) for r in DD.minhash_signatures_arrow(
+        spark.createDataFrame(rows).repartition(13)).collect()}
+    assert one == many
+    assert all(len(s) == 64 and all(v is not None for v in s) for s in one.values())
+
+
+def test_minhash_arrow_densification_matches_reference(spark):
+    """The vectorized rotation densification must equal a transparent
+    per-doc Python reimplementation (empty bin takes the value of the
+    next occupied bin, wrapping past the end to the first) over the
+    SAME shingle hashes."""
+    import pandas as pd
+
+    num_bins = 16
+    texts = {
+        0: "a b c d e f g h i j",
+        1: "one two three four five",
+        2: "x y z",          # exactly one 3-shingle -> 1 occupied bin
+        3: "p q",            # too short: no shingles -> all-null sig
+        4: "",
+    }
+    df = spark.createDataFrame([Row(doc_id=k, text=v) for k, v in texts.items()])
+    got = {
+        r.doc_id: r.sig
+        for r in DD.minhash_signatures_arrow(
+            df, num_bins=num_bins, shingle_n=3, seed=1
+        ).collect()
+    }
+
+    hash_key = f"{1:016d}"[-16:]
+    for doc_id, text in texts.items():
+        toks = text.split()
+        shingles = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+        if not shingles:
+            assert got[doc_id] == [None] * num_bins
+            continue
+        h = pd.util.hash_array(np.array(shingles, dtype=object), hash_key=hash_key)
+        bins = {}
+        for v in h:
+            # int() BEFORE the modulo: numpy uint64 % python int
+            # promotes to float64 and loses the low bits
+            b = int(v) % num_bins
+            bins[b] = min(bins.get(b, 1 << 64), int(v))
+        # rotation: empty bin i takes the next occupied bin ABOVE it,
+        # wrapping past the end to the LOWEST occupied bin
+        expected = []
+        occupied = sorted(bins)
+        for b in range(num_bins):
+            if b in bins:
+                expected.append(bins[b])
+            else:
+                above = [o for o in occupied if o > b]
+                src = above[0] if above else occupied[0]
+                expected.append(bins[src])
+        signed = [v - (1 << 64) if v >= (1 << 63) else v for v in expected]
+        assert got[doc_id] == signed, f"doc {doc_id}"
+
+
+def test_minhash_arrow_empty_docs_band_together_harmlessly(spark):
+    """Docs with no shingles get all-null signatures; the banding
+    sentinel groups them into one bucket whose pairs then verify at
+    Jaccard 0 and are filtered by any positive threshold."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text=None), Row(doc_id=2, text="x y")]
+    )
+    pairs = DD.minhash_dedup_pairs_arrow(df, threshold=0.1, num_hashes=32, bands=8).collect()
+    assert pairs == []
