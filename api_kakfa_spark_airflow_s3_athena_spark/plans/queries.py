@@ -7041,6 +7041,212 @@ def fuzzy_decontamination(spark, sf_dir):
     )
 
 
+@register(
+    "pagerank_customer_supplier",
+    oracle="""
+        WITH e0 AS (
+            SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_custkey, l_suppkey
+        ),
+        edges AS (
+            SELECT 'c' || CAST(c AS VARCHAR) AS src,
+                   's' || CAST(s AS VARCHAR) AS dst, w FROM e0
+            UNION ALL
+            SELECT 's' || CAST(s AS VARCHAR),
+                   'c' || CAST(c AS VARCHAR), w FROM e0
+        ),
+        outw AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS ow FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+        m1 AS (SELECT e.dst AS node, SUM(r.pr * e.w / o.ow) AS m
+               FROM edges e JOIN r0 r ON r.node = e.src
+               JOIN outw o ON o.src = e.src GROUP BY e.dst),
+        r1 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(m1.m, 0) AS pr
+               FROM nodes n LEFT JOIN m1 ON m1.node = n.node),
+        m2 AS (SELECT e.dst AS node, SUM(r.pr * e.w / o.ow) AS m
+               FROM edges e JOIN r1 r ON r.node = e.src
+               JOIN outw o ON o.src = e.src GROUP BY e.dst),
+        r2 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(m2.m, 0) AS pr
+               FROM nodes n LEFT JOIN m2 ON m2.node = n.node),
+        m3 AS (SELECT e.dst AS node, SUM(r.pr * e.w / o.ow) AS m
+               FROM edges e JOIN r2 r ON r.node = e.src
+               JOIN outw o ON o.src = e.src GROUP BY e.dst),
+        r3 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(m3.m, 0) AS pr
+               FROM nodes n LEFT JOIN m3 ON m3.node = n.node)
+        SELECT node, ROUND(pr, 6) AS pr FROM r3
+        ORDER BY ROUND(pr, 6) DESC, node LIMIT 20
+    """,
+    tags=("graph", "iterative"),
+)
+def pagerank_customer_supplier(spark, sf_dir):
+    """Weighted PageRank over the customer<->supplier trade graph
+    (edges = order lines between a customer and a supplier, weight =
+    line count, both directions), 3 unrolled power iterations, top-20
+    nodes by rank. The oracle unrolls the SAME three join-aggregate
+    steps as CTEs — PageRank with a fixed iteration budget IS
+    SQL-expressible, so this earns a hash row rather than the weaker
+    rows-only check. Each iteration shuffles only (node, rank) pairs
+    against the precomputed transition edges (see
+    ``operators/graph.pagerank`` for the bucketed-join scale note);
+    ranks rounded to 6 dp, ties at the top-20 boundary broken by node
+    id, so the cut is deterministic in both engines."""
+    from ..operators.graph import pagerank as _pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.select(
+        F.concat(F.lit("c"), F.col("c").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("dst"),
+        "w",
+    ).unionByName(
+        e0.select(
+            F.concat(F.lit("s"), F.col("s").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("c").cast("string")).alias("dst"),
+            "w",
+        )
+    )
+    ranks = _pagerank(edges, iters=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("pr"))
+        .orderBy(F.desc("pr"), "node")
+        .limit(20)
+    )
+
+
+# per-column profile rules: (column, metric exprs) — the min/max
+# stringification is type-aware so both engines render identically
+# (bigints plain, doubles through DECIMAL(12,2), timestamps through an
+# explicit microsecond format)
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority")
+
+
+def _profile_str(c: str):
+    if c == "o_totalprice":
+        return lambda agg: agg.cast(MONEY).cast("string")
+    if c == "o_orderdate":
+        return lambda agg: F.date_format(agg, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return lambda agg: agg.cast("string")
+
+
+def _profile_oracle_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c == "o_totalprice":
+            mn = f"CAST(CAST(MIN({c}) AS DECIMAL(12,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({c}) AS DECIMAL(12,2)) AS VARCHAR)"
+        elif c == "o_orderdate":
+            mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S.%f')"
+            mx = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S.%f')"
+        else:
+            mn = f"CAST(MIN({c}) AS VARCHAR)"
+            mx = f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(f"""
+            SELECT '{c}' AS col_name,
+                   CAST(count({c}) AS BIGINT) AS n_nonnull,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_str, {mx} AS max_str
+            FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "table_profile_orders",
+    oracle=_profile_oracle_sql(),
+    tags=("profiling", "agg"),
+)
+def table_profile_orders(spark, sf_dir):
+    """One-pass column profiler — the data-quality report every
+    ingest stage runs before a table enters the pipeline: per column,
+    non-null / null / exact-distinct counts and stringified min/max.
+    ONE aggregate over the table computes every metric (Catalyst
+    plans the multi-distinct via a single expand, so the table is
+    scanned once); the per-column long format is produced by exploding
+    an array of structs built from that single row — no second scan,
+    no per-column jobs. At 100 TB swap the exact distincts for
+    ``approx_count_distinct`` (HLL, fixed memory) — exact is used here
+    because the oracle must agree bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        s = _profile_str(c)
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            s(F.min(c)).alias(f"{c}__mn"),
+            s(F.max(c)).alias(f"{c}__mx"),
+        ]
+    prof = o.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nn").alias("n_nonnull"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_str"),
+                F.col(f"{c}__mx").alias("max_str"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return prof.select(F.explode(structs).alias("p")).select("p.*")
+
+
+@register(
+    "bpe_pair_stats",
+    oracle="""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, len(l)),
+                                         i -> l[i] || ' ' || l[i + 1])) AS pair
+            FROM toks WHERE len(l) >= 2
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS freq
+        FROM pairs GROUP BY pair
+        ORDER BY freq DESC, pair LIMIT 100
+    """,
+    tags=("text", "tokenizer"),
+)
+def bpe_pair_stats(spark, sf_dir):
+    """Adjacent-token-pair frequencies — the first merge step of BPE
+    tokenizer training, run corpus-wide: top-100 most frequent
+    adjacent pairs. Pairs are built row-locally with two shifted
+    array slices zipped together (no self-join, no posexplode
+    blowup); the only shuffle is the partial-aggregated pair count —
+    map-side combine absorbs the Zipf head before anything moves, the
+    same shape a full iterative BPE trainer repeats per merge.
+    Boundary ties at rank 100 are broken by pair text, so the cut is
+    deterministic in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("l")
+    )
+    length = F.greatest(F.size("l") - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice("l", 1, length),
+        F.slice(F.col("l"), 2, length),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        toked.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #

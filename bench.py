@@ -58,6 +58,8 @@ HEADLINE = HEADLINE_R01 + [
     "quality_classifier_scores",
     "boilerplate_span_coverage",
     "cluster_aware_split",
+    "pagerank_customer_supplier",
+    "bpe_pair_stats",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit

@@ -90,3 +90,49 @@ def test_sketches_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05  # HLL++ default rsd
     assert abs(row.amed - row.emed) / row.emed < 0.05
+
+
+def test_pagerank_matches_transparent_reimplementation(spark):
+    """Operator ranks on a small weighted digraph must equal a plain
+    Python power-iteration with the same formulation (1-d floor,
+    weighted out-normalization, dangling mass dropped)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import pagerank
+
+    raw = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0)]
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d, w=w) for s, d, w in raw]
+    )
+    iters, d = 4, 0.85
+    got = {r.node: r.rank for r in pagerank(edges, iters=iters, damping=d).collect()}
+
+    nodes = {s for s, _, _ in raw} | {t for _, t, _ in raw}
+    outw = {}
+    for s, _, w in raw:
+        outw[s] = outw.get(s, 0.0) + w
+    ranks = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0.0 for n in nodes}
+        for s, t, w in raw:
+            contrib[t] += ranks[s] * w / outw[s]
+        ranks = {n: (1 - d) + d * contrib[n] for n in nodes}
+    assert got.keys() == ranks.keys()
+    for n in nodes:
+        assert got[n] == pytest.approx(ranks[n], abs=1e-12), n
+    # node 4 has no in-edges: floor only
+    assert got[4] == pytest.approx(1 - d)
+
+
+def test_pagerank_uniform_on_symmetric_regular_graph(spark):
+    """On a symmetric uniform-weight cycle every node keeps rank 1.0
+    at every iteration — a closed-form fixpoint check."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import pagerank
+
+    n = 6
+    rows = []
+    for i in range(n):
+        rows.append(Row(src=i, dst=(i + 1) % n, w=1.0))
+        rows.append(Row(src=(i + 1) % n, dst=i, w=1.0))
+    got = pagerank(spark.createDataFrame(rows), iters=3).collect()
+    assert len(got) == n
+    for r in got:
+        assert r.rank == pytest.approx(1.0, abs=1e-12)
