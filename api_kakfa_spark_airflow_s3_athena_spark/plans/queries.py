@@ -7247,6 +7247,172 @@ def bpe_pair_stats(spark, sf_dir):
     )
 
 
+@register(
+    "event_type_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        counts AS (
+            SELECT COALESCE(prev_type, 'START') AS prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq GROUP BY COALESCE(prev_type, 'START'), event_type
+        )
+        SELECT prev_type, event_type, n,
+               ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
+        FROM counts
+    """,
+    tags=("analytics", "window", "markov"),
+)
+def event_type_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the path-analysis / behavioral-model-input query): lag
+    each user's ordered event stream, count (prev, next) pairs, and
+    normalize to row-stochastic probabilities with a window sum —
+    session starts folded in as 'START'. One window shuffle on
+    user_id + one tiny aggregate; the transition matrix itself is
+    |types|² rows however large the event log is."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .groupBy(
+            F.coalesce("prev_type", F.lit("START")).alias("prev_type"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("prob"),
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(date_trunc('week', e.ts) AS DATE) AS act_week
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, act_week) / 7 AS INTEGER)
+                   AS week_n,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM activity
+        GROUP BY cohort_week, week_n
+    """,
+    tags=("analytics", "cohort"),
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Classic retention triangle: users grouped by first-seen week
+    (cohort), counted once per subsequent active week. Two key-wise
+    aggregates plus one join of the event log against the per-user
+    firsts — the firsts side is |users| rows and broadcastable; the
+    distinct collapses to (user, week) before the final count so the
+    shuffle carries at most |users| x |weeks| skinny rows. Week
+    boundaries via Monday-based ``date_trunc('week')``, identical in
+    both engines; week offsets are exact day-diffs / 7 because both
+    operands are week-truncated."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("act_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        "cohort_week",
+        (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_n"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "event_value_anomalies",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med
+            FROM events WHERE ts < TIMESTAMP '2024-01-22' GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type, m.med,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                   CAST(count(*) AS BIGINT) AS n_train
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            WHERE e.ts < TIMESTAMP '2024-01-22'
+            GROUP BY e.event_type, m.med
+        )
+        SELECT e.event_type,
+               m.n_train,
+               ROUND(m.med, 6) AS med,
+               ROUND(m.mad, 6) AS mad,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.5 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM events e JOIN mad m ON e.event_type = m.event_type
+        WHERE e.ts >= TIMESTAMP '2024-01-22'
+        GROUP BY e.event_type, m.n_train, m.med, m.mad
+    """,
+    tags=("analytics", "quality", "robust-stats"),
+)
+def event_value_anomalies(spark, sf_dir):
+    """Robust anomaly detection — the data-quality monitor a pipeline
+    runs on every metric stream: fit median + MAD (median absolute
+    deviation; outlier-insensitive, unlike mean/stddev) per event type
+    on a training window, then count values beyond 3.5 MADs in the
+    scoring window. Exact interpolated percentiles in both engines
+    (Spark ``percentile`` == DuckDB ``quantile_cont``); the fitted
+    stats are |types| rows and broadcast onto the scoring scan, so the
+    fact table is read twice but never shuffled. At 100 TB swap the
+    exact medians for ``percentile_approx`` (t-digest) and fold both
+    windows into one pass."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    train = e.filter(F.col("ts") < cutoff)
+    med = train.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        train.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    scored = e.filter(F.col("ts") >= cutoff).join(F.broadcast(mad), "event_type")
+    return scored.groupBy(
+        "event_type",
+        "n_train",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("med")) > 3.5 * F.col("mad")).cast("long")
+        ).alias("n_anomalies"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
