@@ -237,10 +237,15 @@ def pagerank(
     )
     outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
     # edge with precomputed transition probability w/outw — built once,
-    # reused every iteration; CACHED, else every iteration re-runs the
-    # caller's edge-construction joins (measured 5.7 -> 3.0 s on the
-    # order-line trade graph at sf0.1). At 100 TB this is a persisted
-    # table bucketed by __s instead of an executor cache.
+    # reused every iteration. cache(), deliberately NOT localCheckpoint:
+    # checkpointing to a LogicalRDD erases stats, every iteration's
+    # ranks-vs-edges join degrades from broadcast to sort-merge, and
+    # warm runs go 3.0 -> 6.8 s (measured, order-line trade graph at
+    # sf0.1). The price of cache is analysis lineage: the first call
+    # pays ~5 s analysis + ~12 s codegen/cache-fill before settling at
+    # ~3 s warm — acceptable for 3 fixed iterations; convergence-driven
+    # loops should checkpoint the RANKS (see docstring), not the edges.
+    # At 100 TB this is a persisted table bucketed by __s instead.
     trans = e.join(outw, "__s").select(
         "__s", "__d", (F.col("__w") / F.col("__ow")).alias("__p")
     ).cache()

@@ -62,6 +62,8 @@ HEAVY_OPS = [
     "quality_classifier_scores",
     "doc_chunking_for_embedding",
     "cluster_aware_split",
+    "minhash_near_dup_pairs_arrow",
+    "bpe_pair_stats",
 ]
 
 
