@@ -7413,6 +7413,76 @@ def event_value_anomalies(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+        WITH ex AS (
+            SELECT unnest(embedding) AS val,
+                   unnest(range(0, len(embedding))) AS dim
+            FROM embeddings
+        )
+        SELECT CAST(dim AS INTEGER) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(avg(val), 6) AS mean,
+               ROUND(var_samp(val), 6) AS variance,
+               ROUND(min(val), 6) AS mn,
+               ROUND(max(val), 6) AS mx
+        FROM ex GROUP BY dim
+    """,
+    tags=("embeddings", "profiling"),
+)
+def embedding_dimension_stats(spark, sf_dir):
+    """Per-dimension embedding statistics — the fit pass of embedding
+    whitening/standardization (SemDeDup-style pipelines normalize
+    before cosine) and the drift monitor for an embedding version
+    bump: posexplode to (dim, value), one aggregate. The output is
+    |dims| rows whatever the corpus size, and the explode is row-local
+    (no shuffle until the skinny (dim, partial) aggregate); at 100 TB
+    the same job shape holds because partial aggregation collapses
+    each partition to |dims| rows before the exchange."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "val"))
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.var_samp("val"), 6).alias("variance"),
+        F.round(F.min("val"), 6).alias("mn"),
+        F.round(F.max("val"), 6).alias("mx"),
+    )
+
+
+@register(
+    "event_value_trend",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(regr_slope(value, epoch_us(ts) / 3600000000.0), 6)
+                   AS slope_per_hour,
+               ROUND(regr_intercept(value, epoch_us(ts) / 3600000000.0), 6)
+                   AS intercept,
+               ROUND(regr_r2(value, epoch_us(ts) / 3600000000.0), 6) AS r2
+        FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "regression"),
+)
+def event_value_trend(spark, sf_dir):
+    """Per-group trend detection: least-squares slope / intercept / R²
+    of metric value against time (hours), one per event type — the
+    'is this metric drifting' monitor. Spark's ``regr_*`` aggregates
+    are single-pass streaming moments (JVM-side, partial-aggregated),
+    so the whole regression is one skinny shuffle of |types| moment
+    tuples; identical closed forms in DuckDB. Time in exact integer
+    microseconds divided to double hours on both sides."""
+    e = _t(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(3.6e9)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_hour"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
