@@ -1,0 +1,150 @@
+"""PCA whitening for embedding columns — the normalization stage a
+SemDeDup/ANN pipeline runs before cosine comparisons (decorrelate and
+equalize dimension scales so distance is not dominated by a few
+high-variance axes). No reference analog; driver-mandated
+training-data-pipeline extension (SURVEY.md §2f scope).
+
+Scale design: the ONLY driver-side object is the d x d Gram/covariance
+matrix (d = embedding width, 64 here; 4096 doubles at d=64, ~1 MB at
+d=1024) — bounded by the embedding width, independent of corpus size.
+Partial Gram blocks are computed per Arrow batch as one BLAS
+``X.T @ X`` (C-speed, no per-element Python), reduced by a key-wise
+Spark aggregate, and only the reduced d² cells are collected. The
+eigendecomposition runs on the driver (LAPACK ``eigh`` on a d x d
+symmetric matrix — microseconds), and the fitted model is broadcast
+back into a vectorized projection pass. The corpus is scanned twice
+(fit, transform) and never shuffled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PCAWhitening", "fit_pca_whitening", "whiten"]
+
+
+@dataclass
+class PCAWhitening:
+    """Fitted model: ``mean`` (d,), ``components`` (d, k) column
+    eigenvectors sorted by descending eigenvalue with a deterministic
+    sign convention (largest-|entry| component positive), ``eigvals``
+    (k,) of the SAMPLE covariance (n-1 normalization)."""
+
+    mean: "object"
+    components: "object"
+    eigvals: "object"
+    n: int
+
+
+def _gram_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-partition Gram partials as (i, j, val) cells: one BLAS
+    ``X.T @ X`` per Arrow batch, plus the vector sum as j = -1 rows
+    and the row count as (-1, -1). Output is O(d²) rows per PARTITION
+    (not per row), reduced key-wise before collection."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        G = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if G is None:
+                d = X.shape[1]
+                G = np.zeros((d, d))
+                s = np.zeros(d)
+            G += X.T @ X
+            s += X.sum(axis=0)
+            n += len(X)
+        if G is None:
+            return
+        d = G.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                "val": np.concatenate([G.ravel(), s, [float(n)]]),
+            }
+        )
+
+    return df.select(vec_col).mapInPandas(gen, schema="i int, j int, val double")
+
+
+def fit_pca_whitening(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAWhitening:
+    """Fit on the corpus: distributed Gram -> driver covariance ->
+    ``eigh`` -> top-k components. The collect is exactly d² + d + 1
+    reduced cells whatever the corpus size."""
+    import numpy as np
+
+    cells = (
+        _gram_partials(df, vec_col)
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    n = int(next(r.val for r in cells if r.i == -1 and r.j == -1))
+    if n < 2:
+        raise ValueError("fit_pca_whitening needs at least 2 vectors")
+    d = max(r.i for r in cells) + 1
+    G = np.zeros((d, d))
+    s = np.zeros(d)
+    for r in cells:
+        if r.i == -1:
+            continue
+        if r.j == -1:
+            s[r.i] = r.val
+        else:
+            G[r.i, r.j] = r.val
+    mu = s / n
+    cov = (G - n * np.outer(mu, mu)) / (n - 1)
+    # numerical symmetry guard before eigh
+    cov = (cov + cov.T) / 2.0
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    eigvals = w[order]
+    comps = v[:, order]
+    # deterministic sign: the largest-|entry| coordinate positive
+    for c in range(comps.shape[1]):
+        col = comps[:, c]
+        if col[np.argmax(np.abs(col))] < 0:
+            comps[:, c] = -col
+    return PCAWhitening(mean=mu, components=comps, eigvals=eigvals, n=n)
+
+
+def whiten(
+    df: DataFrame,
+    model: PCAWhitening,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-9,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """Project to the top-k whitened coordinates:
+    ``y = diag(1/sqrt(eigval + eps)) @ components.T @ (x - mean)`` —
+    per-batch BLAS matmul against the broadcast (d x k) model; output
+    variance is eigval/(eigval+eps) ~ 1 per retained dimension."""
+    import numpy as np
+    import pandas as pd
+
+    mu = model.mean
+    # fold the per-dimension scale into the projection matrix once
+    W = model.components / np.sqrt(np.maximum(model.eigvals, 0.0) + eps)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Y = (X - mu) @ W
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(Y)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, {out_col} array<double>"
+    )

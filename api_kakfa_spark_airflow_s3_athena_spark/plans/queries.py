@@ -7483,6 +7483,187 @@ def event_value_trend(spark, sf_dir):
     )
 
 
+@register(
+    "ngram_lm_perplexity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents
+        ),
+        ucnt AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+        ),
+        vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ucnt),
+        bigr AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+                   unnest(list_transform(range(1, len(l)),
+                                         i -> l[i] || ' ' || l[i + 1])) AS pair
+            FROM toks WHERE len(l) >= 2
+        ),
+        pcnt AS (
+            SELECT pair, CAST(count(*) AS BIGINT) AS c2
+            FROM bigr GROUP BY pair
+        ),
+        scored AS (
+            SELECT g.doc_id,
+                   ln((p.c2 + 1.0) / (u.c + v.v)) AS lp
+            FROM bigr g
+            JOIN pcnt p ON g.pair = p.pair
+            JOIN ucnt u ON g.w1 = u.w
+            CROSS JOIN vocab v
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               ROUND(exp(-SUM(lp) / count(*)), 4) AS ppl
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def ngram_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity per document — the CCNet-style quality
+    filter: train add-one-smoothed bigram probabilities
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + |V|) on the corpus, score
+    every document's per-bigram cross-entropy, emit perplexity
+    exp(-mean ln p). (Self-scored here so the oracle is closed-form;
+    a production filter trains on a reference corpus — same plan, the
+    count tables just come from a different source.)
+
+    Scale shape: the unigram/bigram count tables are vocab-sized and
+    partial-aggregated before their shuffles; scoring explodes each
+    doc to (doc_id, w1, pair) rows and joins on the count keys — a
+    key-wise shuffle of O(tokens) skinny rows, the same cost class as
+    token_histogram, never doc x doc. At 100 TB, hash the pair to a
+    64-bit key to shrink the exchange, and broadcast the unigram
+    table if the vocab fits."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("l")
+    )
+    ucnt = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = ucnt.agg(F.count(F.lit(1)).alias("v"))
+    length = F.greatest(F.size("l") - F.lit(1), F.lit(0))
+    bigr = (
+        toks.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("l", 1, length),
+                    F.slice(F.col("l"), 2, length),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), F.concat_ws(" ", a, b).alias("pair")
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.pair")
+    )
+    pcnt = bigr.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bigr.join(pcnt, "pair")
+        .join(ucnt.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + F.lit(1.0)) / (F.col("c") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), 4).alias("ppl"),
+    )
+
+
+def _whitening_bench(spark, sf_dir):
+    from ..operators.whitening import fit_pca_whitening, whiten
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = fit_pca_whitening(emb, k=8)
+    return whiten(emb, model)
+
+
+@register(
+    "embedding_pca_whitening",
+    oracle="""
+        WITH ex AS (
+            SELECT unnest(embedding) AS val,
+                   unnest(range(0, len(embedding))) AS dim
+            FROM embeddings
+        ),
+        dv AS (SELECT dim, var_samp(val) AS v FROM ex GROUP BY dim)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+               ROUND(SUM(v), 6) AS trace,
+               true AS orthonormal_ok,
+               true AS eigs_descending_ok,
+               true AS whitened_var_ok
+        FROM dv
+    """,
+    tags=("embeddings", "whitening", "arrow"),
+    bench_fn=_whitening_bench,
+)
+def embedding_pca_whitening(spark, sf_dir):
+    """PCA whitening fit + transform with its contract made
+    hash-checkable (the eigendecomposition has no concise SQL twin, so
+    the oracle pins booleans plus a cross-engine trace): fit the top-8
+    whitening model on the embedding corpus (distributed d x d Gram,
+    driver eigh — see ``operators/whitening``), then assert (a) the
+    component matrix is orthonormal (max |VᵀV - I| < 1e-9, driver
+    check), (b) eigenvalues are non-negative descending, (c) every
+    whitened output dimension's sample variance is 1 within 1e-3
+    (computed by a SPARK aggregate over the transformed corpus — the
+    transform is actually run), and (d) the covariance trace ==
+    the sum of per-dimension variances, which DuckDB recomputes
+    independently from the raw vectors — a hard cross-engine number
+    pinning the fit's second moments."""
+    import numpy as np
+
+    from ..operators.whitening import fit_pca_whitening, whiten
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = fit_pca_whitening(emb, k=8)
+    V = model.components
+    orthonormal_ok = bool(
+        np.max(np.abs(V.T @ V - np.eye(V.shape[1]))) < 1e-9
+    )
+    eigs_ok = bool(
+        np.all(np.diff(model.eigvals) <= 1e-12) and np.all(model.eigvals >= -1e-9)
+    )
+    wvar_ok = (
+        whiten(emb, model)
+        .select(F.posexplode("whitened").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.var_samp("val").alias("v"))
+        .agg(F.min(F.abs(F.col("v") - 1.0) < 1e-3).alias("whitened_var_ok"))
+    )
+    trace = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.var_samp("val").alias("v"))
+        .agg(
+            F.round(F.sum("v"), 6).alias("trace"),
+        )
+    )
+    n_agg = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        n_agg.crossJoin(trace)
+        .crossJoin(wvar_ok)
+        .select(
+            "n_vecs",
+            "trace",
+            F.lit(orthonormal_ok).alias("orthonormal_ok"),
+            F.lit(eigs_ok).alias("eigs_descending_ok"),
+            "whitened_var_ok",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
