@@ -7664,6 +7664,135 @@ def embedding_pca_whitening(spark, sf_dir):
     )
 
 
+@register(
+    "quality_gate_calibrated",
+    oracle="""
+        WITH s AS (
+            SELECT lang,
+                   least(len(list_filter(string_split(text, ' '), x -> x <> '')), 80)
+                   + 100.0 * len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ('the','a','of','and','to','in','is')))
+                     / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)
+                       AS score
+            FROM documents
+        ),
+        thr AS (SELECT quantile_cont(score, 0.4) AS t FROM s)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN score >= t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               ROUND(SUM(CASE WHEN score >= t THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+               ROUND(t, 6) AS threshold
+        FROM s CROSS JOIN thr GROUP BY lang, t
+    """,
+    tags=("quality", "calibration"),
+)
+def quality_gate_calibrated(spark, sf_dir):
+    """Quantile-calibrated quality gate — 'keep the top 60% by score'
+    rather than a hand-picked cutoff, which is how production filters
+    are actually tuned (the threshold adapts to each crawl's score
+    distribution). One pass computes the row-local score, a
+    single-value exact quantile becomes the threshold (broadcast —
+    ONE number crosses the cluster), and the gate itself is a
+    map-side filter; per-language keep rates fall out of the final
+    aggregate. At 100 TB swap the exact quantile for
+    ``percentile_approx`` (t-digest) — exact is used so the oracle
+    agrees bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    lower_toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    score = (
+        F.least(F.size(toks), F.lit(80))
+        + F.lit(100.0)
+        * F.size(F.filter(lower_toks, lambda t: F.array_contains(stop, t)))
+        / F.greatest(F.size(toks), F.lit(1))
+    )
+    s = d.select("lang", score.alias("score"))
+    thr = s.agg(F.percentile("score", F.lit(0.4)).alias("t"))
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .groupBy("lang", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("score") >= F.col("t")).cast("long")).alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total").cast("double"), 6).alias(
+                "keep_rate"
+            ),
+            F.round("t", 6).alias("threshold"),
+        )
+    )
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+        WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS total_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_key_rows,
+                   AVG(n) AS avg_n,
+                   stddev_samp(n) AS sd
+            FROM c
+        ),
+        topk AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS top10
+            FROM (SELECT n FROM c ORDER BY n DESC, user_id LIMIT 10)
+        )
+        SELECT n_keys, total_rows, max_key_rows,
+               ROUND(max_key_rows / (total_rows / CAST(n_keys AS DOUBLE)), 4)
+                   AS max_skew_factor,
+               ROUND(top10 / CAST(total_rows AS DOUBLE), 6) AS top10_share,
+               ROUND(sd / avg_n, 6) AS cv
+        FROM stats CROSS JOIN topk
+    """,
+    tags=("skew", "profiling"),
+)
+def join_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis — the report that decides between a
+    plain join, AQE skew handling, and ``skew.salted_join`` (see
+    tests/test_skew.py for when each applies): per-key counts in one
+    partial-aggregated pass, then key-count distribution stats
+    (max/mean skew factor, top-10 key share, coefficient of
+    variation) from the skinny (key, n) frame. The per-key frame is
+    |keys| rows; everything after is single-row aggregates."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.avg("n").alias("avg_n"),
+        F.stddev_samp("n").alias("sd"),
+    )
+    topk = (
+        c.orderBy(F.desc("n"), "user_id")
+        .limit(10)
+        .agg(F.sum("n").alias("top10"))
+    )
+    return stats.crossJoin(topk).select(
+        "n_keys",
+        "total_rows",
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows")
+            / (F.col("total_rows") / F.col("n_keys").cast("double")),
+            4,
+        ).alias("max_skew_factor"),
+        F.round(F.col("top10") / F.col("total_rows").cast("double"), 6).alias(
+            "top10_share"
+        ),
+        F.round(F.col("sd") / F.col("avg_n"), 6).alias("cv"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
