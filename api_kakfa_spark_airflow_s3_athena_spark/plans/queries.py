@@ -7793,6 +7793,69 @@ def join_key_skew_report(spark, sf_dir):
     )
 
 
+@register(
+    "semdedup_whitened",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN vec_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_planted,
+               true AS planted_recall_ok,
+               true AS cos_verified_ok
+        FROM embeddings
+    """,
+    tags=("similarity", "whitening", "dedup"),
+)
+def semdedup_whitened(spark, sf_dir):
+    """SemDeDup over PCA-WHITENED embeddings — the composed pipeline a
+    real curation stack runs (whitening first so cosine is not
+    dominated by a few high-variance axes; the SemDeDup paper
+    normalizes embeddings for exactly this reason). Fit the whitening
+    model on corpus+plants, transform, k-means-cluster the whitened
+    space, verify cosine within cells. Contract: an identical raw
+    vector whitens to an identical vector, co-clusters with its
+    original (deterministic argmin tie-break), and scores whitened
+    cosine 1.0 — so recall on plants (vec_id % 17, +10M) is 1.0 by
+    construction while every cell stays under the max_cluster guard;
+    every emitted pair's whitened cosine is re-verified >= the 0.7
+    threshold with an independent JVM-fold recompute from the
+    whitened frame."""
+    from ..operators.whitening import fit_pca_whitening, whiten
+
+    emb = _t(spark, sf_dir, "embeddings")
+    offset = 10_000_000
+    corpus, plant_cond = _planted_vectors(emb, 17, offset)
+    model = fit_pca_whitening(corpus, k=8)
+    wdf = whiten(corpus, model).localCheckpoint(eager=True)
+    pairs = SIM.semdedup_pairs(
+        wdf, k=_semdedup_k(corpus), iters=2, threshold=0.7, vec_col="whitened"
+    ).cache()
+    is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
+        F.col("id_a") % 17 == 0
+    )
+    rechecked = _pair_cosine_recheck(pairs, wdf, 0.7, vec_col="whitened")
+    pair_agg = rechecked.agg(
+        F.sum(is_planted_pair.cast("long")).alias("n_recovered"),
+        F.coalesce(
+            F.min(
+                (F.col("cos2") >= 0.7) & (F.abs(F.col("cos2") - F.col("cos")) < 1e-9)
+            ),
+            F.lit(True),
+        ).alias("cos_verified_ok"),
+    )
+    emb_agg = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(plant_cond.cast("long")).cast("long").alias("n_planted"),
+    )
+    return emb_agg.crossJoin(pair_agg).select(
+        "n_vecs",
+        "n_planted",
+        (F.coalesce(F.col("n_recovered"), F.lit(0)) == F.col("n_planted")).alias(
+            "planted_recall_ok"
+        ),
+        "cos_verified_ok",
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #

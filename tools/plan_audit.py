@@ -51,6 +51,15 @@ AUDIT = [
     "ann_pq_adc_topk",
     "salted_join_segment_events",
     "export_shard_manifest",
+    # round 5 continuation: graph/profiling/LM/whitening paths
+    "pagerank_customer_supplier",
+    "table_profile_orders",
+    "bpe_pair_stats",
+    "ngram_lm_perplexity",
+    "embedding_pca_whitening",
+    "minhash_near_dup_pairs_arrow",
+    "quality_gate_calibrated",
+    "event_value_anomalies",
 ]
 
 
