@@ -7345,6 +7345,26 @@ def user_retention_cohorts(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
+_ANOMALY_CUTOFF = "2024-01-22"
+
+
+def _robust_fit(train):
+    """Per-type median + MAD fit over a training frame — shared by the
+    batch anomaly query and its streaming twin. Output is |types|
+    rows, broadcastable onto any scoring scan or stream."""
+    med = train.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    return (
+        train.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+
+
 @register(
     "event_value_anomalies",
     oracle="""
@@ -7386,19 +7406,8 @@ def event_value_anomalies(spark, sf_dir):
     exact medians for ``percentile_approx`` (t-digest) and fold both
     windows into one pass."""
     e = _t(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-22").cast("timestamp")
-    train = e.filter(F.col("ts") < cutoff)
-    med = train.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
-    mad = (
-        train.join(F.broadcast(med), "event_type")
-        .groupBy("event_type", "med")
-        .agg(
-            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
-            F.count(F.lit(1)).alias("n_train"),
-        )
-    )
+    cutoff = F.lit(_ANOMALY_CUTOFF).cast("timestamp")
+    mad = _robust_fit(e.filter(F.col("ts") < cutoff))
     scored = e.filter(F.col("ts") >= cutoff).join(F.broadcast(mad), "event_type")
     return scored.groupBy(
         "event_type",
@@ -7854,6 +7863,70 @@ def semdedup_whitened(spark, sf_dir):
         ),
         "cos_verified_ok",
     )
+
+
+@register(
+    "streaming_anomaly_flags",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events WHERE ts < TIMESTAMP '2024-01-22' GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type, m.med,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            WHERE e.ts < TIMESTAMP '2024-01-22'
+            GROUP BY e.event_type, m.med
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.5 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM events e JOIN mad m ON e.event_type = m.event_type
+        WHERE e.ts >= TIMESTAMP '2024-01-22'
+        GROUP BY e.event_type
+    """,
+    tags=("streaming", "quality", "robust-stats"),
+)
+def streaming_anomaly_flags(spark, sf_dir):
+    """The real-time data-quality monitor: the batch-fitted median/MAD
+    model (``_robust_fit``, |types| rows) is broadcast into the event
+    STREAM, which flags >3.5-MAD values per micro-batch — a
+    stream-static join exactly like ``streaming_static_enrichment``,
+    so the stream never shuffles for the lookup and the per-type
+    anomaly counts are the only stateful aggregate. Bounded replay ==
+    the batch scoring query by construction (same fit, same
+    threshold, same scoring window)."""
+    src = _stage_events_stream(spark, sf_dir)
+    cutoff = F.lit(_ANOMALY_CUTOFF).cast("timestamp")
+    e = _t(spark, sf_dir, "events")
+    mad = _robust_fit(e.filter(F.col("ts") < cutoff))
+    scored = src.filter(F.col("ts") >= cutoff).join(F.broadcast(mad), "event_type")
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("med")) > 3.5 * F.col("mad")).cast("long")
+        ).alias("n_anomalies"),
+    )
+    out_key = f"{spark.sparkContext.applicationId}:{sf_dir}:anomaly_out"
+    out_dir = _STAGE_CACHE.get(out_key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="stream_anomaly_out_")
+        _STAGE_CACHE[out_key] = out_dir
+
+    def write_batch(batch, _epoch):
+        batch.write.mode("overwrite").parquet(out_dir)
+
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 # ---------------------------------------------------------------------
