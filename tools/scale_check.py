@@ -64,6 +64,8 @@ HEAVY_OPS = [
     "cluster_aware_split",
     "minhash_near_dup_pairs_arrow",
     "bpe_pair_stats",
+    "embedding_pca_whitening",
+    "ngram_lm_perplexity",
 ]
 
 
