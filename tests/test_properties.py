@@ -218,3 +218,73 @@ def test_cluster_split_leakage_invariant(spark, a, b):
     out = {r.doc_id: r for r in cluster_aware_split(spark, d).collect()}
     assert out[0].split == out[1].split
     assert out[0].cluster_rep == out[1].cluster_rep == 0
+
+
+@SLOW
+@given(ws=words)
+def test_bpe_pair_count_conservation(spark, ws):
+    """For any token list, the total adjacent-pair count across the
+    corpus equals sum(max(len-1, 0)) per doc, and every counted pair
+    occurs in some document's adjacent positions."""
+    text = " ".join(ws)
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
+    import tempfile as _tf
+    import os as _os
+
+    d = _tf.mkdtemp(prefix="bpe_prop_")
+    spark.createDataFrame(
+        [Row(doc_id=0, text=text), Row(doc_id=1, text=" ".join(reversed(ws)))]
+    ).write.mode("overwrite").parquet(_os.path.join(d, "documents.parquet"))
+    rows = REGISTRY["bpe_pair_stats"].fn(spark, d).collect()
+    toks = [w for w in text.split(" ") if w]
+    rev = list(reversed(toks))
+    valid = {f"{a} {b}" for a, b in zip(toks, toks[1:])} | {
+        f"{a} {b}" for a, b in zip(rev, rev[1:])
+    }
+    # exact conservation whenever the distinct-pair count fits the
+    # top-100 limit (always true at max_size=30 tokens)
+    if len(valid) <= 100:
+        assert sum(r.freq for r in rows) == 2 * max(len(toks) - 1, 0)
+    assert {r.pair for r in rows} <= valid
+
+
+@SLOW
+@given(ws=words)
+def test_minhash_arrow_identical_text_identical_signature(spark, ws):
+    """Within the Arrow OPH family, identical text => identical
+    signature; appending a token may change it but never its LENGTH
+    or nullability class."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.dedup import (
+        minhash_signatures_arrow,
+    )
+
+    text = " ".join(ws)
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=text), Row(doc_id=1, text=text),
+         Row(doc_id=2, text=text + " zzz")]
+    )
+    sigs = {r.doc_id: r.sig for r in minhash_signatures_arrow(df, num_bins=16).collect()}
+    assert sigs[0] == sigs[1]
+    assert len(sigs[2]) == 16
+    n_tok = len([w for w in text.split(" ") if w])
+    if n_tok + 1 < 3:  # still too short for a 3-shingle after append
+        assert sigs[2] == [None] * 16
+
+
+@SLOW
+@given(vals=st.lists(st.floats(min_value=-100, max_value=100,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=2, max_size=12))
+def test_pagerank_rank_floor_and_mass(spark, vals):
+    """On any single-cycle digraph the ranks are exactly 1.0; with any
+    positive weights every rank >= 1 - d and total mass <= n (no
+    source of rank beyond the floor + redistributed mass)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import pagerank
+
+    n = len(vals)
+    rows = [Row(src=i, dst=(i + 1) % n, w=abs(float(v)) + 0.1) for i, v in enumerate(vals)]
+    got = pagerank(spark.createDataFrame(rows), iters=3, damping=0.85).collect()
+    assert len(got) == n
+    total = sum(r.rank for r in got)
+    assert all(r.rank >= 0.15 - 1e-12 for r in got)
+    assert total <= n + 1e-9
