@@ -6945,10 +6945,22 @@ def export_shard_manifest(spark, sf_dir):
 
 
 def _fuzzy_decon_inputs(spark, sf_dir):
+    """Stage the decontamination inputs: (eval set, train corpus,
+    PERSISTED train band index read back from parquet, plant
+    condition, id offset). The index is written once per session —
+    like `_delta_dedup_inputs` — so the query provably runs off the
+    stored artifact and the train corpus is never re-shingled; shared
+    by the contract query and the bare-operator bench row. The plant
+    guard requires >= 3 tokens (not just > 50 chars): a long
+    single-token doc would have an empty 3-shingle set, Jaccard 0,
+    and a planted pair no pipeline could ever recover."""
     docs = _t(spark, sf_dir, "documents")
     offset = 20_000_000
     eval_d = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id", "text")
-    plant_cond = (F.col("doc_id") % 39 == 0) & (F.length("text") > 50)
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    plant_cond = (
+        (F.col("doc_id") % 39 == 0) & (F.length("text") > 50) & (n_tokens >= 3)
+    )
     plants = (
         docs.filter(plant_cond)
         .select((F.col("doc_id") + offset).alias("doc_id"), "text")
@@ -6958,14 +6970,20 @@ def _fuzzy_decon_inputs(spark, sf_dir):
         .select("doc_id", "text")
         .unionByName(plants)
     )
-    return eval_d, train, plant_cond, offset
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:decon_index"
+    idx_dir = _STAGE_CACHE.get(key)
+    if idx_dir is None:
+        idx_dir = tempfile.mkdtemp(prefix="decon_index_")
+        DD.minhash_band_index(
+            train, "text", "doc_id", num_hashes=32, bands=8
+        ).write.mode("overwrite").parquet(idx_dir)
+        _STAGE_CACHE[key] = idx_dir
+    index = spark.read.parquet(idx_dir)
+    return eval_d, train, index, plant_cond, offset
 
 
 def _fuzzy_decon_bare(spark, sf_dir):
-    eval_d, train, _, _ = _fuzzy_decon_inputs(spark, sf_dir)
-    index = DD.minhash_band_index(
-        train, "text", "doc_id", num_hashes=32, bands=8
-    )
+    eval_d, train, index, _, _ = _fuzzy_decon_inputs(spark, sf_dir)
     return DD.minhash_delta_dedup_pairs(
         eval_d, train, index, threshold=0.5, num_hashes=32, bands=8
     )
@@ -6979,6 +6997,8 @@ def _fuzzy_decon_bare(spark, sf_dir):
                CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_train,
                CAST(SUM(CASE WHEN doc_id % 39 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '),
+                                                 x -> x <> '')) >= 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
                true AS planted_flagged_ok,
                true AS pairs_touch_eval,
@@ -7003,7 +7023,7 @@ def fuzzy_decontamination(spark, sf_dir):
     every flagged Jaccard re-verifies from independent string
     shingles. Eval/train/plant counts cross the engine compare."""
     docs = _t(spark, sf_dir, "documents")
-    eval_d, train, plant_cond, offset = _fuzzy_decon_inputs(spark, sf_dir)
+    eval_d, train, _, plant_cond, offset = _fuzzy_decon_inputs(spark, sf_dir)
     pairs = _fuzzy_decon_bare(spark, sf_dir).localCheckpoint(eager=True)
     is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
         F.col("id_a") % 39 == 0
