@@ -802,6 +802,49 @@ def embedding_dedup_pairs(
     return pairs
 
 
+def _arrow_shingle_hashes(pdf, text_col, shingle_n, hash_key):
+    """Shared per-batch shingle machinery for the Arrow signature
+    families: pandas ``str.split`` tokenize, flat token array with a
+    cross-doc boundary mask, one vectorized ``str.cat`` pass per extra
+    shingle word, SipHash via ``pd.util.hash_array``. Returns
+    ``(hashes uint64[], shingle_doc_idx int[])`` — both empty when the
+    batch has no complete shingle. Any change here (tokenization,
+    boundary mask, hash seeding) MUST stay family-agnostic: SimHash
+    and MinHash signatures both derive from exactly this stream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_docs = len(pdf)
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    toks = pdf[text_col].fillna("").str.split()
+    lens = toks.str.len().fillna(0).astype(int).to_numpy()
+    total = int(lens.sum())
+    if not total:
+        return empty
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for lst in toks:
+        if lst:
+            flat[pos : pos + len(lst)] = lst
+            pos += len(lst)
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    m = total - (shingle_n - 1)
+    if m <= 0:
+        return empty
+    keep = np.ones(m, dtype=bool)
+    for k in range(1, shingle_n):
+        keep &= doc_idx[:m] == doc_idx[k : k + m]
+    sh = pd.Series(flat[:m][keep], dtype=object)
+    for k in range(1, shingle_n):
+        sh = sh.str.cat(pd.Series(flat[k : k + m][keep], dtype=object), sep=" ")
+    sh_doc = doc_idx[:m][keep]
+    if not len(sh):
+        return empty
+    h = pd.util.hash_array(sh.to_numpy(dtype=object), hash_key=hash_key)
+    return h, sh_doc
+
+
 def simhash_signatures_arrow(
     df: DataFrame,
     text_col: str = "text",
@@ -839,52 +882,25 @@ def simhash_signatures_arrow(
             if not n_docs:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            toks = pdf[text_col].fillna("").str.split()
-            lens = toks.str.len().fillna(0).astype(int).to_numpy()
-            total = int(lens.sum())
             sig = np.zeros(n_docs, dtype=np.uint64)
-            if total:
-                flat = np.empty(total, dtype=object)
-                pos = 0
-                for lst in toks:
-                    if lst:
-                        flat[pos : pos + len(lst)] = lst
-                        pos += len(lst)
-                doc_idx = np.repeat(np.arange(n_docs), lens)
-                m = total - (shingle_n - 1)
-                if m > 0:
-                    keep = np.ones(m, dtype=bool)
-                    for k in range(1, shingle_n):
-                        keep &= doc_idx[:m] == doc_idx[k : k + m]
-                    sh = pd.Series(flat[:m][keep], dtype=object)
-                    for k in range(1, shingle_n):
-                        sh = sh.str.cat(
-                            pd.Series(flat[k : k + m][keep], dtype=object), sep=" "
-                        )
-                    sh_doc = doc_idx[:m][keep]
-                    if len(sh):
-                        h = pd.util.hash_array(
-                            sh.to_numpy(dtype=object), hash_key=hash_key
-                        )
-                        bitsmat = (
-                            (h[:, None] >> np.arange(64, dtype=np.uint64))
-                            & np.uint64(1)
-                        ).astype(np.float64)
-                        counts = np.stack(
-                            [
-                                np.bincount(
-                                    sh_doc, weights=bitsmat[:, b], minlength=n_docs
-                                )
-                                for b in range(64)
-                            ],
-                            axis=1,
-                        )
-                        votes = np.bincount(sh_doc, minlength=n_docs)
-                        majority = counts * 2 > votes[:, None]
-                        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-                        sig = (majority.astype(np.uint64) * powers).sum(
-                            axis=1, dtype=np.uint64
-                        )
+            h, sh_doc = _arrow_shingle_hashes(pdf, text_col, shingle_n, hash_key)
+            if len(h):
+                bitsmat = (
+                    (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.float64)
+                counts = np.stack(
+                    [
+                        np.bincount(sh_doc, weights=bitsmat[:, b], minlength=n_docs)
+                        for b in range(64)
+                    ],
+                    axis=1,
+                )
+                votes = np.bincount(sh_doc, minlength=n_docs)
+                majority = counts * 2 > votes[:, None]
+                powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                sig = (majority.astype(np.uint64) * powers).sum(
+                    axis=1, dtype=np.uint64
+                )
             yield pd.DataFrame({id_col: ids, "sig": sig.view(np.int64)})
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
@@ -1033,35 +1049,11 @@ def minhash_signatures_arrow(
             if not n_docs:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            toks = pdf[text_col].fillna("").str.split()
-            lens = toks.str.len().fillna(0).astype(int).to_numpy()
-            total = int(lens.sum())
             M = np.full((n_docs, num_bins), MAXU, dtype=np.uint64)
-            if total:
-                flat = np.empty(total, dtype=object)
-                pos = 0
-                for lst in toks:
-                    if lst:
-                        flat[pos : pos + len(lst)] = lst
-                        pos += len(lst)
-                doc_idx = np.repeat(np.arange(n_docs), lens)
-                m = total - (shingle_n - 1)
-                if m > 0:
-                    keep = np.ones(m, dtype=bool)
-                    for k in range(1, shingle_n):
-                        keep &= doc_idx[:m] == doc_idx[k : k + m]
-                    sh = pd.Series(flat[:m][keep], dtype=object)
-                    for k in range(1, shingle_n):
-                        sh = sh.str.cat(
-                            pd.Series(flat[k : k + m][keep], dtype=object), sep=" "
-                        )
-                    sh_doc = doc_idx[:m][keep]
-                    if len(sh):
-                        h = pd.util.hash_array(
-                            sh.to_numpy(dtype=object), hash_key=hash_key
-                        )
-                        bins = (h % np.uint64(num_bins)).astype(np.int64)
-                        np.minimum.at(M, (sh_doc, bins), h)
+            h, sh_doc = _arrow_shingle_hashes(pdf, text_col, shingle_n, hash_key)
+            if len(h):
+                bins = (h % np.uint64(num_bins)).astype(np.int64)
+                np.minimum.at(M, (sh_doc, bins), h)
             occ = M != MAXU
             any_occ = occ.any(axis=1)
             # rotation densification: two reverse scans; after pass 1

@@ -268,4 +268,12 @@ def pagerank(
                 "rank"
             ),
         )
-    return ranks
+    # materialize the final ranks, then RELEASE the iteration caches —
+    # without this every invocation strands two cached frames in
+    # executor storage until LRU eviction (operator is therefore
+    # eager, like connected_components). The checkpointed result is a
+    # skinny (node, rank) frame.
+    out = ranks.localCheckpoint(eager=True)
+    trans.unpersist()
+    nodes.unpersist()
+    return out

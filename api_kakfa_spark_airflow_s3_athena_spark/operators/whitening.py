@@ -89,7 +89,8 @@ def fit_pca_whitening(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> 
         .agg(F.sum("val").alias("val"))
         .collect()
     )
-    n = int(next(r.val for r in cells if r.i == -1 and r.j == -1))
+    n_cell = next((r.val for r in cells if r.i == -1 and r.j == -1), None)
+    n = int(n_cell) if n_cell is not None else 0
     if n < 2:
         raise ValueError("fit_pca_whitening needs at least 2 vectors")
     d = max(r.i for r in cells) + 1

@@ -1570,7 +1570,15 @@ def _planted_docs(docs, modulo: int, offset: int = 10_000_000):
     planted pair that a dedup pipeline misses is a pipeline bug, not
     banding luck — the construction that makes a dedup contract
     falsifiable on a corpus with no natural duplicates."""
-    plant_cond = (F.col("doc_id") % modulo == 0) & (F.length("text") > 50)
+    # >= 3 tokens as well as > 50 chars: a long single/double-token doc
+    # has an EMPTY 3-shingle set (Jaccard 0 against anything), i.e. a
+    # planted pair no shingle pipeline could ever recover — it must not
+    # count as a plant. (Latent on the current corpus, whose >50-char
+    # docs always have ~10+ tokens; hard requirement on any other.)
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    plant_cond = (
+        (F.col("doc_id") % modulo == 0) & (F.length("text") > 50) & (n_tokens >= 3)
+    )
     planted = docs.filter(plant_cond).withColumn("doc_id", F.col("doc_id") + offset)
     return docs.unionByName(planted), plant_cond
 
@@ -1630,6 +1638,7 @@ def _minhash_bare(spark, sf_dir):
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN doc_id % 37 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
                true AS planted_recall_ok,
                true AS pairs_verified_ok
@@ -1697,6 +1706,7 @@ def minhash_near_dup_pairs(spark, sf_dir):
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN doc_id % 41 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
                true AS planted_recall_ok,
                true AS pairs_verified_ok
@@ -1766,6 +1776,7 @@ def _delta_dedup_inputs(spark, sf_dir):
         (F.col("doc_id") % 7 == 3)
         & (F.col("doc_id") % 5 != 0)
         & (F.length("text") > 50)
+        & (F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= 3)
     )
     plants = docs.filter(plant_cond).withColumn("doc_id", F.col("doc_id") + offset)
     delta = docs.filter(F.col("doc_id") % 5 == 0).unionByName(plants)
@@ -1789,7 +1800,9 @@ def _delta_dedup_inputs(spark, sf_dir):
                CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_delta_new,
                CAST(SUM(CASE WHEN doc_id % 7 = 3 AND doc_id % 5 <> 0
-                             AND length(text) > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                             AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
+                             THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_planted,
                true AS planted_recall_ok,
                true AS pairs_touch_delta,
@@ -1875,7 +1888,11 @@ def _run_stream_dedup(spark, sf_dir, base):
     docs = _t(spark, sf_dir, "documents")
     offset = 10_000_000
     sl = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
-    plant_cond = (F.col("doc_id") % 21 == 0) & (F.length("text") > 50)
+    plant_cond = (
+        (F.col("doc_id") % 21 == 0)
+        & (F.length("text") > 50)
+        & (F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= 3)
+    )
     plants = (
         docs.filter(plant_cond)
         .select((F.col("doc_id") + offset).alias("doc_id"), "text")
@@ -1926,6 +1943,7 @@ def _stream_dedup_bench(spark, sf_dir):
         SELECT CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_docs,
                CAST(SUM(CASE WHEN doc_id % 21 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
                true AS pairs_equal_batch,
                true AS planted_recall_ok
@@ -1950,7 +1968,11 @@ def streaming_dedup_ingest(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     offset = 10_000_000
     sl = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
-    plant_cond = (F.col("doc_id") % 21 == 0) & (F.length("text") > 50)
+    plant_cond = (
+        (F.col("doc_id") % 21 == 0)
+        & (F.length("text") > 50)
+        & (F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= 3)
+    )
     plants = (
         docs.filter(plant_cond)
         .select((F.col("doc_id") + offset).alias("doc_id"), "text")
@@ -2004,6 +2026,7 @@ def streaming_dedup_ingest(spark, sf_dir):
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN doc_id % 41 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
                true AS planted_recall_ok,
                true AS clusters_valid
@@ -2068,6 +2091,7 @@ def simhash_clusters(spark, sf_dir):
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN doc_id % 43 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
                true AS planted_recall_ok,
                true AS hamming_verified_ok
@@ -2506,6 +2530,7 @@ def semdedup_near_dup_pairs(spark, sf_dir):
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN doc_id % 43 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
                true AS planted_recall_ok,
                true AS hamming_verified_ok
@@ -2582,6 +2607,7 @@ def _simhash_delta_inputs(spark, sf_dir):
         (F.col("doc_id") % 9 == 2)
         & (F.col("doc_id") % 5 != 0)
         & (F.length("text") > 50)
+        & (F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= 3)
     )
     plants = docs.filter(plant_cond).withColumn("doc_id", F.col("doc_id") + offset)
     delta = docs.filter(F.col("doc_id") % 5 == 0).unionByName(plants)
@@ -2603,7 +2629,9 @@ def _simhash_delta_inputs(spark, sf_dir):
                CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_delta_new,
                CAST(SUM(CASE WHEN doc_id % 9 = 2 AND doc_id % 5 <> 0
-                             AND length(text) > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                             AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
+                             THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_planted,
                true AS planted_recall_ok,
                true AS pairs_touch_delta,
@@ -7631,7 +7659,8 @@ def _whitening_bench(spark, sf_dir):
                ROUND(SUM(v), 6) AS trace,
                true AS orthonormal_ok,
                true AS eigs_descending_ok,
-               true AS whitened_var_ok
+               true AS whitened_var_ok,
+               true AS eig_trace_ok
         FROM dv
     """,
     tags=("embeddings", "whitening", "arrow"),
@@ -7647,22 +7676,33 @@ def embedding_pca_whitening(spark, sf_dir):
     check), (b) eigenvalues are non-negative descending, (c) every
     whitened output dimension's sample variance is 1 within 1e-3
     (computed by a SPARK aggregate over the transformed corpus — the
-    transform is actually run), and (d) the covariance trace ==
-    the sum of per-dimension variances, which DuckDB recomputes
-    independently from the raw vectors — a hard cross-engine number
-    pinning the fit's second moments."""
+    transform is actually run), and (d) eig_trace_ok: the FULL
+    eigenvalue spectrum of the fitted model sums to the covariance
+    trace, where the trace is recomputed from the raw vectors by a
+    Spark variance aggregate AND by DuckDB independently — so a Gram
+    mis-reduction (dropped partition partial, swapped i/j keys) moves
+    the eigvals away from the cross-engine trace and fails the
+    boolean. The fit runs at k=d (full spectrum) for that check; the
+    transform uses its top-8 slice."""
     import numpy as np
 
-    from ..operators.whitening import fit_pca_whitening, whiten
+    from ..operators.whitening import PCAWhitening, fit_pca_whitening, whiten
 
     emb = _t(spark, sf_dir, "embeddings")
-    model = fit_pca_whitening(emb, k=8)
+    full = fit_pca_whitening(emb, k=1 << 20)  # k > d => every component
+    model = PCAWhitening(
+        mean=full.mean,
+        components=full.components[:, :8],
+        eigvals=full.eigvals[:8],
+        n=full.n,
+    )
+    sum_eig = float(np.sum(full.eigvals))
     V = model.components
     orthonormal_ok = bool(
         np.max(np.abs(V.T @ V - np.eye(V.shape[1]))) < 1e-9
     )
     eigs_ok = bool(
-        np.all(np.diff(model.eigvals) <= 1e-12) and np.all(model.eigvals >= -1e-9)
+        np.all(np.diff(full.eigvals) <= 1e-12) and np.all(full.eigvals >= -1e-9)
     )
     wvar_ok = (
         whiten(emb, model)
@@ -7677,6 +7717,10 @@ def embedding_pca_whitening(spark, sf_dir):
         .agg(F.var_samp("val").alias("v"))
         .agg(
             F.round(F.sum("v"), 6).alias("trace"),
+            # the fit-pinning comparison runs on the UNROUNDED trace:
+            # the model's full eigenvalue sum must equal the raw-vector
+            # variance sum (they are the same matrix invariant)
+            (F.abs(F.sum("v") - F.lit(sum_eig)) < 1e-6).alias("eig_trace_ok"),
         )
     )
     n_agg = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
@@ -7689,6 +7733,7 @@ def embedding_pca_whitening(spark, sf_dir):
             F.lit(orthonormal_ok).alias("orthonormal_ok"),
             F.lit(eigs_ok).alias("eigs_descending_ok"),
             "whitened_var_ok",
+            "eig_trace_ok",
         )
     )
 
