@@ -139,3 +139,40 @@ def test_resize_on_empty_payloads(spark):
 
     empty = spark.createDataFrame([], "doc_id long, payload binary")
     assert resize_media(empty).count() == 0
+
+
+def test_round5b_ops_on_empty_inputs(spark, empty_docs, empty_vecs):
+    """Session-2 operators: Arrow MinHash, PageRank, whitening
+    transform — empty inputs yield empty correctly-schemaed output
+    (whitening FIT on empty is a documented ValueError, pinned in
+    test_whitening.py)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.dedup import (
+        minhash_dedup_pairs_arrow,
+        minhash_signatures_arrow,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import pagerank
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.whitening import (
+        PCAWhitening,
+        whiten,
+    )
+    import numpy as np
+
+    sigs = minhash_signatures_arrow(empty_docs, num_bins=16)
+    assert sigs.count() == 0
+    assert [f.name for f in sigs.schema.fields] == ["doc_id", "sig"]
+    assert minhash_dedup_pairs_arrow(empty_docs, num_hashes=16, bands=4).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src long, dst long, w double")
+    ranks = pagerank(empty_edges, iters=2)
+    assert ranks.count() == 0
+    assert [f.name for f in ranks.schema.fields] == ["node", "rank"]
+
+    model = PCAWhitening(
+        mean=np.zeros(2), components=np.eye(2), eigvals=np.ones(2), n=2
+    )
+    out = whiten(
+        spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        model,
+        id_col="vec_id",
+    )
+    assert out.count() == 0
