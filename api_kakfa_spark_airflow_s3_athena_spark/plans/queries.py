@@ -7994,6 +7994,87 @@ def streaming_anomaly_flags(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+        WITH dim AS (
+            SELECT s_suppkey, 0 AS version,
+                   TIMESTAMP '1995-01-01' AS valid_from,
+                   TIMESTAMP '1997-01-01' AS valid_to,
+                   s_acctbal AS acctbal_v FROM supplier
+            UNION ALL
+            SELECT s_suppkey, 1, TIMESTAMP '1997-01-01',
+                   TIMESTAMP '1999-01-01', s_acctbal + 100 FROM supplier
+            UNION ALL
+            SELECT s_suppkey, 2, TIMESTAMP '1999-01-01',
+                   TIMESTAMP '9999-01-01', s_acctbal + 200 FROM supplier
+        )
+        SELECT d.version,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+               CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS revenue,
+               CAST(round(SUM(CAST(d.acctbal_v AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_acctbal_v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN dim d ON l.l_suppkey = d.s_suppkey
+                  AND o.o_orderdate >= d.valid_from
+                  AND o.o_orderdate < d.valid_to
+        GROUP BY d.version
+    """,
+    tags=("warehousing", "scd2", "temporal-join"),
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """SCD2 point-in-time correctness — the slowly-changing-dimension
+    join every warehouse needs: each fact row joins the dimension
+    VERSION that was valid at its event date, never the current one.
+    The dimension is a type-2 history (synthetically derived from
+    supplier with three validity windows and a version-dependent
+    attribute, since the testdata ships no native history). Join
+    strategy: the equality key (suppkey) dominates, so this stays an
+    ordinary broadcast equi-join with the validity range as a
+    residual filter — NO range-join blowup — and each fact row
+    matches exactly one version because the windows partition the
+    timeline. At 100 TB the dim history broadcasts (dims are small
+    even versioned); the per-version rollup verifies totals."""
+    sup = _t(spark, sf_dir, "supplier")
+
+    def ver(v, frm, to, bump):
+        return sup.select(
+            "s_suppkey",
+            F.lit(v).alias("version"),
+            F.lit(frm).cast("timestamp").alias("valid_from"),
+            F.lit(to).cast("timestamp").alias("valid_to"),
+            (F.col("s_acctbal") + bump).alias("acctbal_v"),
+        )
+
+    dim = (
+        ver(0, "1995-01-01", "1997-01-01", 0)
+        .unionByName(ver(1, "1997-01-01", "1999-01-01", 100))
+        .unionByName(ver(2, "1999-01-01", "9999-01-01", 200))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(dim),
+            (li.l_suppkey == dim.s_suppkey)
+            & (o.o_orderdate >= dim.valid_from)
+            & (o.o_orderdate < dim.valid_to),
+        )
+    )
+    return joined.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
+        _money_sum(_m("l_extendedprice"), "revenue"),
+        _money_sum(_m("acctbal_v"), "sum_acctbal_v"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
