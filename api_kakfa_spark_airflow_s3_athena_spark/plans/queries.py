@@ -8075,6 +8075,47 @@ def scd2_point_in_time_join(spark, sf_dir):
     )
 
 
+@register(
+    "exact_jaccard_join_prefix",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS t
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.t, b.t))), 6)
+                       AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(a.t) > 0 AND len(b.t) > 0
+        )
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.95
+    """,
+    tags=("dedup", "exact-join"),
+    bench_fn=lambda spark, sf_dir: DD.prefix_jaccard_join(
+        _t(spark, sf_dir, "documents"), threshold=0.95
+    ),
+)
+def exact_jaccard_join_prefix(spark, sf_dir):
+    """EXACT all-pairs token-set similarity join via prefix filtering
+    — the zero-false-negative complement to the LSH dedup paths, and
+    the registry's strongest oracle form: the DuckDB twin computes
+    the FULL brute-force O(n²) pair set and the engine's
+    prefix-filtered output must match it ROW FOR ROW (ids and
+    6-dp Jaccard), not just on contract booleans. The engine never
+    does the O(n²) compare: candidates come from shared rarest-first
+    prefix tokens, verification touches candidates only (see
+    ``dedup.prefix_jaccard_join`` for the theorem and the float-safe
+    prefix length). Brute force is feasible for the ORACLE at sf0.01
+    (500 docs); the engine side is what scales."""
+    return DD.prefix_jaccard_join(
+        _t(spark, sf_dir, "documents"), threshold=0.95
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #

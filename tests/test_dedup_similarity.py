@@ -716,3 +716,34 @@ def test_minhash_arrow_empty_docs_band_together_harmlessly(spark):
     )
     pairs = DD.minhash_dedup_pairs_arrow(df, threshold=0.1, num_hashes=32, bands=8).collect()
     assert pairs == []
+
+
+def test_prefix_jaccard_join_equals_brute_force(spark):
+    """The prefix-filtered join is EXACT: its pair set must equal the
+    all-pairs token-set Jaccard compare, including borderline sizes
+    where the length filter is tight."""
+    rows = [
+        Row(doc_id=0, text="a b c d e f g h i j"),
+        Row(doc_id=1, text="a b c d e f g h i j"),        # exact dup
+        Row(doc_id=2, text="a b c d e f g h i k"),        # 9/11
+        Row(doc_id=3, text="a b c d e f g h i j k"),      # 10/11 superset
+        Row(doc_id=4, text="z y x w v u t s r q"),
+        Row(doc_id=5, text="z y x w v u t s r q p o"),    # 10/12
+        Row(doc_id=6, text="m"),
+        Row(doc_id=7, text=""),
+    ]
+    docs = spark.createDataFrame(rows)
+    for t in (0.5, 0.8, 0.9, 1.0):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in DD.prefix_jaccard_join(docs, threshold=t).collect()
+        }
+        sets = {r.doc_id: set(r.text.split()) - {""} for r in rows}
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                    if round(j, 6) >= t:
+                        want[(a, b)] = round(j, 6)
+        assert got == want, t
