@@ -8116,6 +8116,71 @@ def exact_jaccard_join_prefix(spark, sf_dir):
     )
 
 
+@register(
+    "weighted_sample_aes",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                        AS DOUBLE) AS w,
+                   (CAST(hash_mod AS DOUBLE) + 1.0) / 1048577.0 AS u
+            FROM (
+                SELECT doc_id, lang, text,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':aes'),
+                                           1, 5) AS BIGINT) % 1048576
+                           AS hash_mod
+                FROM documents
+            )
+            WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+        ),
+        keyed AS (
+            SELECT doc_id, lang, w, ROUND(-ln(u) / w, 10) AS k,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY ROUND(-ln(u) / w, 10), doc_id
+                   ) AS rn
+            FROM scored
+        )
+        SELECT lang, doc_id, w FROM keyed WHERE rn <= 20
+    """,
+    tags=("sampling", "weighted"),
+)
+def weighted_sample_aes(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement per group — the
+    Efraimidis-Spirakis exponential-key algorithm (A-ES, 2006, public
+    literature): each row draws key -ln(u)/w from a uniform u and the
+    k smallest keys per group form an exact weighted
+    without-replacement sample. The draw is DETERMINISTIC (u derived
+    from md5(doc_id), the engine-reproducibility recipe the sharded
+    export uses), so the sample is run/retry/engine-stable and the
+    DuckDB twin selects the identical rows. Heavier docs (weight =
+    token count) are proportionally likelier. One window shuffle on
+    skinny (lang, key) rows; at 100 TB swap the full sort-rank for a
+    per-partition top-k + merge of k-element heaps — same keys, same
+    output. Keys rounded to 10 dp so ln()'s last-ulp differences
+    between libms can't flip a rank; ties broken by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    w = F.size(toks).cast("double")
+    # u in (0, 1]: 20 bits of the md5 hex, +1 to exclude zero
+    hash_mod = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":aes"))), 1, 5), 16, 10)
+        .cast("bigint") % 1048576
+    )
+    u = (hash_mod.cast("double") + F.lit(1.0)) / F.lit(1048577.0)
+    scored = d.select(
+        "doc_id", "lang", w.alias("w"), u.alias("u")
+    ).filter(F.col("w") > 0)
+    keyed = scored.select(
+        "doc_id", "lang", "w", F.round(-F.log("u") / F.col("w"), 10).alias("k")
+    )
+    win = Window.partitionBy("lang").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "w")
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
