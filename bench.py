@@ -60,6 +60,8 @@ HEADLINE = HEADLINE_R01 + [
     "cluster_aware_split",
     "pagerank_customer_supplier",
     "bpe_pair_stats",
+    "ngram_lm_perplexity",
+    "scd2_point_in_time_join",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit
