@@ -8181,6 +8181,77 @@ def weighted_sample_aes(spark, sf_dir):
     )
 
 
+@register(
+    "ordered_funnel_3step",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
+               (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
+               (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3,
+               (SELECT CAST(count(*) AS BIGINT) FROM s3
+                WHERE epoch_us(t3) - (SELECT epoch_us(t1) FROM s1
+                                      WHERE s1.user_id = s3.user_id)
+                      <= 86400000000) AS n_within_24h
+    """,
+    tags=("analytics", "funnel", "sequence"),
+)
+def ordered_funnel_3step(spark, sf_dir):
+    """Strictly-ORDERED multi-step funnel — view, then a click after
+    that view, then a purchase after that click (the sequence-pattern
+    query simple A-then-B funnels cannot express: each step's earliest
+    qualifying time must follow the PREVIOUS step's, not just exist).
+    Computed as a chain of per-user conditional minima: step k is one
+    filtered aggregate joined to step k-1's times — k key-wise
+    shuffles on (user, ts) pairs, no window over full event history,
+    no per-user explode. The 24 h completion count uses exact integer
+    microseconds. At 100 TB each step's aggregate input is already
+    user-partitioned after the first shuffle (co-partitioned joins)."""
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.first("t1").alias("t1"))
+    )
+    within = s3.filter(
+        F.unix_micros("t3") - F.unix_micros("t1") <= 86_400_000_000
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_step1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_step2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_step3")))
+        .crossJoin(within.agg(F.count(F.lit(1)).alias("n_within_24h")))
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
