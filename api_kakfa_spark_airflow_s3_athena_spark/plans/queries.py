@@ -8252,6 +8252,48 @@ def ordered_funnel_3step(spark, sf_dir):
     )
 
 
+@register(
+    "event_seasonality_profile",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                   CAST(hour(ts) AS INTEGER) AS hod,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM cells)
+        SELECT dow, hod, n,
+               ROUND((n - mu) / sd, 6) AS z
+        FROM cells CROSS JOIN stats
+    """,
+    tags=("analytics", "seasonality"),
+)
+def event_seasonality_profile(spark, sf_dir):
+    """Traffic seasonality heatmap: event counts per (day-of-week,
+    hour-of-day) cell with each cell's z-score against the grid —
+    the load-profile every capacity planner and anomaly baseline
+    starts from. One aggregate to the fixed 7x24 grid (partial-agg
+    collapses each partition to <=168 rows before the exchange), one
+    single-row stats aggregate broadcast back. Convention trap,
+    pinned here: Spark's ``dayofweek`` is 1=Sunday but DuckDB's is
+    0=Sunday — the oracle shifts by +1. Integer counts make the
+    z-scores deterministic at 6 dp."""
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = cells.agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    return cells.crossJoin(F.broadcast(stats)).select(
+        "dow",
+        "hod",
+        "n",
+        F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
