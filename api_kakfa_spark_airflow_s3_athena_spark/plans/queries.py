@@ -8294,6 +8294,134 @@ def event_seasonality_profile(spark, sf_dir):
     )
 
 
+@register(
+    "event_sequence_trigrams",
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id,
+                   list(event_type ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id
+        ),
+        grams AS (
+            SELECT unnest(list_transform(range(1, len(s) - 1),
+                       i -> s[i] || '>' || s[i + 1] || '>' || s[i + 2]))
+                       AS trigram
+            FROM seqs WHERE len(s) >= 3
+        )
+        SELECT trigram, CAST(count(*) AS BIGINT) AS n
+        FROM grams GROUP BY trigram
+        ORDER BY n DESC, trigram LIMIT 25
+    """,
+    tags=("analytics", "sequence"),
+)
+def event_sequence_trigrams(spark, sf_dir):
+    """Top behavioral 3-step sequences: each user's time-ordered event
+    stream, cut into overlapping trigrams, counted corpus-wide — the
+    path-mining upgrade of the first-order transition matrix (which
+    cannot distinguish A>B>A loops from A>B>C progressions). One
+    groupBy collects per-user ordered type lists (the only shuffle
+    carrying event rows); the trigram cut is the same row-local
+    shifted-slice zip as bpe_pair_stats, and the trigram count space
+    is at most |types|³ rows. Top-25 with ties broken by trigram
+    text — deterministic in both engines."""
+    e = _t(spark, sf_dir, "events")
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ).alias("s")
+        )
+        .filter(F.size("s") >= 3)
+    )
+    length = F.greatest(F.size("s") - F.lit(2), F.lit(0))
+    grams = F.zip_with(
+        F.slice("s", 1, length),
+        F.zip_with(
+            F.slice(F.col("s"), 2, length),
+            F.slice(F.col("s"), 3, length),
+            lambda b, c: F.concat_ws(">", b, c),
+        ),
+        lambda a, bc: F.concat_ws(">", a, bc),
+    )
+    return (
+        seqs.select(F.explode(grams).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(25)
+    )
+
+
+@register(
+    "data_expectations_gate",
+    oracle="""
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_rows,
+            count(*) > 0 AS nonempty_ok,
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                = 0 AS orderkey_never_null,
+            CAST(count(DISTINCT o_orderkey) AS BIGINT) = CAST(count(*) AS BIGINT)
+                AS orderkey_unique,
+            CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                          THEN 0 ELSE 1 END) AS BIGINT) = 0
+                AS status_in_enum,
+            CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                = 0 AS price_positive,
+            CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                            OR o_orderdate >= TIMESTAMP '2030-01-01'
+                          THEN 1 ELSE 0 END) AS BIGINT) = 0
+                AS orderdate_in_range,
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) <= 0.01 AS custkey_null_rate_ok
+        FROM orders
+    """,
+    tags=("quality", "contracts"),
+)
+def data_expectations_gate(spark, sf_dir):
+    """Declarative data-contract gate (Great-Expectations-style, as a
+    single query): uniqueness, non-nullness, enum membership, range,
+    and null-rate expectations over `orders`, all folded into ONE
+    aggregate over one scan — the shape a 100 TB ingest gate must
+    take (per-expectation scans would multiply the read cost by the
+    contract size). Each expectation lands as a boolean column; the
+    gate passes iff the row is all-true, and the oracle recomputes
+    every expectation independently."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) > 0).alias("nonempty_ok"),
+        (F.sum(F.col("o_orderkey").isNull().cast("long")) == 0).alias(
+            "orderkey_never_null"
+        ),
+        (F.count_distinct(F.col("o_orderkey")) == F.count(F.lit(1))).alias(
+            "orderkey_unique"
+        ),
+        (
+            F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")) == 0
+        ).alias("status_in_enum"),
+        (F.sum((F.col("o_totalprice") <= 0).cast("long")) == 0).alias(
+            "price_positive"
+        ),
+        (
+            F.sum(
+                (
+                    (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                    | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp"))
+                ).cast("long")
+            )
+            == 0
+        ).alias("orderdate_in_range"),
+        (
+            F.sum(F.col("o_custkey").isNull().cast("double")) / F.count(F.lit(1))
+            <= 0.01
+        ).alias("custkey_null_rate_ok"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
