@@ -8422,6 +8422,65 @@ def data_expectations_gate(spark, sf_dir):
     )
 
 
+@register(
+    "doc_token_entropy",
+    oracle="""
+        WITH cnt AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ) GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy,
+               CASE WHEN count(*) > 1
+                    THEN ROUND((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c))
+                               / ln(count(*)), 6)
+                    ELSE 0.0 END AS norm_entropy
+        FROM cnt GROUP BY doc_id
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def doc_token_entropy(spark, sf_dir):
+    """Shannon token entropy per document — the information-theoretic
+    repetitiveness filter (templated/boilerplate docs score low;
+    Gopher-style quality rules use exactly this family of signals).
+    Uses the one-pass identity H = ln(n) - (Σ c·ln c)/n over per-doc
+    token counts, so the whole computation is two key-wise aggregates
+    (token counts, then per-doc moments) — no per-token log of
+    probabilities, no second scan. ``norm_entropy`` divides by the
+    maximum ln(n_distinct) for a 0-1 score comparable across document
+    lengths. Identical formula order in both engines keeps the 6-dp
+    rounding deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(h, 6).alias("entropy"),
+        F.when(
+            F.count(F.lit(1)) > 1, F.round(h / F.log(F.count(F.lit(1))), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
