@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PCAWhitening", "fit_pca_whitening", "whiten"]
+__all__ = ["PCAWhitening", "fit_pca_whitening", "whiten", "save_model", "load_model"]
 
 
 @dataclass
@@ -149,3 +149,41 @@ def whiten(
     return df.select(id_col, vec_col).mapInPandas(
         gen, schema=f"{id_col} long, {out_col} array<double>"
     )
+
+
+def save_model(spark, model: PCAWhitening, path: str) -> None:
+    """Persist the fitted model as a tiny parquet artifact — one row
+    per (kind, i, j) cell: mean (j=-1), components, eigvals (i=-1) —
+    so the snapshot-fit/serve split works exactly like the MinHash
+    band index and IVF index artifacts: fit once per corpus snapshot,
+    every downstream job (and engine version) reloads the identical
+    projection."""
+    rows = [("n", -1, -1, float(model.n))]
+    rows += [("mean", int(i), -1, float(v)) for i, v in enumerate(model.mean)]
+    rows += [("eig", -1, int(j), float(v)) for j, v in enumerate(model.eigvals)]
+    d, k = model.components.shape
+    rows += [
+        ("comp", int(i), int(j), float(model.components[i, j]))
+        for i in range(d)
+        for j in range(k)
+    ]
+    spark.createDataFrame(rows, "kind string, i int, j int, val double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_model(spark, path: str) -> PCAWhitening:
+    """Reload a :func:`save_model` artifact, bit-identical."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).collect()
+    n = int(next(r.val for r in rows if r.kind == "n"))
+    mean_cells = {r.i: r.val for r in rows if r.kind == "mean"}
+    eig_cells = {r.j: r.val for r in rows if r.kind == "eig"}
+    comp_cells = {(r.i, r.j): r.val for r in rows if r.kind == "comp"}
+    d = len(mean_cells)
+    k = len(eig_cells)
+    mean = np.array([mean_cells[i] for i in range(d)])
+    eig = np.array([eig_cells[j] for j in range(k)])
+    comp = np.array([[comp_cells[(i, j)] for j in range(k)] for i in range(d)])
+    return PCAWhitening(mean=mean, components=comp, eigvals=eig, n=n)

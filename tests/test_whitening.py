@@ -75,3 +75,27 @@ def test_fit_rejects_degenerate_input(spark):
     df = _df(spark, np.zeros((1, 3)))
     with pytest.raises(ValueError, match="at least 2"):
         fit_pca_whitening(df, k=2)
+
+
+def test_model_roundtrips_through_parquet(spark, tmp_path):
+    """save_model/load_model is bit-exact: the reloaded model whitens
+    to the identical output (the fit-once/serve-everywhere artifact
+    contract, same as the band/IVF indexes)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.whitening import (
+        load_model,
+        save_model,
+    )
+
+    X = _correlated(n=120)
+    df = _df(spark, X)
+    model = fit_pca_whitening(df, k=3)
+    path = str(tmp_path / "wmodel")
+    save_model(spark, model, path)
+    back = load_model(spark, path)
+    assert back.n == model.n
+    assert np.array_equal(back.mean, model.mean)
+    assert np.array_equal(back.eigvals, model.eigvals)
+    assert np.array_equal(back.components, model.components)
+    a = {r.vec_id: r.whitened for r in whiten(df, model).collect()}
+    b = {r.vec_id: r.whitened for r in whiten(df, back).collect()}
+    assert a == b
