@@ -8481,6 +8481,115 @@ def doc_token_entropy(spark, sf_dir):
     )
 
 
+@register(
+    "referential_integrity_audit",
+    oracle="""
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+                AS orphan_lineitems,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+                AS orphan_orders,
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+                AS orphan_supp_refs,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey))
+                AS childless_orders
+    """,
+    tags=("quality", "integrity", "anti-join"),
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Cross-table referential-integrity audit — the orphan scan every
+    warehouse load validates: facts referencing missing dimension/
+    parent keys (and parents with no children, which is informational,
+    not an error). Each check is one LEFT ANTI join counting misses;
+    the dimension sides broadcast, so the fact tables are scanned once
+    each and never shuffled. Complements the single-table
+    expectations gate with the FK layer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    orphan_li = li.join(
+        F.broadcast(o.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    orphan_o = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_orders"))
+    orphan_sup = li.join(
+        F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_supp_refs"))
+    childless = o.join(
+        li.select("l_orderkey").distinct(),
+        o.o_orderkey == F.col("l_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("childless_orders"))
+    return (
+        orphan_li.crossJoin(orphan_o).crossJoin(orphan_sup).crossJoin(childless)
+    )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                     AS VARCHAR), 1, 1) AS INTEGER) AS d
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        obs AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS n,
+                   count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM digits)
+                       AS p_obs
+            FROM digits GROUP BY d
+        )
+        SELECT d, n,
+               ROUND(p_obs, 6) AS p_obs,
+               ROUND(log10(1.0 + 1.0 / d), 6) AS p_benford,
+               ROUND(p_obs - log10(1.0 + 1.0 / d), 6) AS deviation
+        FROM obs
+    """,
+    tags=("quality", "forensics"),
+)
+def benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the
+    data-forensics screen for fabricated or truncated numeric columns
+    (naturally-occurring multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); synthetic uniform data deviates loudly,
+    which is exactly what this surfaces on the generated testdata).
+    One aggregate to 9 digit rows plus a broadcast total; the digit
+    is extracted from the integer part's string form identically in
+    both engines."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # explicit floor on BOTH sides: DuckDB's double->BIGINT cast
+    # rounds half-even while Spark's truncates — boundary values like
+    # 8999.995 land in different digit buckets without it
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("d")
+    )
+    total = digits.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    p_obs = F.col("n") / F.col("tot")
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return obs.crossJoin(F.broadcast(total)).select(
+        "d",
+        "n",
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round(p_obs - p_ben, 6).alias("deviation"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
