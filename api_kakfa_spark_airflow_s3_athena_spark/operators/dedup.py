@@ -398,7 +398,9 @@ def minhash_dedup_pairs(
     cands = minhash_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n, seed
     ).cache()
-    return _verify_jaccard(cands, df, text_col, id_col, threshold, shingle_n, seed)
+    return _verify_jaccard(
+        cands, df, text_col, id_col, threshold, shingle_n, seed, release=(cands,)
+    )
 
 
 def _verify_jaccard(
@@ -409,6 +411,7 @@ def _verify_jaccard(
     threshold: float,
     shingle_n: int,
     seed: int,
+    release: tuple = (),
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against ``docs``.
 
@@ -420,6 +423,14 @@ def _verify_jaccard(
     stream, no string materialization); set Jaccard over the hashed
     shingles equals the string-shingle Jaccard up to a ~2^-64
     collision probability.
+
+    CACHE HYGIENE (the pagerank pattern): the verified pairs are
+    materialized eagerly (``localCheckpoint``), then the shingle cache
+    plus every caller-cached frame passed via ``release`` is
+    unpersisted — otherwise each invocation strands cached frames in
+    executor storage until LRU eviction. The returned frame is a
+    skinny checkpointed (id_a, id_b, jaccard) result; the operator is
+    therefore eager, like :func:`~..graph.connected_components`.
     """
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -440,7 +451,7 @@ def _verify_jaccard(
     )
     a = shingled.alias("a")
     b = shingled.alias("b")
-    return (
+    out = (
         cands.join(a, cands.id_a == F.col(f"a.{id_col}"))
         .join(b, cands.id_b == F.col(f"b.{id_col}"))
         .select(
@@ -449,7 +460,12 @@ def _verify_jaccard(
             F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    shingled.unpersist()
+    for frame in release:
+        frame.unpersist()
+    return out
 
 
 def minhash_delta_dedup_pairs(
@@ -528,7 +544,16 @@ def minhash_delta_dedup_pairs(
     texts = corpus.select(F.col(id_col), F.col(text_col)).join(
         F.broadcast(delta.select(id_col)), id_col, "left_anti"
     ).unionByName(delta.select(F.col(id_col), F.col(text_col)))
-    return _verify_jaccard(cands, texts, text_col, id_col, threshold, shingle_n, seed)
+    return _verify_jaccard(
+        cands,
+        texts,
+        text_col,
+        id_col,
+        threshold,
+        shingle_n,
+        seed,
+        release=(cands, dband, hit),
+    )
 
 
 def simhash(text: Column, bits: int = 64, shingle_n: int = 2, seed: int = 7) -> Column:
@@ -983,7 +1008,9 @@ def simhash_delta_hamming_pairs(
         .select("band", "key")
     )
     hit_kept = hit.join(F.broadcast(keep), ["band", "key"])
-    return (
+    # eager materialize + release (the pagerank pattern) so the two
+    # per-batch caches don't strand in executor storage across calls
+    out = (
         dband.select(
             "band", "key", F.col("id").alias("__d"), F.col("sig").alias("__ds")
         )
@@ -1001,7 +1028,11 @@ def simhash_delta_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_distance)
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    dband.unpersist()
+    hit.unpersist()
+    return out
 
 
 def minhash_signatures_arrow(
@@ -1108,7 +1139,9 @@ def minhash_dedup_pairs_arrow(
     )
     banded = _bands_from_sig(sigs, id_col, num_hashes, bands)
     cands = _pairs_from_bands(banded, id_col, max_bucket).cache()
-    return _verify_jaccard(cands, df, text_col, id_col, threshold, shingle_n, seed)
+    return _verify_jaccard(
+        cands, df, text_col, id_col, threshold, shingle_n, seed, release=(cands,)
+    )
 
 
 def prefix_jaccard_join(
@@ -1174,23 +1207,38 @@ def prefix_jaccard_join(
     prefixes = ranked.select(
         F.col(id_col),
         n.alias("n"),
-        F.explode(F.slice("ts", 1, plen)).alias("tok"),
+        # 0-based position WITHIN THE SORTED ARRAY (the prefix is the
+        # array head, so prefix index == array index) — feeds the
+        # positional filter below
+        F.posexplode(F.slice("ts", 1, plen)).alias("pos", "tok"),
     )
-    # candidate generation with the LENGTH filter fused in (standard
-    # PPJoin pruning: J >= t forces t·|y| <= |x| <= |y|/t, so within a
-    # bucket sorted by (size, id) each doc only pairs forward with
-    # docs up to 1/t its size). On Zipfian vocabularies the prefix
-    # alone is selective; on tiny-vocab corpora the length filter is
-    # the main pruner left (measured 41 -> 20 s at 5k docs on the
-    # degenerate 40-word test corpus, whose long docs all saturate
-    # the vocabulary and defeat both filters; real Zipfian text does
-    # not have this shape). Positional filtering (full PPJoin) is the
-    # documented next pruning level if ever needed.
+    # candidate generation with two PPJoin pruning levels fused in:
+    #
+    # 1. LENGTH filter: J >= t forces t·|y| <= |x| <= |y|/t, so within
+    #    a bucket each doc only pairs forward with docs up to 1/t its
+    #    size. The compare is float-SAFE (+1e-9 slack): at an exact
+    #    boundary (|small| == t·|large|) fl(t)·n can land one ulp above
+    #    the integer and prune a qualifying pair; extra candidates are
+    #    harmless since verification is exact, missed ones are not.
+    # 2. POSITIONAL filter (full PPJoin, Xiao et al. 2008): a shared
+    #    prefix token at 0-based positions (pa, pb) bounds the overlap
+    #    by min(|x|-pa, |y|-pb) when it is the FIRST common token (no
+    #    common tokens precede it in the global order); J >= t needs
+    #    overlap >= t/(1+t)·(|x|+|y|), so a pair survives iff SOME
+    #    shared occurrence meets the bound — for a truly-similar pair
+    #    its first common token always does, so exactness holds, while
+    #    pairs meeting only deep in their prefixes are pruned before
+    #    the verify join. (Measured on the degenerate 40-word-vocab
+    #    test corpus at 5k docs: 41 s bare prefix -> 20 s +length ->
+    #    see NOTES for +positional.)
+    req = F.lit(threshold / (1.0 + threshold))
     grouped = (
         prefixes.groupBy("tok")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("n"), F.col(id_col).alias("id")))
+                F.collect_list(
+                    F.struct(F.col("n"), F.col(id_col).alias("id"), F.col("pos"))
+                )
             ).alias("xs")
         )
         .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
@@ -1202,7 +1250,15 @@ def prefix_jaccard_join(
                 F.filter(
                     F.col("xs"),
                     lambda b: ((b["n"] > a["n"]) | ((b["n"] == a["n"]) & (b["id"] > a["id"])))
-                    & (b["n"].cast("double") * F.lit(threshold) <= a["n"].cast("double")),
+                    & (
+                        b["n"].cast("double") * F.lit(threshold)
+                        <= a["n"].cast("double") + F.lit(1e-9)
+                    )
+                    & (
+                        F.least(a["n"] - a["pos"], b["n"] - b["pos"]).cast("double")
+                        + F.lit(1e-9)
+                        >= req * (a["n"] + b["n"]).cast("double")
+                    ),
                 ),
                 lambda b: F.struct(
                     F.least(a["id"], b["id"]).alias("id_a"),
@@ -1218,13 +1274,19 @@ def prefix_jaccard_join(
     )
     sets = toks.select(F.col(id_col), F.array_sort("ts").alias("ts"))
     a, b = sets.alias("a"), sets.alias("b")
+    # threshold on the UNROUNDED Jaccard (a single IEEE division of
+    # exact integers — bit-identical across engines), rounded only for
+    # display: filtering on the rounded value would admit pairs with
+    # true J in [t - 5e-7, t) that the exact pruning above rightly
+    # never generates
     return (
         cands.join(a, cands.id_a == F.col(f"a.{id_col}"))
         .join(b, cands.id_b == F.col(f"b.{id_col}"))
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("a.ts"), F.col("b.ts")), 6).alias("jaccard"),
+            jaccard(F.col("a.ts"), F.col("b.ts")).alias("__j"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )

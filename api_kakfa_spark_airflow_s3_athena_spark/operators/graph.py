@@ -277,3 +277,77 @@ def pagerank(
     trans.unpersist()
     nodes.unpersist()
     return out
+
+
+def pagerank_edge_index(
+    edges: DataFrame,
+    table: str,
+    buckets: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> None:
+    """Persist the PageRank TRANSITION table (``__s``, ``__d``,
+    ``__p`` = w/outw(src)) as a managed table bucketed (and sorted) by
+    ``__s`` — the write-once artifact :func:`pagerank_from_index`
+    iterates against.
+
+    This is the 100 TB swap the inline :func:`pagerank` docstring
+    names: the per-iteration ranks-to-edges join on ``__s`` hits a
+    bucketed, pre-sorted scan, so the edge table NEVER shuffles (only
+    the skinny (node, rank) side is exchanged to match the buckets) and
+    nothing is pinned in executor memory between runs. Build cost is
+    one shuffle of the edge list, paid once per graph snapshot instead
+    of per query.
+    """
+    from ..sources.tables import save_bucketed
+
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), F.col(weight).alias("__w")
+    )
+    outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
+    trans = e.join(outw, "__s").select(
+        "__s", "__d", (F.col("__w") / F.col("__ow")).alias("__p")
+    )
+    save_bucketed(trans, table, ["__s"], buckets)
+
+
+def pagerank_from_index(
+    spark,
+    table: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank power iteration against a PERSISTED transition table
+    (built by :func:`pagerank_edge_index`) — the warm-iteration path:
+    no per-call cache fill, no unrolled-edge-lineage analysis, and the
+    bucketed-by-``__s`` layout means each iteration exchanges only the
+    skinny (node, rank) frame while the edge scan stays in place.
+    Rank arithmetic is identical to :func:`pagerank` (equality pinned
+    in tests/test_graph_approx.py at the oracle's 6-dp rounding).
+
+    Returns ``(node, rank)`` (double, unrounded).
+    """
+    trans = spark.table(table)
+    nodes = (
+        trans.select(F.col("__s").alias("node"))
+        .union(trans.select(F.col("__d").alias("node")))
+        .distinct()
+        # small (one row per node id), released by the ContextCleaner
+        # when the frame goes out of scope — no cache() stranding
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            trans.join(ranks.withColumnRenamed("node", "__s"), "__s")
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("__p")).alias("__m"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("__m", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    return ranks

