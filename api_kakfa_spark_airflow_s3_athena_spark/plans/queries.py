@@ -5964,34 +5964,69 @@ def duplicate_window_spans(spark, sf_dir):
     distinct 8-token windows that appear verbatim in ANY other
     document. Cross-doc sharing is found by grouping windows — one
     shuffle of window keys with a distinct-doc count, never a doc x doc
-    compare; the per-doc rollup is a second key-wise aggregate. At
-    100 TB the window key would be the rolling xxhash64 the MinHash
-    pipeline already computes (8 bytes instead of ~50); strings are
-    kept so the DuckDB twin is byte-identical. The ratio is an exact
-    small-int division."""
+    compare; the per-doc rollup is a second key-wise aggregate. String
+    window keys here so the DuckDB twin is byte-identical; the 100 TB
+    variant with 8-byte hashed keys is
+    :func:`duplicate_window_spans_hashed` (same oracle, pinned
+    identical output)."""
+    return _dup_window_spans(spark, sf_dir, hashed=False)
+
+
+def _dup_window_spans(spark, sf_dir, hashed: bool):
     d = _t(spark, sf_dir, "documents")
     wins = d.select(
         "doc_id",
         F.array_distinct(TX.word_shingles(F.col("text"), 8)).alias("w"),
     )
-    exploded = wins.select("doc_id", F.explode("w").alias("win"))
+    # hashed: collapse each ~50-char window string to its xxhash64
+    # BEFORE the exchange — the shuffle carries 8-byte keys. Row-local
+    # (the hash runs in the same projection that builds the window);
+    # distinct-window semantics survive up to a ~2^-64 collision, the
+    # same contract the MinHash verify already documents.
+    key = F.xxhash64("win").alias("k") if hashed else F.col("win").alias("k")
+    exploded = wins.select("doc_id", F.explode("w").alias("win")).select(
+        "doc_id", key
+    )
     shared = (
-        exploded.groupBy("win")
+        exploded.groupBy("k")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") > 1)
-        .select(F.col("win").alias("swin"))
+        .select(F.col("k").alias("sk"))
     )
     return (
-        exploded.join(shared, exploded.win == shared.swin, "left")
+        exploded.join(shared, exploded.k == shared.sk, "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.count("swin").alias("n_shared_windows"),
-            (F.count("swin").cast("double") / F.count(F.lit(1))).alias(
+            F.count("sk").alias("n_shared_windows"),
+            (F.count("sk").cast("double") / F.count(F.lit(1))).alias(
                 "shared_frac"
             ),
         )
     )
+
+
+@register(
+    "duplicate_window_spans_hashed",
+    oracle=None,  # assigned below: shares duplicate_window_spans' SQL
+    tags=("dedup", "llm-pipeline", "text", "hashed-keys"),
+)
+def duplicate_window_spans_hashed(spark, sf_dir):
+    """:func:`duplicate_window_spans` with 8-BYTE HASHED window keys —
+    the 100 TB variant its docstring promises: the exchange before the
+    shared-window aggregate carries xxhash64(window) instead of the
+    ~50-char window string (measured shuffle-bytes reduction at sf1 in
+    NOTES.md round-6). The oracle is the SAME string-keyed SQL — the
+    hash is injective on the corpus (collisions ~2^-64), so per-doc
+    counts and fractions are identical, which is exactly the claim the
+    shared oracle verifies."""
+    return _dup_window_spans(spark, sf_dir, hashed=True)
+
+
+# identical-output claim == identical oracle: share the string-keyed SQL
+REGISTRY["duplicate_window_spans_hashed"].oracle = REGISTRY[
+    "duplicate_window_spans"
+].oracle
 
 
 @register(
@@ -6481,26 +6516,38 @@ def boilerplate_span_coverage(spark, sf_dir):
     posexplode of the zip_with shingle array — no HOF outer-capture,
     NOTES.md), one (source, window) aggregate to find boilerplate keys,
     a key-wise join back, and a distinct-position rollup; never a
-    doc x doc compare. At 100 TB the window key would be the 8-byte
-    rolling hash the MinHash pipeline already computes; strings are
-    kept so the DuckDB twin is byte-identical. All-integer counts with
-    one final division (float-parity recipe)."""
+    doc x doc compare. String window keys here so the DuckDB twin is
+    byte-identical; the 100 TB variant with 8-byte hashed keys is
+    :func:`boilerplate_span_coverage_hashed` (same oracle, pinned
+    identical output). All-integer counts with one final division
+    (float-parity recipe)."""
+    return _span_coverage(spark, sf_dir, hashed=False)
+
+
+def _span_coverage(spark, sf_dir, hashed: bool):
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
-    wins = d.select(
-        "doc_id",
-        "source",
-        F.posexplode(TX.word_shingles(F.col("text"), 8)).alias("pos0", "win"),
-    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "win")
+    # hashed: the (source, window) exchange carries xxhash64(window)
+    # — 8 bytes — instead of the ~50-char window string; the hash runs
+    # row-local in the projection that builds the window
+    key = F.xxhash64("win").alias("k") if hashed else F.col("win").alias("k")
+    wins = (
+        d.select(
+            "doc_id",
+            "source",
+            F.posexplode(TX.word_shingles(F.col("text"), 8)).alias("pos0", "win"),
+        )
+        .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), key)
+    )
     bp = (
-        wins.groupBy("source", "win")
+        wins.groupBy("source", "k")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 3)
-        .select("source", F.col("win").alias("bwin"))
+        .select("source", F.col("k").alias("bk"))
     )
     cov = (
         wins.join(
-            bp, (wins.source == bp.source) & (wins.win == bp.bwin)
+            bp, (wins.source == bp.source) & (wins.k == bp.bk)
         )
         .select(
             "doc_id",
@@ -6519,6 +6566,28 @@ def boilerplate_span_coverage(spark, sf_dir):
             / F.greatest("n_tokens", F.lit(1))
         ).alias("coverage_frac"),
     )
+
+
+@register(
+    "boilerplate_span_coverage_hashed",
+    oracle=None,  # assigned below: shares boilerplate_span_coverage's SQL
+    tags=("text", "llm-pipeline", "dedup", "quality", "hashed-keys"),
+)
+def boilerplate_span_coverage_hashed(spark, sf_dir):
+    """:func:`boilerplate_span_coverage` with 8-BYTE HASHED window keys
+    — the 100 TB variant its docstring promises: the (source, window)
+    exchange and the join back both carry xxhash64(window) instead of
+    the ~50-char window string (measured shuffle-bytes reduction at
+    sf1 in NOTES.md round-6). The oracle is the SAME string-keyed SQL
+    — the hash is injective on the corpus (collisions ~2^-64), so
+    coverage fractions are identical, which is exactly the claim the
+    shared oracle verifies."""
+    return _span_coverage(spark, sf_dir, hashed=True)
+
+
+REGISTRY["boilerplate_span_coverage_hashed"].oracle = REGISTRY[
+    "boilerplate_span_coverage"
+].oracle
 
 
 @register(

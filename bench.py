@@ -62,6 +62,18 @@ HEADLINE = HEADLINE_R01 + [
     "bpe_pair_stats",
     "ngram_lm_perplexity",
     "scd2_point_in_time_join",
+    # round-6 additions. Caveat on the prefix join: the driver's sf0.1
+    # corpus has a 40-word vocabulary, which defeats prefix selectivity
+    # and makes the run OUTPUT-bound (190,925 true pairs at t=0.95) —
+    # the row is honest but measures result volume, not candidate
+    # pruning. On a realistic Zipfian-vocab corpus the same operator
+    # does 500k docs in ~24 s with a 6.1x sf1->sf10 ratio
+    # (tools/scale_check.py --zipf; NOTES.md round-6 section).
+    "exact_jaccard_join_prefix",
+    # hashed-window-key twin of boilerplate_span_coverage (8-byte
+    # xxhash64 keys through the exchanges instead of ~50-char strings;
+    # 144.7 -> 60.8 MB shuffle write at sf1)
+    "boilerplate_span_coverage_hashed",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit

@@ -175,3 +175,24 @@ def test_repo_ledger_prioritizes_converted_queries(tmp_path):
     # verified tail rotates: oldest greens come right after the
     # unverified block, so the ~50-entry prefix re-checks them
     assert len(order) == len(REGISTRY)
+
+
+def test_registry_tally_matches_parity():
+    """The prose registry count drifted three times in round 5
+    (VERDICT r05 'what's wrong' #3) — this pins PARITY.md's canonical
+    'Registry count: N queries, M with oracles.' line to the actual
+    REGISTRY so it cannot drift silently again."""
+    import os
+    import re
+
+    parity = os.path.join(os.path.dirname(__file__), "..", "PARITY.md")
+    with open(parity) as fh:
+        m = re.search(r"Registry count: (\d+) queries, (\d+) with oracles\.", fh.read())
+    assert m, "PARITY.md lost its canonical 'Registry count:' line"
+    n_oracled = sum(1 for s in REGISTRY.values() if s.oracle)
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"PARITY.md says {m.group(1)} queries, REGISTRY has {len(REGISTRY)}"
+    )
+    assert int(m.group(2)) == n_oracled, (
+        f"PARITY.md says {m.group(2)} oracled, REGISTRY has {n_oracled}"
+    )

@@ -150,9 +150,72 @@ def generate(spark, mult: int, out_dir: str) -> None:
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+def generate_zipf(spark, mult: int, out_dir: str) -> None:
+    """Zipfian-vocabulary documents fixture — the similarity PROFILE
+    of real text for set-similarity joins. The base generator's
+    38-word vocabulary is adversarial for prefix filtering (long docs
+    saturate the vocab, so every doc shares every token and the join
+    is output-bound: 190,925 true pairs at t=0.95 on the sf0.1 driver
+    corpus). Real corpora have heavy-tailed vocabularies where
+    rarest-first prefixes are highly selective; this fixture samples
+    token RANKS from Zipf(s=1) over a 50k vocabulary via the inverse
+    CDF (rank = floor(V^u), giving p(rank) ∝ 1/rank), so common words
+    dominate text but rare words exist to anchor prefixes — the shape
+    prefix filtering is designed for. Near-dup plants as in
+    :func:`generate` (id % 50 == 1 copies id-1, one word appended)."""
+    n_docs = 5000 * mult
+    vocab_size = 50_000
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    base = base.withColumn(
+        "base_id",
+        F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    n_words = (F.pmod(F.xxhash64("base_id", F.lit("len")), F.lit(70)) + 10)
+    u01 = lambda i: (  # noqa: E731 — U(0,1) from the word-slot hash
+        F.pmod(F.xxhash64(F.col("base_id"), i), F.lit(1_000_003)).cast("double")
+        / 1_000_003.0
+    )
+    import math
+
+    lnV = math.log(vocab_size)
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.concat(
+            F.lit("w"), F.floor(F.exp(u01(i) * F.lit(lnV))).cast("long")
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(
+        F.col("doc_id") % 50 == 1, F.concat(text, F.lit(" zzextra"))
+    ).otherwise(text)
+    docs = base.select(
+        "doc_id",
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(
+            F.lit("src"),
+            F.pmod(F.xxhash64("doc_id", F.lit("src")), F.lit(20)).cast("int"),
+        ).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument(
+        "--zipf",
+        action="store_true",
+        help="use the Zipfian-vocabulary documents fixture (set-similarity"
+        " joins); default ops become the exact prefix join",
+    )
     ap.add_argument("--ops", type=str, default=",".join(HEAVY_OPS))
     # best-of-2 by default: the first run at each scale pays codegen
     # compile (cached across scales — same plan, different data), which
@@ -170,9 +233,17 @@ def main() -> None:
     from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
 
     spark = local_test_session("scale_check")
-    scale_dir = os.path.join(REPO, ".scale", f"sf{args.mult / 10:g}")
+    prefix = "zipf" if args.zipf else "sf"
+    scale_dir = os.path.join(REPO, ".scale", f"{prefix}{args.mult / 10:g}")
 
-    if not os.path.exists(os.path.join(scale_dir, "embeddings.parquet")):
+    if args.zipf:
+        if args.ops == ",".join(HEAVY_OPS):
+            args.ops = "exact_jaccard_join_prefix"
+        if not os.path.exists(os.path.join(scale_dir, "documents.parquet")):
+            t0 = time.time()
+            generate_zipf(spark, args.mult, scale_dir)
+            print(f"generated {scale_dir} in {time.time() - t0:.1f}s", file=sys.stderr)
+    elif not os.path.exists(os.path.join(scale_dir, "embeddings.parquet")):
         t0 = time.time()
         generate(spark, args.mult, scale_dir)
         print(f"generated {scale_dir} in {time.time() - t0:.1f}s", file=sys.stderr)
@@ -189,10 +260,13 @@ def main() -> None:
         return best
 
     # warm both dirs' file listings + session codegen outside timing
+    # (zipf fixtures carry documents only)
     base_dir = args.base
     for d in (base_dir, scale_dir):
-        spark.read.parquet(os.path.join(d, "documents.parquet")).count()
-        spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
+        for t in ("documents", "embeddings"):
+            p = os.path.join(d, f"{t}.parquet")
+            if os.path.exists(p):
+                spark.read.parquet(p).count()
 
     results = {}
     for name in args.ops.split(","):
