@@ -653,7 +653,14 @@ def simhash_hamming_pairs(
     Returns distinct ``(id_a, id_b, hamming)`` with ``id_a < id_b``
     — identical output for every valid ``blocks`` setting (test-pinned
     against the brute-force compare).
+
+    ``blocks=None`` picks the layout from corpus size
+    (:func:`_auto_blocks`): one count-star on the input — metadata-
+    cheap on a parquet scan, trivial next to the dedup itself — flips
+    to the 6-block layout past the measured crossover.
     """
+    if blocks is None:
+        blocks = _auto_blocks(df.count(), max_distance)
     sigs = df.select(
         F.col(id_col), simhash(F.col(text_col), 64, shingle_n, seed).alias("sig")
     )
@@ -661,6 +668,30 @@ def simhash_hamming_pairs(
         sigs, id_col=id_col, max_distance=max_distance,
         max_bucket=max_bucket, blocks=blocks,
     )
+
+
+# Corpus size where the default 4-table/16-bit-key banding loses to
+# the Manku blocks=6 (20-table/~30-bit-key) layout for d=3. The
+# 16-bit keys saturate at 65,536 buckets per table, so in-bucket pair
+# generation grows as n²/2^16 per table even on uniform signatures
+# (census at 5M docs: all 4x65,536 buckets full, avg 76, 1.12e9
+# candidate pairs — 100x the 500k count for 10x the docs), while the
+# 6-block layout pays 5x the shuffle rows for ~2^14x the key space.
+# MEASURED banding+verify over stored Arrow signatures (NOTES r06):
+# 500k docs 2.6 s (4-block) vs 6.0 s (6-block); 5M docs 32.6 vs
+# 33.3 s (the crossover); 10M docs 146.0 vs 128.8 s (6-block wins,
+# gap widening quadratically-vs-linearly from here).
+SIMHASH_BLOCKS_AUTO_THRESHOLD = 5_000_000
+
+
+def _auto_blocks(n_docs: int, max_distance: int) -> int:
+    """Pick the banding layout from corpus size: the Manku wide-key
+    trade (blocks=6) past the measured crossover, the minimal d+1
+    tables below it. Only the d=3 crossover is measured; other
+    distances keep the minimal layout until they have numbers."""
+    if max_distance == 3 and n_docs >= SIMHASH_BLOCKS_AUTO_THRESHOLD:
+        return 6
+    return max_distance + 1
 
 
 def _banded_sigs(
@@ -946,7 +977,12 @@ def simhash_hamming_pairs_arrow(
     """:func:`simhash_hamming_pairs` with the Arrow signature pass —
     same pigeonhole banding (via :func:`hamming_pairs_from_sigs`),
     different (vectorized) signature family. See
-    :func:`simhash_signatures_arrow` for the hash-family caveat."""
+    :func:`simhash_signatures_arrow` for the hash-family caveat.
+    ``blocks=None`` auto-selects the layout from corpus size
+    (:func:`_auto_blocks`; the count-star runs on the raw input, NOT
+    the signature frame, so the Arrow pass is never paid twice)."""
+    if blocks is None:
+        blocks = _auto_blocks(df.count(), max_distance)
     sigs = simhash_signatures_arrow(
         df, text_col=text_col, id_col=id_col, shingle_n=shingle_n, seed=seed
     )
@@ -993,6 +1029,11 @@ def simhash_delta_hamming_pairs(
     restricted to delta-touching pairs (test-pinned). Returns
     distinct ``(id_a, id_b, hamming)``, id_a < id_b.
     """
+    # layout must match on BOTH sides of the band join; size it from
+    # the dominant (index) side — a count-star on the stored 8-byte
+    # signature table
+    if blocks is None:
+        blocks = _auto_blocks(sig_index.count(), max_distance)
     dsigs = simhash_signatures_arrow(
         delta, text_col=text_col, id_col=id_col, shingle_n=shingle_n, seed=seed
     )
