@@ -747,3 +747,15 @@ def test_prefix_jaccard_join_equals_brute_force(spark):
                     if round(j, 6) >= t:
                         want[(a, b)] = round(j, 6)
         assert got == want, t
+
+def test_simhash_auto_blocks_threshold():
+    """blocks=None sizes the banding layout from the corpus: minimal
+    d+1 tables below the measured 5M-doc crossover, the Manku 6-block
+    layout at/above it; unmeasured distances keep the minimal layout."""
+    t = DD.SIMHASH_BLOCKS_AUTO_THRESHOLD
+    assert DD._auto_blocks(t - 1, 3) == 4
+    assert DD._auto_blocks(t, 3) == 6
+    assert DD._auto_blocks(10 * t, 3) == 6
+    # only the d=3 crossover is measured
+    assert DD._auto_blocks(10 * t, 2) == 3
+    assert DD._auto_blocks(10 * t, 4) == 5

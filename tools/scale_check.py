@@ -174,11 +174,18 @@ def generate_relational(spark, mult: int, out_dir: str) -> None:
     types) — deterministic xxhash64 draws, referentially intact keys.
     PERFORMANCE fixture only, like the documents generator: correctness
     always runs against /root/testdata."""
+    # coefficient = one tenth of the sf0.1 driver count (150k orders /
+    # 600k lineitem / 15k customer / 1k supplier / 100k events), so
+    # mult=10 => 10x sf0.1 — the same convention as the documents
+    # generator (5000 * mult). Round-6 bug note: the first cut used
+    # coefficients 10x too small, silently producing sf0.1-SIZED
+    # "sf1" fixtures; the first measurement pass compared same-sized
+    # data and had to be redone.
     os.makedirs(out_dir, exist_ok=True)
-    n_orders = 15_000 * mult
-    n_cust = 1_500 * mult
-    n_supp = max(100 * mult, 100)
-    n_events = 10_000 * mult
+    n_orders = 150_000 * mult
+    n_cust = 15_000 * mult
+    n_supp = max(1_000 * mult, 100)
+    n_events = 100_000 * mult
 
     def h(col, tag, mod):
         return F.pmod(F.xxhash64(col, F.lit(tag)), F.lit(mod))
