@@ -655,9 +655,12 @@ def simhash_hamming_pairs(
     against the brute-force compare).
 
     ``blocks=None`` picks the layout from corpus size
-    (:func:`_auto_blocks`): one count-star on the input — metadata-
-    cheap on a parquet scan, trivial next to the dedup itself — flips
-    to the 6-block layout past the measured crossover.
+    (:func:`_auto_blocks`): one count() job on the input — cheap on a
+    bare parquet scan (footer row counts), ONE EXTRA PASS when the
+    input is a derived frame (union, filter) that can't answer from
+    metadata; either way small next to the dedup itself, but callers
+    who already know the corpus size should pass ``blocks``
+    explicitly. Note this makes plan construction eager.
     """
     if blocks is None:
         blocks = _auto_blocks(df.count(), max_distance)
@@ -979,8 +982,10 @@ def simhash_hamming_pairs_arrow(
     different (vectorized) signature family. See
     :func:`simhash_signatures_arrow` for the hash-family caveat.
     ``blocks=None`` auto-selects the layout from corpus size
-    (:func:`_auto_blocks`; the count-star runs on the raw input, NOT
-    the signature frame, so the Arrow pass is never paid twice)."""
+    (:func:`_auto_blocks`; the count() runs on the raw input, NOT the
+    signature frame, so the Arrow pass is never paid twice — but it is
+    one extra input pass when the input is a derived frame; size-aware
+    callers should pass ``blocks`` explicitly)."""
     if blocks is None:
         blocks = _auto_blocks(df.count(), max_distance)
     sigs = simhash_signatures_arrow(
@@ -1197,6 +1202,12 @@ def prefix_jaccard_join(
     Similarity Search", WWW 2007 — public literature): unlike the
     MinHash/SimHash LSH paths, this has ZERO false negatives, so the
     output is exactly {(a, b) : Jaccard(tokens(a), tokens(b)) >= t}.
+    (Sole caveat, shared with every capped-bucket operator here: a
+    prefix-token bucket larger than ``max_bucket`` — 65,536 docs
+    sharing one RAREST-first token — is dropped, which can lose a pair
+    only if every shared prefix token of that pair is that hot; no
+    measured corpus comes near it. Positional pruning auto-disables
+    whenever any bucket is dropped, so it never adds misses on top.)
 
     Prefix-filter theorem: order every token set by one global total
     order (rarest-first here — frequency ascending, token ascending);
@@ -1267,13 +1278,22 @@ def prefix_jaccard_join(
     #    common tokens precede it in the global order); J >= t needs
     #    overlap >= t/(1+t)·(|x|+|y|), so a pair survives iff SOME
     #    shared occurrence meets the bound — for a truly-similar pair
-    #    its first common token always does, so exactness holds, while
-    #    pairs meeting only deep in their prefixes are pruned before
-    #    the verify join. (Measured on the degenerate 40-word-vocab
-    #    test corpus at 5k docs: 41 s bare prefix -> 20 s +length ->
-    #    see NOTES for +positional.)
+    #    its first common token always does, so exactness holds...
+    #    PROVIDED that first-common-token bucket was not dropped by the
+    #    max_bucket cap: a pair surviving only via LATER shared tokens
+    #    can have commons before (pa, pb) that the bound doesn't count,
+    #    and the filter would wrongly prune it (round-6 review finding).
+    #    So the bucket aggregate is materialized once, a one-row probe
+    #    checks whether ANY bucket was dropped, and positional pruning
+    #    engages only in the no-drop case — on real Zipfian corpora
+    #    rarest-first prefix buckets never approach 65,536 docs, so the
+    #    filter is active where it matters and exactness is
+    #    unconditional. (Hot-bucket drops themselves can lose pairs
+    #    whose every shared prefix token is hot — the pre-existing,
+    #    documented LSH-style cap semantics, inert at default settings
+    #    on every measured corpus.)
     req = F.lit(threshold / (1.0 + threshold))
-    grouped = (
+    grouped_all = (
         prefixes.groupBy("tok")
         .agg(
             F.array_sort(
@@ -1282,25 +1302,37 @@ def prefix_jaccard_join(
                 )
             ).alias("xs")
         )
-        .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
+        .filter(F.size("xs") > 1)
+        # materialized once: reused by the drop probe and the explode,
+        # then released by the ContextCleaner (operator is eager, like
+        # the rest of the round-6 dedup family)
+        .localCheckpoint(eager=True)
     )
+    any_dropped = (
+        grouped_all.filter(F.size("xs") > max_bucket).limit(1).count() > 0
+    )
+    grouped = grouped_all.filter(F.size("xs") <= max_bucket)
+
+    def _forward_pair(a, b):
+        cond = (
+            (b["n"] > a["n"]) | ((b["n"] == a["n"]) & (b["id"] > a["id"]))
+        ) & (
+            b["n"].cast("double") * F.lit(threshold)
+            <= a["n"].cast("double") + F.lit(1e-9)
+        )
+        if not any_dropped:
+            cond = cond & (
+                F.least(a["n"] - a["pos"], b["n"] - b["pos"]).cast("double")
+                + F.lit(1e-9)
+                >= req * (a["n"] + b["n"]).cast("double")
+            )
+        return cond
+
     pair_structs = F.flatten(
         F.transform(
             F.col("xs"),
             lambda a: F.transform(
-                F.filter(
-                    F.col("xs"),
-                    lambda b: ((b["n"] > a["n"]) | ((b["n"] == a["n"]) & (b["id"] > a["id"])))
-                    & (
-                        b["n"].cast("double") * F.lit(threshold)
-                        <= a["n"].cast("double") + F.lit(1e-9)
-                    )
-                    & (
-                        F.least(a["n"] - a["pos"], b["n"] - b["pos"]).cast("double")
-                        + F.lit(1e-9)
-                        >= req * (a["n"] + b["n"]).cast("double")
-                    ),
-                ),
+                F.filter(F.col("xs"), lambda b: _forward_pair(a, b)),
                 lambda b: F.struct(
                     F.least(a["id"], b["id"]).alias("id_a"),
                     F.greatest(a["id"], b["id"]).alias("id_b"),

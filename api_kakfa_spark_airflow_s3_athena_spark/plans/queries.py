@@ -6008,7 +6008,8 @@ def _dup_window_spans(spark, sf_dir, hashed: bool):
 
 @register(
     "duplicate_window_spans_hashed",
-    oracle=None,  # assigned below: shares duplicate_window_spans' SQL
+    # shares the string-keyed SQL: identical output IS the claim
+    oracle=REGISTRY["duplicate_window_spans"].oracle,
     tags=("dedup", "llm-pipeline", "text", "hashed-keys"),
 )
 def duplicate_window_spans_hashed(spark, sf_dir):
@@ -6021,12 +6022,6 @@ def duplicate_window_spans_hashed(spark, sf_dir):
     counts and fractions are identical, which is exactly the claim the
     shared oracle verifies."""
     return _dup_window_spans(spark, sf_dir, hashed=True)
-
-
-# identical-output claim == identical oracle: share the string-keyed SQL
-REGISTRY["duplicate_window_spans_hashed"].oracle = REGISTRY[
-    "duplicate_window_spans"
-].oracle
 
 
 @register(
@@ -6570,7 +6565,8 @@ def _span_coverage(spark, sf_dir, hashed: bool):
 
 @register(
     "boilerplate_span_coverage_hashed",
-    oracle=None,  # assigned below: shares boilerplate_span_coverage's SQL
+    # shares the string-keyed SQL: identical output IS the claim
+    oracle=REGISTRY["boilerplate_span_coverage"].oracle,
     tags=("text", "llm-pipeline", "dedup", "quality", "hashed-keys"),
 )
 def boilerplate_span_coverage_hashed(spark, sf_dir):
@@ -6583,11 +6579,6 @@ def boilerplate_span_coverage_hashed(spark, sf_dir):
     coverage fractions are identical, which is exactly the claim the
     shared oracle verifies."""
     return _span_coverage(spark, sf_dir, hashed=True)
-
-
-REGISTRY["boilerplate_span_coverage_hashed"].oracle = REGISTRY[
-    "boilerplate_span_coverage"
-].oracle
 
 
 @register(
@@ -7845,11 +7836,17 @@ def embedding_pca_whitening(spark, sf_dir):
             # variance sum (they are the same matrix invariant).
             # RELATIVE tolerance: the (G - n·mu·mu^T)/(n-1) Gram
             # formulation loses absolute precision by cancellation as n
-            # and the mean magnitude grow, so an absolute 1e-6 bar
-            # would flake at larger SFs even when the fit is correct
+            # and the mean magnitude grow, so a purely absolute bar
+            # flakes at larger SFs. Coefficient 1e-6 (not 1e-9): the
+            # trace is a per-dimension variance SUM (~25 here, scale-
+            # invariant in n), so 1e-9 relative would be ~2.6e-8 —
+            # TIGHTER than the old absolute 1e-6 bar it replaced
+            # (round-6 review finding); 1e-6 relative keeps the old
+            # strictness at this magnitude and degrades gracefully if
+            # a future fixture's trace grows
             (
                 F.abs(F.sum("v") - F.lit(sum_eig))
-                < F.lit(1e-9) * F.abs(F.lit(sum_eig)) + F.lit(1e-9)
+                < F.lit(1e-6) * F.abs(F.lit(sum_eig)) + F.lit(1e-9)
             ).alias("eig_trace_ok"),
         )
     )

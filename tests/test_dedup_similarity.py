@@ -759,3 +759,36 @@ def test_simhash_auto_blocks_threshold():
     # only the d=3 crossover is measured
     assert DD._auto_blocks(10 * t, 2) == 3
     assert DD._auto_blocks(10 * t, 4) == 5
+
+def test_prefix_jaccard_positional_filter_survives_bucket_drops(spark):
+    """Round-6 review regression: the PPJoin positional bound is only
+    valid for a pair's FIRST common token; if that token's bucket is
+    dropped by max_bucket, the pair must still be found via later
+    shared tokens, where the bound does not hold. Construction:
+    X == Y (J = 1.0, 20 tokens, t = 0.9 -> prefix = 3 rarest). Their
+    two rarest shared tokens r1, r2 sit in hot buckets (7 prefix
+    carriers > max_bucket = 4 -> dropped); the only surviving shared
+    bucket is r3 at position 2 in both prefixes, where the first-
+    common-token bound min(20-2, 20-2) = 18 < 18.95 required — an
+    unconditional positional filter silently loses the identical
+    pair. The operator must detect the drop and disable positional
+    pruning (exactness over speed)."""
+    fill = [f"c{j}" for j in range(18)]
+    docs = []
+    xy = ["r1", "r2", "r3"] + fill[:17]
+    docs.append((0, " ".join(xy)))
+    docs.append((1, " ".join(xy)))
+    for i in range(5):  # hot carriers of r1+r2 (prefix = {r1, r2, filler})
+        docs.append((10 + i, " ".join(["r1", "r2"] + fill)))
+    for i in range(6):  # r3 carriers whose prefixes are their unique tokens
+        uniq = [f"u{i}_0", f"u{i}_1", f"u{i}_2"]
+        docs.append((20 + i, " ".join(uniq + ["r3"] + fill[:16])))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.prefix_jaccard_join(
+            df, threshold=0.9, max_bucket=4
+        ).collect()
+    }
+    assert (0, 1) in out, "identical pair lost to positional pruning"
+    assert out[(0, 1)] == 1.0

@@ -191,8 +191,37 @@ def test_pagerank_index_scan_has_no_edge_exchange(spark):
     pagerank_edge_index(spark.createDataFrame(rows), "pr_test.trans_plan", buckets=4)
     ranks = pagerank_from_index(spark, "pr_test.trans_plan", iters=1)
     plan = ranks._jdf.queryExecution().executedPlan().toString()
-    # the bucketed scan must appear with its bucket count and no
-    # exchange on its side of the join: SelectedBucketsCount proves the
-    # scan produced the join's required partitioning directly
+    # the bucketed scan must appear with its bucket count...
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    # ...AND have no Exchange between it and its join (round-6 review:
+    # asserting only bucketedness lets a regression reintroduce an
+    # edge-side shuffle above a still-bucketed scan). Walk the plan
+    # tree text from the bucketed FileScan line upward through its
+    # ancestors (each ancestor is the nearest line above with smaller
+    # tree-prefix depth) and require a join before any Exchange.
+    lines = plan.splitlines()
+
+    def depth(s):
+        for i, ch in enumerate(s):
+            if ch not in " :+-*(0123456789)":
+                return i
+        return len(s)
+
+    scan_idx = next(
+        i for i, l in enumerate(lines) if "SelectedBucketsCount" in l
+    )
+    d = depth(lines[scan_idx])
+    hit_join = False
+    for i in range(scan_idx - 1, -1, -1):
+        di = depth(lines[i])
+        if di < d:
+            d = di
+            node = lines[i]
+            assert "Exchange" not in node, (
+                f"Exchange above the bucketed edge scan:\n{plan}"
+            )
+            if "Join" in node:
+                hit_join = True
+                break
+    assert hit_join, f"no join found above the bucketed scan:\n{plan}"
     spark.sql("DROP TABLE IF EXISTS pr_test.trans_plan")

@@ -163,8 +163,8 @@ R5_RELATIONAL_OPS = [
     "referential_integrity_audit",
     "benford_first_digit_audit",
 ]
-# r5 closers over the documents fixture (generate() covers them)
-R5_DOC_OPS = ["weighted_sample_aes", "doc_token_entropy"]
+# (the remaining r5 closers — weighted_sample_aes, doc_token_entropy —
+# read the documents fixture, which generate() already covers)
 
 
 def generate_relational(spark, mult: int, out_dir: str) -> None:
@@ -382,13 +382,25 @@ def main() -> None:
         print(f"generated {scale_dir} in {time.time() - t0:.1f}s", file=sys.stderr)
     if not args.zipf and any(
         op in R5_RELATIONAL_OPS for op in args.ops.split(",")
-    ) and not os.path.exists(os.path.join(scale_dir, "orders.parquet")):
-        t0 = time.time()
-        generate_relational(spark, args.mult, scale_dir)
-        print(
-            f"generated relational fixture in {scale_dir} "
-            f"({time.time() - t0:.1f}s)", file=sys.stderr,
+    ):
+        # existence alone is not enough: the round-6 10x-undersizing
+        # bug left wrong-sized orders.parquet files behind, and a
+        # stale fixture silently reproduces the bogus ~1.0 "ratios".
+        # Validate the row count against the documented size and
+        # regenerate on any mismatch.
+        opath = os.path.join(scale_dir, "orders.parquet")
+        expected = 150_000 * args.mult
+        stale = (
+            not os.path.exists(opath)
+            or spark.read.parquet(opath).count() != expected
         )
+        if stale:
+            t0 = time.time()
+            generate_relational(spark, args.mult, scale_dir)
+            print(
+                f"generated relational fixture in {scale_dir} "
+                f"({time.time() - t0:.1f}s)", file=sys.stderr,
+            )
 
     def run(name: str, sf_dir: str) -> float:
         spec = REGISTRY[name]
