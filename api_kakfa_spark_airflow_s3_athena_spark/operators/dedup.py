@@ -680,11 +680,15 @@ def simhash_hamming_pairs(
 # (census at 5M docs: all 4x65,536 buckets full, avg 76, 1.12e9
 # candidate pairs — 100x the 500k count for 10x the docs), while the
 # 6-block layout pays 5x the shuffle rows for ~2^14x the key space.
-# MEASURED banding+verify over stored Arrow signatures (NOTES r06):
-# 500k docs 2.6 s (4-block) vs 6.0 s (6-block); 5M docs 32.6 vs
-# 33.3 s (the crossover); 10M docs 146.0 vs 128.8 s (6-block wins,
-# gap widening quadratically-vs-linearly from here).
-SIMHASH_BLOCKS_AUTO_THRESHOLD = 5_000_000
+# MEASURED banding+verify over stored Arrow signatures, PACKED 8-byte
+# band keys (NOTES r06): 500k docs 2.0 s (4-block) vs 3.6 s
+# (6-block); 2M docs 6.4 vs 8.1; 5M docs 30.9 vs 16.0 (6-block wins
+# decisively once in-bucket quadratics bite); 10M docs ~146 vs
+# 33.1 s. Crossover sits between 2M and 5M. (Pre-packing, struct
+# keys made the 6-block layout shuffle-bound and pushed the
+# crossover to ~5M: 33.3 s at 5M, 128.8 s at 10M — key packing alone
+# bought 2-4x on the wide layout.)
+SIMHASH_BLOCKS_AUTO_THRESHOLD = 3_000_000
 
 
 def _auto_blocks(n_docs: int, max_distance: int) -> int:
@@ -705,11 +709,16 @@ def _banded_sigs(
     blocks: Optional[int] = None,
 ) -> DataFrame:
     """Pigeonhole band keys for a signature relation: one row per
-    (signature, block-combination table) with the combo's chunks
-    packed into an equality-joinable struct key. Row-local bit ops
-    only — banding a STORED signature table costs no re-hash of text,
-    which is what makes the incremental path cheap. Columns:
-    ``(id, sig, band, key)``."""
+    (signature, block-combination table), the table index and the
+    combo's chunk bits PACKED into a single 64-bit long — one 8-byte
+    equality key through every exchange instead of an (int, struct)
+    pair (round-6: the 6-block layout is shuffle-bound at 10M docs, so
+    key width is the cost driver). Packing is injective: band index
+    (<= C(8,5) = 56 -> 6 bits) in the high bits, then each chunk in
+    its own fixed-width field — worst case 6 + 40 bits (blocks=8),
+    never near the sign bit. Row-local bit ops only — banding a STORED
+    signature table costs no re-hash of text, which is what makes the
+    incremental path cheap. Columns: ``(id, sig, key)``."""
     from itertools import combinations
 
     nblocks = blocks if blocks is not None else max_distance + 1
@@ -721,35 +730,42 @@ def _banded_sigs(
     width = 64 // nblocks
     sigs = sigs.select(F.col(id_col), F.col(sig_col).alias("sig"))
 
+    def chunk_nbits(c: int) -> int:
+        return 64 - c * width if c == nblocks - 1 else width
+
     def chunk_bits(c: int) -> Column:
-        shift = c * width
-        nbits = 64 - shift if c == nblocks - 1 else width
-        mask = -1 if nbits >= 64 else (1 << nbits) - 1
-        return F.shiftrightunsigned(F.col("sig"), shift).bitwiseAND(
+        nbits = chunk_nbits(c)
+        # nbits == 64 only for the degenerate nblocks=1 (max_distance
+        # 0) layout: the chunk is the whole signature and a 2^64-1
+        # literal would overflow long
+        if nbits >= 64:
+            return F.col("sig")
+        mask = (1 << nbits) - 1
+        return F.shiftrightunsigned(F.col("sig"), c * width).bitwiseAND(
             F.lit(mask).cast("long")
         )
 
     combos = list(combinations(range(nblocks), nblocks - max_distance))
+
+    def packed_key(t: int, combo) -> Column:
+        expr = F.lit(t).cast("long")
+        for c in combo:
+            nbits = chunk_nbits(c)
+            if nbits >= 64:
+                # single-table whole-signature layout: the key IS the
+                # signature (band index is 0, Java shifts are mod 64)
+                expr = chunk_bits(c)
+            else:
+                expr = F.shiftleft(expr, nbits).bitwiseOR(chunk_bits(c))
+        return expr
+
     return sigs.select(
         F.col(id_col).alias("id"),
         F.col("sig"),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("band"),
-                        F.struct(
-                            *[
-                                chunk_bits(c).alias(f"c{i}")
-                                for i, c in enumerate(combo)
-                            ]
-                        ).alias("key"),
-                    )
-                    for t, combo in enumerate(combos)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.key")
+            F.array(*[packed_key(t, combo) for t, combo in enumerate(combos)])
+        ).alias("key"),
+    )
 
 
 def hamming_pairs_from_sigs(
@@ -767,7 +783,7 @@ def hamming_pairs_from_sigs(
     banded = _banded_sigs(sigs, id_col, sig_col, max_distance, blocks)
 
     grouped = (
-        banded.groupBy("band", "key")
+        banded.groupBy("key")  # band index is packed into the key
         # id is the struct's first field, so array_sort orders by id
         .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("entries"))
         .filter((F.size("entries") > 1) & (F.size("entries") <= max_bucket))
@@ -1045,26 +1061,26 @@ def simhash_delta_hamming_pairs(
     dband = _banded_sigs(dsigs, id_col, "sig", max_distance, blocks).cache()
     idx = sig_index.join(F.broadcast(delta.select(id_col)), id_col, "left_anti")
     all_b = _banded_sigs(idx, id_col, "sig", max_distance, blocks).unionByName(dband)
-    dkeys = dband.select("band", "key").distinct()
-    hit = all_b.join(F.broadcast(dkeys), ["band", "key"]).cache()
+    dkeys = dband.select("key").distinct()
+    hit = all_b.join(F.broadcast(dkeys), ["key"]).cache()
     keep = (
-        hit.groupBy("band", "key")
+        hit.groupBy("key")
         .agg(F.count(F.lit(1)).alias("__bn"))
         .filter(F.col("__bn") <= max_bucket)
-        .select("band", "key")
+        .select("key")
     )
-    hit_kept = hit.join(F.broadcast(keep), ["band", "key"])
+    hit_kept = hit.join(F.broadcast(keep), ["key"])
     # eager materialize + release (the pagerank pattern) so the two
     # per-batch caches don't strand in executor storage across calls
     out = (
         dband.select(
-            "band", "key", F.col("id").alias("__d"), F.col("sig").alias("__ds")
+            "key", F.col("id").alias("__d"), F.col("sig").alias("__ds")
         )
         .join(
             hit_kept.select(
-                "band", "key", F.col("id").alias("__c"), F.col("sig").alias("__cs")
+                "key", F.col("id").alias("__c"), F.col("sig").alias("__cs")
             ),
-            ["band", "key"],
+            ["key"],
         )
         .filter(F.col("__d") != F.col("__c"))
         .select(
