@@ -1308,7 +1308,6 @@ def prefix_jaccard_join(
     #    whose every shared prefix token is hot — the pre-existing,
     #    documented LSH-style cap semantics, inert at default settings
     #    on every measured corpus.)
-    req = F.lit(threshold / (1.0 + threshold))
     grouped_all = (
         prefixes.groupBy("tok")
         .agg(
@@ -1329,36 +1328,57 @@ def prefix_jaccard_join(
     )
     grouped = grouped_all.filter(F.size("xs") <= max_bucket)
 
-    def _forward_pair(a, b):
-        cond = (
-            (b["n"] > a["n"]) | ((b["n"] == a["n"]) & (b["id"] > a["id"]))
-        ) & (
-            b["n"].cast("double") * F.lit(threshold)
-            <= a["n"].cast("double") + F.lit(1e-9)
-        )
-        if not any_dropped:
-            cond = cond & (
-                F.least(a["n"] - a["pos"], b["n"] - b["pos"]).cast("double")
-                + F.lit(1e-9)
-                >= req * (a["n"] + b["n"]).cast("double")
-            )
-        return cond
+    # In-bucket pair generation is vectorized numpy over Arrow batches
+    # (mapInPandas), not a nested HOF: a k-doc bucket evaluates k²
+    # pair predicates, and per-element expression-tree evaluation was
+    # the measured hot path (9.2 of 14.4 s at sf0.1 on the degenerate
+    # corpus, whose 18 fat buckets each hold thousands of docs);
+    # broadcasting the (n, id, pos) arrays does the same k² compare at
+    # C speed in 1024-row strips (block-bounded memory, the SemDeDup
+    # Gram-strip pattern). Same predicates, same pair set — pinned by
+    # the brute-force row-equality oracle and the bucket-drop
+    # regression test.
+    use_pos = not any_dropped
+    t = float(threshold)
+    req_f = t / (1.0 + t)
 
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("xs"),
-            lambda a: F.transform(
-                F.filter(F.col("xs"), lambda b: _forward_pair(a, b)),
-                lambda b: F.struct(
-                    F.least(a["id"], b["id"]).alias("id_a"),
-                    F.greatest(a["id"], b["id"]).alias("id_b"),
-                ),
-            ),
-        )
-    )
+    def _gen_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_lo, out_hi = [], []
+            for xs in pdf["xs"]:
+                k = len(xs)
+                if k < 2:
+                    continue
+                ns = np.fromiter((r["n"] for r in xs), dtype=np.int64, count=k)
+                pos = np.fromiter((r["pos"] for r in xs), dtype=np.int64, count=k)
+                ids = np.array([r["id"] for r in xs])
+                for s in range(0, k, 1024):
+                    e = min(s + 1024, k)
+                    na, ia, pa = ns[s:e, None], ids[s:e, None], pos[s:e, None]
+                    cond = (ns[None, :] > na) | ((ns[None, :] == na) & (ids[None, :] > ia))
+                    cond &= ns[None, :] * t <= na + 1e-9
+                    if use_pos:
+                        ub = np.minimum(na - pa, ns[None, :] - pos[None, :])
+                        cond &= ub + 1e-9 >= req_f * (na + ns[None, :])
+                    ai, bj = np.nonzero(cond)
+                    if len(ai) == 0:
+                        continue
+                    a_ids, b_ids = ids[s:e][ai], ids[bj]
+                    swap = b_ids < a_ids
+                    out_lo.append(np.where(swap, b_ids, a_ids))
+                    out_hi.append(np.where(swap, a_ids, b_ids))
+            if out_lo:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(out_lo), "id_b": np.concatenate(out_hi)}
+                )
+
+    id_dt = df.schema[id_col].dataType.simpleString()
     cands = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        grouped.select("xs")
+        .mapInPandas(_gen_pairs, schema=f"id_a {id_dt}, id_b {id_dt}")
         .distinct()
     )
     sets = toks.select(F.col(id_col), F.array_sort("ts").alias("ts"))
