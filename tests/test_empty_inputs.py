@@ -176,3 +176,31 @@ def test_round5b_ops_on_empty_inputs(spark, empty_docs, empty_vecs):
         id_col="vec_id",
     )
     assert out.count() == 0
+
+
+def test_round6_ops_on_empty_inputs(spark, empty_docs):
+    """Round-6 paths: the eager prefix join (bucket-aggregate
+    checkpoint + drop probe run at call time — must not blow up on
+    zero rows) and the indexed PageRank twin on an empty edge set."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        pagerank_edge_index,
+        pagerank_from_index,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import (
+        ensure_database,
+    )
+
+    out = DD.prefix_jaccard_join(empty_docs, threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "jaccard"]
+
+    ensure_database(spark, "pr_test")
+    spark.sql("DROP TABLE IF EXISTS pr_test.trans_empty")
+    pagerank_edge_index(
+        spark.createDataFrame([], "src long, dst long, w double"),
+        "pr_test.trans_empty",
+        buckets=2,
+    )
+    ranks = pagerank_from_index(spark, "pr_test.trans_empty", iters=2)
+    assert ranks.count() == 0
+    spark.sql("DROP TABLE IF EXISTS pr_test.trans_empty")
