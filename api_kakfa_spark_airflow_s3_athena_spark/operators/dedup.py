@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -512,26 +512,46 @@ def minhash_delta_dedup_pairs(
     dband = minhash_band_index(
         delta, text_col, id_col, num_hashes, bands, shingle_n, seed
     ).cache()
-    all_b = index.select(F.col(id_col), "band", "bucket").unionByName(dband)
+    all_b = index.select(F.col(id_col), "band", "bucket").withColumn(
+        "__delta", F.lit(False)
+    ).unionByName(dband.withColumn("__delta", F.lit(True)))
     dbuckets = dband.select("band", "bucket").distinct()
     # index slice: only buckets the delta touches survive (map-side
-    # broadcast filter on the corpus-sized side)
-    hit = all_b.join(F.broadcast(dbuckets), ["band", "bucket"]).cache()
-    keep = (
+    # broadcast filter on the corpus-sized side). Census + candidate
+    # generation are FUSED into one bucket aggregate (round-7: the
+    # sf0.1 bench row was many-small-jobs bound — the old shape ran a
+    # separate hot-bucket census, broadcast the surviving keys, then
+    # re-joined the delta bands against the slice; one collect_list
+    # aggregate does all three: the size() filter IS the census, the
+    # delta flag scopes the pair explode to delta-touching pairs, and
+    # the shuffle volume is the same delta-touched slice either way —
+    # this is also the batch operator's bucket-aggregate shape, so the
+    # two paths now share their physical strategy).
+    hit = all_b.join(F.broadcast(dbuckets), ["band", "bucket"])
+    grouped = (
         hit.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= max_bucket)
-        .select("band", "bucket")
-    )
-    hit_kept = hit.join(F.broadcast(keep), ["band", "bucket"])
-    cands = (
-        dband.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("__d"))
-        .join(hit_kept.withColumnRenamed(id_col, "__c"), ["band", "bucket"])
-        .filter(F.col("__d") != F.col("__c"))
-        .select(
-            F.least("__d", "__c").alias("id_a"),
-            F.greatest("__d", "__c").alias("id_b"),
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("__delta"))
+            ).alias("es")
         )
+        .filter((F.size("es") > 1) & (F.size("es") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("es"),
+            lambda a: F.transform(
+                F.filter(
+                    F.col("es"),
+                    lambda b: (b["id"] > a["id"]) & (a["__delta"] | b["__delta"]),
+                ),
+                lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b")),
+            ),
+        )
+    )
+    cands = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
         .cache()
     )
@@ -552,7 +572,7 @@ def minhash_delta_dedup_pairs(
         threshold,
         shingle_n,
         seed,
-        release=(cands, dband, hit),
+        release=(cands, dband),
     )
 
 
@@ -713,12 +733,25 @@ def _banded_sigs(
     combo's chunk bits PACKED into a single 64-bit long — one 8-byte
     equality key through every exchange instead of an (int, struct)
     pair (round-6: the 6-block layout is shuffle-bound at 10M docs, so
-    key width is the cost driver). Packing is injective: band index
-    (<= C(8,5) = 56 -> 6 bits) in the high bits, then each chunk in
-    its own fixed-width field — worst case 6 + 40 bits (blocks=8),
-    never near the sign bit. Row-local bit ops only — banding a STORED
-    signature table costs no re-hash of text, which is what makes the
-    incremental path cheap. Columns: ``(id, sig, key)``."""
+    key width is the cost driver). Packing is injective: the band
+    index sits at a FIXED offset (the layout's maximum combo payload
+    width — 34 bits for blocks=6, 40 for blocks=8) with every combo's
+    chunk fields packed below it from bit 0. A variable offset (shift
+    t left by THIS combo's payload width, the round-6 first cut) is
+    NOT injective when chunk widths differ within a layout: blocks=6
+    has five 10-bit chunks plus one 14-bit chunk, so short-combo keys
+    with t >= 16 collided with long-combo t=1 keys, silently merging
+    unrelated buckets — extra candidates were filtered by the exact
+    hamming verify, but a merged bucket could cross ``max_bucket`` and
+    be dropped, losing true pairs (round-7 ADVICE finding; packing
+    injectivity is now pinned by
+    tests/test_sketches.py::test_banded_key_packing_injective).
+    Layouts whose band-index + payload bits exceed 64 (none of the
+    measured ones; e.g. a hypothetical d=1/blocks=16) fall back to an
+    exact (band, chunk-array) struct key. Row-local bit ops only —
+    banding a STORED signature table costs no re-hash of text, which
+    is what makes the incremental path cheap. Columns:
+    ``(id, sig, key)``."""
     from itertools import combinations
 
     nblocks = blocks if blocks is not None else max_distance + 1
@@ -746,25 +779,54 @@ def _banded_sigs(
         )
 
     combos = list(combinations(range(nblocks), nblocks - max_distance))
+    # fixed band-index offset: the widest combo's payload (the last
+    # chunk absorbs 64 mod nblocks leftover bits, so combos containing
+    # it pack more payload than the rest)
+    combo_bits = [sum(chunk_nbits(c) for c in combo) for combo in combos]
+    band_offset = max(combo_bits)
+    band_bits = max((len(combos) - 1).bit_length(), 1)
 
     def packed_key(t: int, combo) -> Column:
-        expr = F.lit(t).cast("long")
+        if band_offset >= 64:
+            # single-table whole-signature layout (or a full-width
+            # payload with one combo): the key IS the payload; t == 0
+            expr = F.lit(0).cast("long")
+            for c in combo:
+                nbits = chunk_nbits(c)
+                expr = (
+                    chunk_bits(c)
+                    if nbits >= 64
+                    else F.shiftleft(expr, nbits).bitwiseOR(chunk_bits(c))
+                )
+            return expr
+        # t at the fixed offset; chunks packed from bit 0 below it.
+        # Different combos' payloads may occupy different widths, but
+        # (t, payload) -> key is injective because t's field never
+        # overlaps any payload bit.
+        expr = F.lit(0).cast("long")
         for c in combo:
-            nbits = chunk_nbits(c)
-            if nbits >= 64:
-                # single-table whole-signature layout: the key IS the
-                # signature (band index is 0, Java shifts are mod 64)
-                expr = chunk_bits(c)
-            else:
-                expr = F.shiftleft(expr, nbits).bitwiseOR(chunk_bits(c))
-        return expr
+            expr = F.shiftleft(expr, chunk_nbits(c)).bitwiseOR(chunk_bits(c))
+        return F.shiftleft(F.lit(t).cast("long"), band_offset).bitwiseOR(expr)
+
+    if band_offset < 64 and band_offset + band_bits > 63 and len(combos) > 1:
+        # packed key cannot hold band + payload without touching the
+        # sign bit ambiguously: exact struct key (band, chunks) —
+        # wider, but only reachable for layouts no measured corpus
+        # uses (e.g. d=1 with 16 blocks: 60 payload + 4 band bits)
+        keys = [
+            F.struct(
+                F.lit(t).alias("band"),
+                F.array(*[chunk_bits(c) for c in combo]).alias("chunks"),
+            )
+            for t, combo in enumerate(combos)
+        ]
+    else:
+        keys = [packed_key(t, combo) for t, combo in enumerate(combos)]
 
     return sigs.select(
         F.col(id_col).alias("id"),
         F.col("sig"),
-        F.explode(
-            F.array(*[packed_key(t, combo) for t, combo in enumerate(combos)])
-        ).alias("key"),
+        F.explode(F.array(*keys)).alias("key"),
     )
 
 
@@ -1354,22 +1416,40 @@ def prefix_jaccard_join(
                     continue
                 ns = np.fromiter((r["n"] for r in xs), dtype=np.int64, count=k)
                 pos = np.fromiter((r["pos"] for r in xs), dtype=np.int64, count=k)
+                # numpy '<U' (and Python str) comparison is by code
+                # point; Spark's UTF8String and DuckDB's default
+                # collation compare UTF-8 bytes — identical orderings
+                # for well-formed Unicode (UTF-8 byte order preserves
+                # code-point order by construction), so the (id_a,
+                # id_b) normalization below agrees with both engines
+                # for any string ids, not just the ASCII fixtures;
+                # integer ids compare natively. (Ill-formed data —
+                # lone surrogates — is the only divergence and cannot
+                # round-trip through Arrow anyway.)
                 ids = np.array([r["id"] for r in xs])
+                # both axes of the k x k predicate grid are tiled so
+                # every temporary is at most STRIP x JSTRIP (1024 x
+                # 8192 int64 = 64 MB); a single strip x k slab would
+                # be ~0.5 GB per temporary at the 65,536 max_bucket
+                # cap (round-7 ADVICE finding)
                 for s in range(0, k, 1024):
                     e = min(s + 1024, k)
                     na, ia, pa = ns[s:e, None], ids[s:e, None], pos[s:e, None]
-                    cond = (ns[None, :] > na) | ((ns[None, :] == na) & (ids[None, :] > ia))
-                    cond &= ns[None, :] * t <= na + 1e-9
-                    if use_pos:
-                        ub = np.minimum(na - pa, ns[None, :] - pos[None, :])
-                        cond &= ub + 1e-9 >= req_f * (na + ns[None, :])
-                    ai, bj = np.nonzero(cond)
-                    if len(ai) == 0:
-                        continue
-                    a_ids, b_ids = ids[s:e][ai], ids[bj]
-                    swap = b_ids < a_ids
-                    out_lo.append(np.where(swap, b_ids, a_ids))
-                    out_hi.append(np.where(swap, a_ids, b_ids))
+                    for js in range(0, k, 8192):
+                        je = min(js + 8192, k)
+                        nb, ib = ns[None, js:je], ids[None, js:je]
+                        cond = (nb > na) | ((nb == na) & (ib > ia))
+                        cond &= nb * t <= na + 1e-9
+                        if use_pos:
+                            ub = np.minimum(na - pa, nb - pos[None, js:je])
+                            cond &= ub + 1e-9 >= req_f * (na + nb)
+                        ai, bj = np.nonzero(cond)
+                        if len(ai) == 0:
+                            continue
+                        a_ids, b_ids = ids[s:e][ai], ids[js:je][bj]
+                        swap = b_ids < a_ids
+                        out_lo.append(np.where(swap, b_ids, a_ids))
+                        out_hi.append(np.where(swap, a_ids, b_ids))
             if out_lo:
                 yield pd.DataFrame(
                     {"id_a": np.concatenate(out_lo), "id_b": np.concatenate(out_hi)}
@@ -1398,4 +1478,102 @@ def prefix_jaccard_join(
         )
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )
+
+
+def multi_key_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_cols: tuple = (),
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+    policy_order=None,
+) -> DataFrame:
+    """Production multi-signal dedup POLICY: one clustering over the
+    union of (1) exact content duplicates (text digest), (2) metadata
+    identity keys (url, source-record id, ...), and (3) MinHash
+    near-duplicates, with policy-ranked survivor selection per cluster
+    — the end-to-end shape a training pipeline runs per corpus release
+    (a page re-crawled under the same URL with edits, mirrored
+    verbatim on another host, and lightly templated elsewhere must
+    collapse into ONE kept document).
+
+    Scale shape, per signal:
+
+    - digest / metadata keys: each equality group contributes a STAR
+      of ``n-1`` edges to its min-id representative (one window pass
+      over a skinny ``(key, id)`` frame — never the quadratic
+      within-group pair set, so a million-copy boilerplate page costs
+      a million edges, not 10^12). NULL and empty keys never group.
+    - near-dup: :func:`minhash_dedup_pairs` — O(n·bands) banding
+      shuffle, exact-Jaccard verify on candidates only.
+    - clustering: :func:`~..graph.connected_components` over the edge
+      union (O(log n) label-propagation rounds, skinny frames).
+    - survivor: one window over ``(cluster, policy columns)`` — text
+      never crosses an exchange; the policy ranks a skinny projection.
+
+    ``policy_order``: list of Columns ranking cluster members BEST
+    FIRST (default: longest text, then smallest id — deterministic).
+    Returns one row per input doc:
+    ``(id, cluster, n_members, survivor_id, is_survivor)``.
+    """
+    from .graph import connected_components
+
+    skinny = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("__fp"),
+        F.length(F.col(text_col)).alias("__len"),
+        *[F.col(k) for k in key_cols],
+    )
+
+    def star_edges(key: Column) -> DataFrame:
+        """(id, group-min-id) edges for one equality key; linear in
+        group size."""
+        w = Window.partitionBy("__k")
+        return (
+            skinny.select("id", key.alias("__k"))
+            .filter(F.col("__k").isNotNull() & (F.col("__k") != ""))
+            .withColumn("__rep", F.min("id").over(w))
+            .filter(F.col("id") != F.col("__rep"))
+            .select(F.col("id").alias("id_a"), F.col("__rep").alias("id_b"))
+        )
+
+    edges = star_edges(F.col("__fp"))
+    for k in key_cols:
+        # key-space separation: prefix each key family so a url value
+        # can never equal a digest value by coincidence
+        edges = edges.unionByName(
+            star_edges(F.concat(F.lit(f"{k}:"), F.col(k).cast("string")))
+        )
+    near = minhash_dedup_pairs(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_n, seed
+    ).select("id_a", "id_b")
+    edges = edges.unionByName(near)
+
+    labels = connected_components(edges)  # (node, component)
+    labeled = skinny.join(
+        labels, skinny.id == labels.node, "left"
+    ).select(
+        "id",
+        "__len",
+        F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+    )
+    order = policy_order or [F.col("__len").desc(), F.col("id").asc()]
+    w = Window.partitionBy("cluster").orderBy(*order)
+    wc = Window.partitionBy("cluster")
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("survivor_id", F.first("id").over(w))
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "n_members",
+            "survivor_id",
+            (F.col("__rn") == 1).alias("is_survivor"),
+        )
     )

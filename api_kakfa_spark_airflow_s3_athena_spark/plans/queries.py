@@ -1878,7 +1878,7 @@ def delta_dedup_incremental(spark, sf_dir):
     )
 
 
-def _run_stream_dedup(spark, sf_dir, base):
+def _run_stream_dedup(spark, sf_dir, base, epoch_times=None):
     """Stage the 3-epoch document stream under ``base`` and run the
     continuous-ingest dedup sink to completion (availableNow). Shared
     by the contract query (cached per session) and the bench row
@@ -1923,15 +1923,27 @@ def _run_stream_dedup(spark, sf_dir, base):
             threshold=0.5,
             num_hashes=32,
             bands=8,
+            epoch_times=epoch_times,
         )
         q.awaitTermination()
+
+
+# per-epoch wall seconds of the most recent _stream_dedup_bench run —
+# read by bench.py so the BENCH artifact reports the MARGINAL ingest
+# cost per micro-batch (the 100 TB steady-state number) alongside the
+# 3-epoch pipeline total
+LAST_STREAM_DEDUP_EPOCH_SEC: list = []
 
 
 def _stream_dedup_bench(spark, sf_dir):
     """Bench row: one full 3-epoch ingest into a fresh directory; the
     returned pairs log is what the noop sink consumes."""
     base = tempfile.mkdtemp(prefix="stream_dedup_bench_")
-    _run_stream_dedup(spark, sf_dir, base)
+    epoch_times: dict = {}
+    _run_stream_dedup(spark, sf_dir, base, epoch_times=epoch_times)
+    LAST_STREAM_DEDUP_EPOCH_SEC.append(
+        [round(epoch_times[k], 3) for k in sorted(epoch_times)]
+    )
     return spark.read.parquet(os.path.join(base, "pairs")).select(
         "id_a", "id_b", "jaccard"
     )
@@ -5797,6 +5809,172 @@ def dedup_survivors_policy(spark, sf_dir):
             F.col("n_copies").cast("long").alias("n_copies"),
         )
     )
+
+
+@register(
+    "multi_key_dedup_policy",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_plants,
+               CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_url_plants,
+               CAST(SUM(CASE WHEN doc_id % 17 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '),
+                                                 x -> x <> '')) >= 3
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_near_plants,
+               true AS exact_plants_ok,
+               true AS url_plants_ok,
+               true AS near_plants_ok,
+               true AS cover_ok,
+               true AS survivor_policy_ok
+        FROM documents
+    """,
+    tags=("dedup", "policy", "lsh"),
+    bench_fn=lambda spark, sf_dir: DD.multi_key_dedup(
+        _multi_key_corpus(spark, sf_dir)[0],
+        key_cols=("url",),
+        threshold=0.5,
+        num_hashes=32,
+        bands=8,
+    ),
+)
+def multi_key_dedup_policy(spark, sf_dir):
+    """End-to-end multi-signal dedup policy (round-7 VERDICT #7): ONE
+    clustering over exact-digest + metadata-url + MinHash-near-dup
+    edges with policy-ranked survivor selection
+    (``dedup.multi_key_dedup`` — star edges per equality key, LSH for
+    near-dups, connected components, one survivor window). Three plant
+    families, each recoverable through EXACTLY ONE signal by
+    construction:
+
+    - exact (id%11, +10M): identical text, own url -> only the digest
+      groups them;
+    - url (id%13, +20M): text edited (appended revision token), but
+      re-crawled under the ORIGINAL url -> only the url key groups
+      them;
+    - near (id%17, +30M, >=3 tokens): every space DOUBLED — the token
+      stream (and so the shingle set, signature, and band buckets) is
+      IDENTICAL while the raw string (and so the digest) differs, and
+      the url is its own -> only the MinHash signal can group them,
+      and its recall is 1.0 by construction, not probabilistically.
+
+    Contract: each family's plants share their original's cluster;
+    every corpus doc is labeled exactly once; each cluster keeps
+    exactly one survivor and it is the policy argmax (longest text,
+    id tie-break). Counts cross the engine compare."""
+    corpus, docs = _multi_key_corpus(spark, sf_dir)
+    out = DD.multi_key_dedup(
+        corpus, key_cols=("url",), threshold=0.5, num_hashes=32, bands=8
+    ).localCheckpoint(eager=True)
+    labels = out.select("doc_id", "cluster")
+
+    def plants_ok(offset: int) -> Column:
+        a = labels.alias("a")
+        b = labels.alias("b")
+        return (
+            a.join(
+                b,
+                F.col("a.doc_id") + offset == F.col("b.doc_id"),
+            )
+            .agg(
+                F.coalesce(
+                    F.min(F.col("a.cluster") == F.col("b.cluster")), F.lit(True)
+                ).alias("ok")
+            )
+        )
+
+    # cover: every corpus doc labeled exactly once
+    cover = out.agg(
+        (
+            (F.count(F.lit(1)) == F.count_distinct(F.col("doc_id")))
+            & (F.count(F.lit(1)) == F.lit(corpus.count()))
+        ).alias("cover_ok")
+    )
+    # survivor = policy argmax per cluster, exactly one per cluster
+    lens = corpus.select("doc_id", F.length("text").alias("__len"))
+    policy = out.join(lens, "doc_id").groupBy("cluster").agg(
+        F.max(F.struct(F.col("__len"), (-F.col("doc_id")).alias("__nid"))).alias(
+            "best"
+        ),
+        F.max_by(
+            F.struct(F.col("__len"), (-F.col("doc_id")).alias("__nid")),
+            F.col("is_survivor").cast("int"),
+        ).alias("surv"),
+        F.sum(F.col("is_survivor").cast("long")).alias("n_surv"),
+    )
+    policy_ok = policy.agg(
+        F.coalesce(
+            F.min((F.col("n_surv") == 1) & (F.col("best") == F.col("surv"))),
+            F.lit(True),
+        ).alias("survivor_policy_ok")
+    )
+    docs_agg = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("doc_id") % 11 == 0).cast("long")).alias("n_exact_plants"),
+        F.sum((F.col("doc_id") % 13 == 0).cast("long")).alias("n_url_plants"),
+        F.sum(_near_plant_cond().cast("long")).alias("n_near_plants"),
+    )
+    return (
+        docs_agg.crossJoin(
+            plants_ok(10_000_000).withColumnRenamed("ok", "exact_plants_ok")
+        )
+        .crossJoin(plants_ok(20_000_000).withColumnRenamed("ok", "url_plants_ok"))
+        .crossJoin(plants_ok(30_000_000).withColumnRenamed("ok", "near_plants_ok"))
+        .crossJoin(cover)
+        .crossJoin(policy_ok)
+        .select(
+            "n_docs",
+            "n_exact_plants",
+            "n_url_plants",
+            "n_near_plants",
+            "exact_plants_ok",
+            "url_plants_ok",
+            "near_plants_ok",
+            "cover_ok",
+            "survivor_policy_ok",
+        )
+    )
+
+
+def _near_plant_cond() -> Column:
+    return (
+        (F.col("doc_id") % 17 == 0)
+        & (F.length("text") > 50)
+        & (F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= 3)
+    )
+
+
+def _multi_key_corpus(spark, sf_dir):
+    """documents + the three multi_key_dedup_policy plant families;
+    returns (corpus-with-url, raw docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    own_url = F.concat(F.lit("http://ex.com/p"), F.col("doc_id").cast("string"))
+    base = docs.select("doc_id", "text", own_url.alias("url"))
+    exact = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .withColumn(
+            "url",
+            F.concat(F.lit("http://ex.com/p"), F.col("doc_id").cast("string")),
+        )
+    )
+    url_p = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" updated-revision")).alias("text"),
+        # re-crawl of the ORIGINAL url (built from the pre-offset id)
+        own_url.alias("url"),
+    )
+    near = docs.filter(_near_plant_cond()).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " ", "  ").alias("text"),
+    )
+    near = near.withColumn(
+        "url", F.concat(F.lit("http://ex.com/p"), F.col("doc_id").cast("string"))
+    )
+    corpus = base.unionByName(exact).unionByName(url_p).unionByName(near)
+    return corpus, docs
 
 
 @register(

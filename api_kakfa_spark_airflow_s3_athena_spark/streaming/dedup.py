@@ -137,11 +137,21 @@ def dedup_ingest_sink(
     shingle_n: int = 3,
     seed: int = 1,
     available_now: bool = False,
+    epoch_times: dict | None = None,
 ):
     """Start the continuous-ingest dedup sink over a streaming
-    DataFrame of documents. Returns the StreamingQuery."""
+    DataFrame of documents. Returns the StreamingQuery.
+
+    ``epoch_times``: optional dict the sink fills with per-epoch wall
+    seconds (``{epoch_id: sec}``) — the MARGINAL per-batch ingest cost
+    is the number that matters at 100 TB (steady-state cost per crawl
+    snapshot), and a pipeline-total bench row hides it; the bench
+    harness reports both."""
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         dedup_ingest_batch(
             batch,
             epoch_id,
@@ -156,6 +166,8 @@ def dedup_ingest_sink(
             shingle_n=shingle_n,
             seed=seed,
         )
+        if epoch_times is not None:
+            epoch_times[epoch_id] = _time.time() - t0
 
     writer = (
         df.writeStream.foreachBatch(apply)

@@ -7,6 +7,21 @@ ONE JSON line:
 Each query is forced end-to-end with the noop sink (full execution,
 no driver-side result transfer), timed after a warmup query has paid
 the session/codegen startup cost.
+
+Round-7 artifact additions (so regressions can't hide in run-to-run
+noise, and scale-representative numbers live in the artifact, not
+just NOTES):
+- ``query_runs``: EVERY run's seconds per query, not just the best —
+  the per-query spread is readable from the artifact alone.
+- ``r01_set_total_worst_sec`` / ``spread_sec``: the headline subtotal
+  under worst runs and its distance from the best — a real ~1 s
+  regression is distinguishable from contention without NOTES.
+- ``exact_jaccard_join_prefix_zipf``: the prefix join benched on a
+  Zipf(s=1)/50k-vocab corpus (the selectivity profile the operator is
+  designed for) next to the hostile driver-corpus row.
+- ``streaming_dedup_epoch_marginal_sec``: per-epoch wall seconds of
+  each streaming_dedup_ingest run — the steady-state per-batch ingest
+  cost that matters at 100 TB, which the 3-epoch pipeline total hides.
 """
 
 from __future__ import annotations
@@ -14,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -66,9 +82,8 @@ HEADLINE = HEADLINE_R01 + [
     # corpus has a 40-word vocabulary, which defeats prefix selectivity
     # and makes the run OUTPUT-bound (190,925 true pairs at t=0.95) —
     # the row is honest but measures result volume, not candidate
-    # pruning. On a realistic Zipfian-vocab corpus the same operator
-    # does 500k docs in ~24 s with a 6.1x sf1->sf10 ratio
-    # (tools/scale_check.py --zipf; NOTES.md round-6 section).
+    # pruning. Its Zipfian-vocab twin (exact_jaccard_join_prefix_zipf,
+    # round 7) is the scale-representative number; both are reported.
     "exact_jaccard_join_prefix",
     # hashed-window-key twin of boilerplate_span_coverage (8-byte
     # xxhash64 keys through the exchanges instead of ~50-char strings;
@@ -79,7 +94,9 @@ HEADLINE = HEADLINE_R01 + [
 # Best-of-N per query: a single-shot timing showed double-digit
 # run-to-run swings on queries whose code hadn't changed (r03->r04
 # doc_fingerprint_dedup +20%); min-of-2 discards GC/compilation noise
-# while keeping the harness fast.
+# while keeping the harness fast. Since round 7 every run's time is
+# recorded in the artifact (query_runs), so the noise the min
+# discards is itself measurable.
 RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
@@ -92,17 +109,18 @@ def main() -> None:
 
     spark = local_test_session("bench")
 
-    def run(name: str) -> float:
-        spec = REGISTRY[name]
-        fn = spec.bench_fn or spec.fn
-        best = None
+    def run_fn(fn) -> list:
+        runs = []
         for _ in range(RUNS_PER_QUERY):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            took = time.time() - t0
-            best = took if best is None else min(best, took)
-        return best
+            runs.append(round(time.time() - t0, 3))
+        return runs
+
+    def run(name: str) -> list:
+        spec = REGISTRY[name]
+        return run_fn(spec.bench_fn or spec.fn)
 
     # Warmup: pay JVM/codegen startup and per-table first-touch costs
     # (file listing, footer reads, reader init) outside the
@@ -128,18 +146,50 @@ def main() -> None:
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import _ensure_pagerank_index
 
     _ensure_pagerank_index(spark, sf_dir)
+    # Zipfian-vocab corpus for the prefix join's representative row
+    # (same doc count as the sf0.1 driver corpus; staging is
+    # environment setup, like the streamed events copy above).
+    from tools.scale_check import generate_zipf
 
-    timings = {}
-    for name in HEADLINE:
+    zipf_dir = tempfile.mkdtemp(prefix="bench_zipf_")
+    generate_zipf(spark, 1, zipf_dir)
+    zipf_docs_path = os.path.join(zipf_dir, "documents.parquet")
+    spark.read.parquet(zipf_docs_path).count()  # first-touch
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators import dedup as DD
+
+    def _zipf_prefix_join(spark, _sf_dir):
+        return DD.prefix_jaccard_join(
+            spark.read.parquet(zipf_docs_path), threshold=0.95
+        )
+
+    EXTRA_ROWS = {"exact_jaccard_join_prefix_zipf": _zipf_prefix_join}
+
+    timings, query_runs = {}, {}
+    for name in HEADLINE + list(EXTRA_ROWS):
         try:
-            timings[name] = round(run(name), 3)
+            runs = run_fn(EXTRA_ROWS[name]) if name in EXTRA_ROWS else run(name)
+            query_runs[name] = runs
+            timings[name] = min(runs)
         except Exception as exc:  # a broken query should show up, not hide
             timings[name] = None
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
+        LAST_STREAM_DEDUP_EPOCH_SEC,
+    )
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     r01_total = round(
         sum(timings[n] for n in HEADLINE_R01 if timings.get(n) is not None), 3
+    )
+    r01_worst = round(
+        sum(
+            max(query_runs[n])
+            for n in HEADLINE_R01
+            if query_runs.get(n) is not None
+        ),
+        3,
     )
     # `value` is the ROUND-1 SET subtotal — the only number that is
     # apples-to-apples against BENCH_r01 (the operative baseline; see
@@ -156,6 +206,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "all_queries_total_sec": total,
                 "r01_set_total_sec": r01_total,
+                "r01_set_total_worst_sec": r01_worst,
+                "spread_sec": round(r01_worst - r01_total, 3),
+                "query_runs": query_runs,
+                "streaming_dedup_epoch_marginal_sec": LAST_STREAM_DEDUP_EPOCH_SEC,
                 "runs_per_query": RUNS_PER_QUERY,
             }
         )

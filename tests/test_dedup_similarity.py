@@ -524,6 +524,127 @@ def test_simhash_hamming_blocks_variants_identical(spark):
         DD.simhash_hamming_pairs(docs, max_distance=3, blocks=3)
 
 
+def _mirror_banded_keys(sig: int, nblocks: int, d: int, fixed_offset: bool):
+    """Pure-Python mirror of ``_banded_sigs``'s packed band key, over
+    an unsigned 64-bit ``sig``. ``fixed_offset=False`` reproduces the
+    round-6 variable-offset packing (band index shifted by THIS combo's
+    payload width) for the regression demonstration."""
+    from itertools import combinations
+
+    width = 64 // nblocks
+
+    def nb(c):
+        return 64 - c * width if c == nblocks - 1 else width
+
+    def bits(c):
+        return (sig >> (c * width)) & ((1 << nb(c)) - 1)
+
+    combos = list(combinations(range(nblocks), nblocks - d))
+    band_offset = max(sum(nb(c) for c in combo) for combo in combos)
+    out = []
+    for t, combo in enumerate(combos):
+        payload = 0
+        for c in combo:
+            payload = (payload << nb(c)) | bits(c)
+        key = (
+            (t << band_offset) | payload
+            if fixed_offset
+            else (t << sum(nb(c) for c in combo)) | payload
+        )
+        out.append(((t, tuple(bits(c) for c in combo)), key))
+    return out
+
+
+def test_banded_key_packing_injective(spark):
+    """Round-7 ADVICE regression: the packed band key must be injective
+    in (table index, chunk values) — a variable band-index offset is
+    not when chunk widths differ within a layout (the last chunk
+    absorbs 64 mod nblocks extra bits), so keys from different tables
+    could collide, merging unrelated buckets (and a merged bucket can
+    cross max_bucket and be dropped, losing true pairs).
+
+    Three pins: (1) injectivity of the fixed-offset packing over
+    random signatures at every measured layout; (2) a CONSTRUCTED
+    old-scheme cross-table collision (blocks=7, d=3: short combo t=7
+    packs 36 payload bits, long combo t=3 packs 37, and
+    7<<36 == 3<<37 + 1<<36 — note blocks=6 was accidentally safe:
+    overlap needs a fat-chunk combo at t<=1 but lexicographic order
+    places the first at t=3) that the new packing separates; (3) the
+    Spark-side keys equal the Python mirror bit-for-bit."""
+    import random
+
+    rng = random.Random(13)
+    for nblocks, d in ((4, 3), (6, 3), (7, 3), (8, 3), (5, 3), (2, 1)):
+        seen = {}
+        for _ in range(300):
+            sig = rng.getrandbits(64)
+            for ident, key in _mirror_banded_keys(sig, nblocks, d, True):
+                prev = seen.setdefault(key, ident)
+                assert prev == ident, (
+                    f"blocks={nblocks}: key {key} maps to both {prev} and {ident}"
+                )
+
+    # (2) constructed old-scheme collision at blocks=7, d=3: chunks of
+    # sig_a's combo 7 = (0,1,4,5) pack payload ps; chunks of sig_b's
+    # combo 3 = (0,1,2,6) pack pl = 1<<36 | ps => old keys equal.
+    # width 9, chunk6 is 10 bits. Pick ps = 0: sig_a zero on chunks
+    # 0,1,4,5; sig_b needs (0,1,2,6)-payload = 1<<36 => chunk0 of the
+    # packing loop... payload = ((((b0)<<9|b1)<<9|b2)<<10|b6); 1<<36 =
+    # bit 36 => b0 = 1<<(36-28) = 256? 36 - (9+9+10) = 8 => b0 bit 8.
+    sig_a = 0  # all chunks zero
+    sig_b = (1 << 8) << (0 * 9)  # chunk0 = 256, rest zero
+    old_a = dict((k, i) for i, k in _mirror_banded_keys(sig_a, 7, 3, False))
+    old_b = dict((k, i) for i, k in _mirror_banded_keys(sig_b, 7, 3, False))
+    collided = [
+        (old_a[k], old_b[k])
+        for k in set(old_a) & set(old_b)
+        if old_a[k] != old_b[k]
+    ]
+    assert collided, "constructed scenario should collide under the old packing"
+    new_a = dict((k, i) for i, k in _mirror_banded_keys(sig_a, 7, 3, True))
+    new_b = dict((k, i) for i, k in _mirror_banded_keys(sig_b, 7, 3, True))
+    for k in set(new_a) & set(new_b):
+        assert new_a[k] == new_b[k], "fixed-offset packing must not merge tables"
+
+    # (3) Spark parity with the mirror (keys are < 2^47 for these
+    # layouts, so signed long == unsigned value)
+    sigs = [rng.getrandbits(63) for _ in range(8)]  # positive longs
+    df = spark.createDataFrame([Row(doc_id=i, sig=s) for i, s in enumerate(sigs)])
+    for nblocks in (4, 6, 7, 8):
+        got = {
+            (r.id, r.key)
+            for r in DD._banded_sigs(df, "doc_id", "sig", 3, nblocks).collect()
+        }
+        want = {
+            (i, key)
+            for i, s in enumerate(sigs)
+            for _, key in _mirror_banded_keys(s, nblocks, 3, True)
+        }
+        assert got == want, f"blocks={nblocks} Spark keys diverge from mirror"
+
+
+def test_banded_struct_fallback_layout(spark):
+    """A layout whose band + payload bits exceed 63 (d=1, blocks=16:
+    60 payload + 4 band bits) falls back to the exact struct key and
+    still returns the default layout's exact pair set."""
+    words = BASE.split()
+    rows = [Row(doc_id=0, text=BASE)]
+    for i in range(1, 20):
+        w = list(words)
+        w[(i * 3) % len(w)] = f"tok{i}"
+        rows.append(Row(doc_id=i, text=" ".join(w)))
+    docs = spark.createDataFrame(rows)
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_hamming_pairs(docs, max_distance=1).collect()
+    }
+    wide = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_hamming_pairs(docs, max_distance=1, blocks=16).collect()
+    }
+    assert wide == base
+
+
 def test_simhash_arrow_pairs_match_brute_force_on_own_signatures(spark):
     """The arrow pipeline's pair set must equal the brute-force
     all-pairs compare over ITS OWN signatures (the hash family differs
