@@ -6165,14 +6165,53 @@ def _dup_window_spans(spark, sf_dir, hashed: bool):
     exploded = wins.select("doc_id", F.explode("w").alias("win")).select(
         "doc_id", key
     )
+    if not hashed:
+        shared = (
+            exploded.groupBy("k")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .select(F.col("k").alias("sk"))
+        )
+        return (
+            exploded.join(shared, exploded.k == shared.sk, "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_windows"),
+                F.count("sk").alias("n_shared_windows"),
+                (F.count("sk").cast("double") / F.count(F.lit(1))).alias(
+                    "shared_frac"
+                ),
+            )
+        )
+    # 100 TB shape (round-7, same rework as _span_coverage's hashed
+    # branch): the windows are already per-doc-distinct, so the
+    # cross-doc census is a PLAIN count (exactly count_distinct, minus
+    # the two-phase distinct aggregate); the shared-key set is
+    # materialized eagerly (O(duplicated windows), skinny) and
+    # branches the plan — empty: the whole answer is row-local
+    # (n_windows = size of the distinct-window array, zero shuffles
+    # past the census); small: broadcast LEFT join, the fact-sized
+    # exploded frame never exchanges on the window key and the per-doc
+    # rollup combines map-side on explode locality; huge (adversarial
+    # corpus where most windows repeat): shuffled join, still exact.
     shared = (
         exploded.groupBy("k")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") > 1)
         .select(F.col("k").alias("sk"))
+        .localCheckpoint(eager=True)
     )
+    n_shared = shared.count()
+    if n_shared == 0:
+        return wins.filter(F.size("w") > 0).select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_windows"),
+            F.lit(0).cast("long").alias("n_shared_windows"),
+            F.lit(0.0).alias("shared_frac"),
+        )
+    shared_side = F.broadcast(shared) if n_shared <= 5_000_000 else shared
     return (
-        exploded.join(shared, exploded.k == shared.sk, "left")
+        exploded.join(shared_side, exploded.k == shared_side.sk, "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
@@ -6700,45 +6739,112 @@ def boilerplate_span_coverage(spark, sf_dir):
 def _span_coverage(spark, sf_dir, hashed: bool):
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
-    # hashed: the (source, window) exchange carries xxhash64(window)
-    # — 8 bytes — instead of the ~50-char window string; the hash runs
-    # row-local in the projection that builds the window
-    key = F.xxhash64("win").alias("k") if hashed else F.col("win").alias("k")
-    wins = (
-        d.select(
+    base = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+
+    def _tail(agg):
+        return base.join(agg, "doc_id", "left").select(
             "doc_id",
-            "source",
-            F.posexplode(TX.word_shingles(F.col("text"), 8)).alias("pos0", "win"),
+            "n_tokens",
+            F.coalesce("n_covered", F.lit(0)).cast("bigint").alias("n_covered"),
+            (
+                F.coalesce("n_covered", F.lit(0)).cast("double")
+                / F.greatest("n_tokens", F.lit(1))
+            ).alias("coverage_frac"),
         )
-        .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), key)
+
+    if not hashed:
+        # reference shape, byte-identical window strings for the oracle
+        wins = (
+            d.select(
+                "doc_id",
+                "source",
+                F.posexplode(TX.word_shingles(F.col("text"), 8)).alias(
+                    "pos0", "win"
+                ),
+            )
+            .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "win")
+        )
+        bp = (
+            wins.groupBy("source", "win")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 3)
+            .select("source", F.col("win").alias("bw"))
+        )
+        cov = (
+            wins.join(bp, (wins.source == bp.source) & (wins.win == bp.bw))
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p"),
+            )
+            .distinct()
+        )
+        return _tail(cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_covered")))
+
+    # 100 TB shape (round-7 rework after the sf10->sf100 scale check
+    # measured the old single-plan version at 19x for 10x docs while
+    # EVERY phase in isolation was linear — the blowup was
+    # compositional: AQE materializes the join's two children
+    # concurrently, so the fact-sized wins shuffle was already in
+    # flight when the bp census came back empty; the wasted exchange
+    # doubled the op):
+    #
+    # 1. (source, window) packs into ONE 8-byte key up front —
+    #    xxhash64(source, win) — so the census groups and the join
+    #    compare a single long (the hashed-window-twin move, one level
+    #    further; injectivity up to ~2^-64 is what the shared
+    #    string-keyed oracle verifies).
+    # 2. the census is a PLAIN count over per-doc-DISTINCT windows
+    #    (array_distinct before the explode), exactly nd =
+    #    count_distinct(doc_id) but without the two-phase distinct
+    #    aggregate — and it carries no positions, so its exchange rows
+    #    are 8+8 bytes.
+    # 3. the bp key set is materialized EAGERLY (localCheckpoint — it
+    #    is O(boilerplate keys), tiny) and branches the plan: empty ->
+    #    the answer is all-zeros, no second corpus pass AT ALL; small
+    #    -> broadcast join, the positioned wins explode stays map-side
+    #    (no fact exchange — boilerplate keys are nav bars and
+    #    footers, a small set on any real corpus); huge (adversarial)
+    #    -> shuffled join, still correct. Data-dependent plan choice,
+    #    like _auto_blocks; the count runs on the checkpointed frame.
+    k2 = lambda w: F.xxhash64(F.col("source"), w)  # noqa: E731
+    census = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.array_distinct(TX.word_shingles(F.col("text"), 8)), k2
+            )
+        ).alias("k"),
     )
     bp = (
-        wins.groupBy("source", "k")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        census.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 3)
-        .select("source", F.col("k").alias("bk"))
+        .select("k")
+        .localCheckpoint(eager=True)
     )
-    cov = (
-        wins.join(
-            bp, (wins.source == bp.source) & (wins.k == bp.bk)
+    n_bp = bp.count()
+    if n_bp == 0:
+        return base.select(
+            "doc_id",
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("n_covered"),
+            F.lit(0.0).alias("coverage_frac"),
         )
+    wins = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(TX.word_shingles(F.col("text"), 8)).alias("pos0", "win"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), k2(F.col("win")).alias("k"))
+    bp_side = F.broadcast(bp) if n_bp <= 5_000_000 else bp
+    cov = (
+        wins.join(bp_side, "k")
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p"),
         )
         .distinct()
     )
-    agg = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_covered"))
-    base = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
-    return base.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("n_covered", F.lit(0)).cast("bigint").alias("n_covered"),
-        (
-            F.coalesce("n_covered", F.lit(0)).cast("double")
-            / F.greatest("n_tokens", F.lit(1))
-        ).alias("coverage_frac"),
-    )
+    return _tail(cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_covered")))
 
 
 @register(
@@ -8829,6 +8935,71 @@ def referential_integrity_audit(spark, sf_dir):
     Complements the single-table expectations gate with the FK layer."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    orphan_li = li.join(
+        o.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    orphan_o = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_orders"))
+    orphan_sup = li.join(
+        F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_supp_refs"))
+    childless = o.join(
+        li.select("l_orderkey").distinct(),
+        o.o_orderkey == F.col("l_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("childless_orders"))
+    return (
+        orphan_li.crossJoin(orphan_o).crossJoin(orphan_sup).crossJoin(childless)
+    )
+
+
+@register(
+    "referential_integrity_audit_bucketed",
+    oracle="""
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+                AS orphan_lineitems,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+                AS orphan_orders,
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+                AS orphan_supp_refs,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey))
+                AS childless_orders
+    """,
+    tags=("quality", "integrity", "anti-join", "bucketed"),
+)
+def referential_integrity_audit_bucketed(spark, sf_dir):
+    """The referential-integrity audit's 100 TB shape: the round-6
+    verdict measured the plain audit's 5.0x sf1->sf10 ratio and named
+    "bucket both facts by orderkey" as the step that removes the
+    fact-to-fact exchange entirely — this twin runs the SAME audit
+    (identical oracle SQL, like the hashed-window-key twins) with the
+    two fact-fact anti-joins reading the bucketed-by-orderkey managed
+    tables: both sides of orphan_lineitems and childless_orders are
+    co-located on the join key, so neither fact shuffles (the
+    childless side's DISTINCT also aggregates exchange-free — the
+    bucketed scan already satisfies its required distribution). Plan
+    invariant pinned by
+    tests/test_bucketed_join.py::test_bucketed_audit_fact_joins_no_shuffle.
+    True-dimension checks (customer, supplier) broadcast as before."""
+    from ..sources.tables import ensure_bucketed_join_tables
+
+    db = ensure_bucketed_join_tables(spark, sf_dir)
+    li = spark.table(f"{db}.lineitem_b").select("l_orderkey", "l_suppkey")
+    o = spark.table(f"{db}.orders_b").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey")
     orphan_li = li.join(

@@ -145,6 +145,108 @@ def test_boilerplate_coverage_planted_span(spark):
     assert out[11].n_covered == 0 and out[11].n_tokens == 2  # sub-window doc survives
 
 
+def test_boilerplate_hashed_twin_matches_on_planted_span(spark):
+    """The round-7 reworked hashed variant (packed xxhash64(source,
+    window) key, doc-distinct census, eager-bp branch) must return the
+    STRING variant's rows exactly on a corpus where boilerplate EXISTS
+    — this drives the non-empty branch (broadcast join + coverage
+    rollup), which the driver corpora never reach (their bp census is
+    empty at every tested SF, so the dual-run only exercises the
+    empty shortcut)."""
+    import tempfile
+
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
+        boilerplate_span_coverage_hashed,
+    )
+
+    lead = "w1 w2 w3 w4 w5 w6 w7 w8"
+    d = tempfile.mkdtemp(prefix="bp_docs_h_")
+    rows = [
+        Row(doc_id=i, text=f"{lead} unique{i} tail{i}", lang="en", source="a", n_chars=1)
+        for i in range(3)
+    ] + [
+        Row(doc_id=10, text=f"{lead} other words", lang="en", source="b", n_chars=1),
+        # repeated window WITHIN one doc: the doc-distinct census must
+        # count it once (nd=1, not 3), so it must NOT become boilerplate
+        Row(doc_id=11, text=f"{lead} {lead} {lead}", lang="en", source="b", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(map(tuple, boilerplate_span_coverage_hashed(spark, d).collect()))
+    want = sorted(map(tuple, boilerplate_span_coverage(spark, d).collect()))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[0][2] == 8  # planted window covered
+    assert by_id[11][2] == 0  # in-doc repetition alone is not boilerplate
+
+
+def test_boilerplate_hashed_empty_shortcut(spark):
+    """No window reaches 3 distinct docs -> the hashed variant takes
+    the no-second-pass branch and still emits every doc with zero
+    coverage, identical to the string variant."""
+    import tempfile
+
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
+        boilerplate_span_coverage_hashed,
+    )
+
+    d = tempfile.mkdtemp(prefix="bp_docs_e_")
+    rows = [
+        Row(doc_id=i, text=f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i} i{i}",
+            lang="en", source="a", n_chars=1)
+        for i in range(4)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(map(tuple, boilerplate_span_coverage_hashed(spark, d).collect()))
+    want = sorted(map(tuple, boilerplate_span_coverage(spark, d).collect()))
+    assert got == want
+    assert all(t[2] == 0 and t[3] == 0.0 for t in got)
+
+
+def test_dup_window_spans_hashed_twin_branches(spark):
+    """Round-7 reworked duplicate_window_spans_hashed: both its
+    branches must return the string variant's rows exactly — the
+    broadcast join branch (a shared window exists) and the row-local
+    empty branch (no window crosses two docs; zero shuffles past the
+    census)."""
+    import tempfile
+
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
+        duplicate_window_spans,
+        duplicate_window_spans_hashed,
+    )
+
+    lead = "w1 w2 w3 w4 w5 w6 w7 w8"
+    d = tempfile.mkdtemp(prefix="dw_docs_")
+    rows = [
+        Row(doc_id=1, text=f"{lead} unique1 tail1", lang="en", source="a", n_chars=1),
+        Row(doc_id=2, text=f"{lead} unique2 tail2", lang="en", source="b", n_chars=1),
+        Row(doc_id=3, text="x1 x2 x3 x4 x5 x6 x7 x8 x9", lang="en", source="a", n_chars=1),
+        Row(doc_id=4, text="too short", lang="en", source="a", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(map(tuple, duplicate_window_spans_hashed(spark, d).collect()))
+    want = sorted(map(tuple, duplicate_window_spans(spark, d).collect()))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][2] == 1 and by_id[2][2] == 1  # the shared lead window
+    assert by_id[3][2] == 0
+    assert 4 not in by_id  # <8 tokens -> no windows -> omitted (both variants)
+
+    # empty branch: all windows unique
+    d2 = tempfile.mkdtemp(prefix="dw_docs_e_")
+    rows2 = [
+        Row(doc_id=i, text=f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i} i{i}",
+            lang="en", source="a", n_chars=1)
+        for i in range(3)
+    ]
+    spark.createDataFrame(rows2).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    got2 = sorted(map(tuple, duplicate_window_spans_hashed(spark, d2).collect()))
+    want2 = sorted(map(tuple, duplicate_window_spans(spark, d2).collect()))
+    assert got2 == want2
+    assert all(t[2] == 0 and t[3] == 0.0 for t in got2)
+    assert all(t[1] == 2 for t in got2)  # 9 tokens -> 2 distinct windows
+
+
 def test_bm25_matches_hand_computation(spark):
     """BM25 on a 3-doc corpus against the textbook formula."""
     import math
