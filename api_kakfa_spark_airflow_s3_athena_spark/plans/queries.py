@@ -6209,7 +6209,7 @@ def _dup_window_spans(spark, sf_dir, hashed: bool):
             F.lit(0).cast("long").alias("n_shared_windows"),
             F.lit(0.0).alias("shared_frac"),
         )
-    shared_side = F.broadcast(shared) if n_shared <= 5_000_000 else shared
+    shared_side = F.broadcast(shared) if n_shared <= 2_000_000 else shared
     return (
         exploded.join(shared_side, exploded.k == shared_side.sk, "left")
         .groupBy("doc_id")
@@ -6835,7 +6835,7 @@ def _span_coverage(spark, sf_dir, hashed: bool):
         "source",
         F.posexplode(TX.word_shingles(F.col("text"), 8)).alias("pos0", "win"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), k2(F.col("win")).alias("k"))
-    bp_side = F.broadcast(bp) if n_bp <= 5_000_000 else bp
+    bp_side = F.broadcast(bp) if n_bp <= 2_000_000 else bp
     cov = (
         wins.join(bp_side, "k")
         .select(
