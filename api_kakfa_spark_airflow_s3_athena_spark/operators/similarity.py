@@ -229,6 +229,41 @@ def ivf_index(
     return centroids, cell_index
 
 
+def ivf_index_append(
+    delta: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF maintenance — the ANN twin of
+    ``dedup.minhash_band_index`` + delta append: assign a NEW vector
+    batch to an existing FROZEN centroid set (one broadcast scoring
+    pass over the delta ONLY) and return rows in the ``cell_index``
+    schema, ready to ``mode("append").partitionBy("cell")`` into the
+    stored inverted file. The append touches only the delta's cells;
+    the stored corpus is never re-read, never re-assigned.
+
+    Centroids are deliberately frozen: an IVF centroid set is a
+    trained artifact (here the deterministic smallest-hash sample),
+    and re-deriving it per batch would silently re-shard the whole
+    index — periodic retraining is a REBUILD, not an append. Under
+    frozen centroids the appended index is row-identical to a full
+    re-assignment of corpus+delta (pinned by the
+    ``ann_ivf_delta_append`` contract and
+    tests/test_dedup_similarity.py), so queries through
+    :func:`ivf_topk_from_index` see exactly the rebuild's results.
+    """
+    return _ivf_assign(
+        delta.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        centroids,
+        "neighbor_id",
+        "c_vec",
+        keep=1,
+    )
+
+
 def ivf_topk_from_index(
     queries: DataFrame,
     centroids: DataFrame,

@@ -2399,6 +2399,152 @@ def ann_cosine_topk_ivf_indexed(spark, sf_dir):
     return _ann_self_retrieval_contract(approx, emb, k=10)
 
 
+def _ivf_appended_index(spark, sf_dir):
+    """Corpus index built+written once, delta batch APPENDED once
+    (stage-cached so repeat calls never double-append); returns
+    (centroids, appended cell_index read back, corpus, delta)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    offset = 10_000_000
+    corpus = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    plants = (
+        corpus.filter(F.col("vec_id") % 7 == 0)
+        .select((F.col("vec_id") + offset).alias("vec_id"), "embedding")
+    )
+    delta = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(plants)
+    )
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:ivf_append"
+    idx_dir = _STAGE_CACHE.get(key)
+    if idx_dir is None:
+        idx_dir = tempfile.mkdtemp(prefix="ivf_append_")
+        centroids, cell_index = SIM.ivf_index(corpus, n_centroids=16)
+        centroids.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids"))
+        cells = os.path.join(idx_dir, "cells")
+        cell_index.write.mode("overwrite").partitionBy("cell").parquet(cells)
+        cstored = spark.read.parquet(os.path.join(idx_dir, "centroids"))
+        SIM.ivf_index_append(delta, cstored).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(cells)
+        _STAGE_CACHE[key] = idx_dir
+    return (
+        spark.read.parquet(os.path.join(idx_dir, "centroids")),
+        spark.read.parquet(os.path.join(idx_dir, "cells")),
+        corpus,
+        delta,
+    )
+
+
+@register(
+    "ann_ivf_delta_append",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corpus,
+               CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delta_new,
+               CAST(SUM(CASE WHEN vec_id % 7 = 0 AND vec_id % 5 <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_planted,
+               true AS index_rows_ok,
+               true AS assign_equiv_ok,
+               true AS planted_recall_ok
+        FROM embeddings
+    """,
+    tags=("similarity", "ivf", "incremental"),
+    bench_fn=lambda spark, sf_dir: SIM.ivf_index_append(
+        _ivf_appended_index(spark, sf_dir)[3],
+        _ivf_appended_index(spark, sf_dir)[0],
+    ),
+)
+def ann_ivf_delta_append(spark, sf_dir):
+    """Incremental IVF index maintenance (completes the incremental
+    family: MinHash band index + delta, SimHash signature index +
+    delta, streaming-ingest dedup — now the ANN inverted file too):
+    the corpus index is written once ``partitionBy("cell")``, a new
+    vector batch is assigned against the FROZEN centroid artifact
+    (one broadcast pass over the delta only) and appended — only the
+    delta's cell partitions are touched; the stored corpus is never
+    re-read. Contract: (a) the appended index read back has exactly
+    corpus+delta rows; (b) it is (id, cell)-identical to a full
+    re-assignment of corpus+delta under the same centroids — the
+    append-equals-rebuild property that makes incremental maintenance
+    trustworthy; (c) planted exact-duplicate vectors (corpus rows
+    re-ingested under id+10M) retrieve their original at cosine 1.0
+    rank-1 THROUGH the appended stored index (identical vector =>
+    identical cell assignment => recall 1.0 by construction, not
+    probabilistically). Counts cross the engine compare."""
+    emb = _t(spark, sf_dir, "embeddings")
+    offset = 10_000_000
+    centroids, stored, corpus, delta = _ivf_appended_index(spark, sf_dir)
+    expected_rows = corpus.count() + delta.count()
+    rows_ok = stored.agg(
+        (F.count(F.lit(1)) == F.lit(expected_rows)).alias("ok")
+    )
+    rebuilt = SIM._ivf_assign(
+        corpus.unionByName(delta).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        ),
+        centroids,
+        "neighbor_id",
+        "c_vec",
+        keep=1,
+    ).select("neighbor_id", F.col("cell").alias("r_cell"))
+    equiv = (
+        stored.select("neighbor_id", "cell")
+        .join(rebuilt, "neighbor_id", "full")
+        .agg(
+            F.coalesce(F.min(F.col("cell") == F.col("r_cell")), F.lit(True)).alias(
+                "ok"
+            )
+        )
+    )
+    plant_q = delta.filter(F.col("vec_id") >= offset).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = SIM.ivf_topk_from_index(
+        plant_q, centroids, stored, k=2, nprobe=1, exclude_self=True
+    )
+    recall = (
+        hits.groupBy("query_id")
+        .agg(
+            F.max(
+                ((F.col("neighbor_id") + offset) == F.col("query_id"))
+                & (F.col("score") == 1.0)
+            ).alias("found"),
+            F.max(F.col("rank") == 1).alias("has_rank1"),
+        )
+        .agg(
+            F.coalesce(F.min(F.col("found") & F.col("has_rank1")), F.lit(True)).alias(
+                "all_found"
+            ),
+            F.count(F.lit(1)).alias("n_queried"),
+        )
+    )
+    doc_agg = emb.agg(
+        F.sum((F.col("vec_id") % 5 != 0).cast("long")).alias("n_corpus"),
+        F.sum((F.col("vec_id") % 5 == 0).cast("long")).alias("n_delta_new"),
+        F.sum(((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 0)).cast("long")).alias(
+            "n_planted"
+        ),
+    )
+    return (
+        doc_agg.crossJoin(rows_ok.withColumnRenamed("ok", "index_rows_ok"))
+        .crossJoin(equiv.withColumnRenamed("ok", "assign_equiv_ok"))
+        .crossJoin(recall)
+        .select(
+            "n_corpus",
+            "n_delta_new",
+            "n_planted",
+            "index_rows_ok",
+            "assign_equiv_ok",
+            (F.col("all_found") & (F.col("n_queried") == F.col("n_planted"))).alias(
+                "planted_recall_ok"
+            ),
+        )
+    )
+
+
 @register(
     "ann_cosine_topk_arrow",
     oracle="""

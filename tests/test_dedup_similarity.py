@@ -913,3 +913,46 @@ def test_prefix_jaccard_positional_filter_survives_bucket_drops(spark):
     }
     assert (0, 1) in out, "identical pair lost to positional pruning"
     assert out[(0, 1)] == 1.0
+
+
+def test_ivf_append_equals_rebuild(spark):
+    """ivf_index_append under FROZEN centroids must be row-identical
+    to a full re-assignment of corpus+delta, and queries through the
+    appended index must return exactly the rebuild's results — the
+    append-equals-rebuild property that makes incremental ANN index
+    maintenance trustworthy."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        _ivf_assign,
+        ivf_index,
+        ivf_index_append,
+        ivf_topk_from_index,
+    )
+
+    df, _ = _embeddings(spark, n=60, dim=8, seed=9)
+    corpus = df.filter(F.col("vec_id") < 40)
+    delta = df.filter(F.col("vec_id") >= 40)
+    centroids, idx = ivf_index(corpus, n_centroids=4)
+    appended = idx.unionByName(ivf_index_append(delta, centroids))
+    rebuilt = _ivf_assign(
+        df.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        ),
+        centroids,
+        "neighbor_id",
+        "c_vec",
+        keep=1,
+    )
+    got = {(r.neighbor_id, r.cell) for r in appended.collect()}
+    want = {(r.neighbor_id, r.cell) for r in rebuilt.collect()}
+    assert got == want and len(got) == 60
+
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t_app = sorted(
+        map(tuple, ivf_topk_from_index(q, centroids, appended, k=3, nprobe=2).collect())
+    )
+    t_reb = sorted(
+        map(tuple, ivf_topk_from_index(q, centroids, rebuilt, k=3, nprobe=2).collect())
+    )
+    assert t_app == t_reb
