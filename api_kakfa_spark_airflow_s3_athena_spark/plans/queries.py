@@ -2490,13 +2490,20 @@ def ann_ivf_delta_append(spark, sf_dir):
         "c_vec",
         keep=1,
     ).select("neighbor_id", F.col("cell").alias("r_cell"))
+    # NULL-safe equality: an id present on only one side must FAIL the
+    # check (a bare == yields NULL there, which min would skip)
     equiv = (
         stored.select("neighbor_id", "cell")
         .join(rebuilt, "neighbor_id", "full")
         .agg(
-            F.coalesce(F.min(F.col("cell") == F.col("r_cell")), F.lit(True)).alias(
-                "ok"
-            )
+            F.coalesce(
+                F.min(
+                    F.col("cell").isNotNull()
+                    & F.col("r_cell").isNotNull()
+                    & (F.col("cell") == F.col("r_cell"))
+                ),
+                F.lit(True),
+            ).alias("ok")
         )
     )
     plant_q = delta.filter(F.col("vec_id") >= offset).select(
