@@ -1544,11 +1544,13 @@ def multi_key_dedup(
 
     edges = star_edges(F.col("__fp"))
     for k in key_cols:
-        # key-space separation: prefix each key family so a url value
-        # can never equal a digest value by coincidence
-        edges = edges.unionByName(
-            star_edges(F.concat(F.lit(f"{k}:"), F.col(k).cast("string")))
-        )
+        # each key family gets its OWN star_edges pass (its own window
+        # over its own key column), so families never compare keys —
+        # no namespacing needed, and the raw value is what the NULL/
+        # empty filter must see (a prefixed empty key like "url:"
+        # would sail past the != "" guard and merge every empty-url
+        # doc into one cluster — round-7 self-review finding)
+        edges = edges.unionByName(star_edges(F.col(k).cast("string")))
     near = minhash_dedup_pairs(
         df, text_col, id_col, threshold, num_hashes, bands, shingle_n, seed
     ).select("id_a", "id_b")

@@ -956,3 +956,50 @@ def test_ivf_append_equals_rebuild(spark):
         map(tuple, ivf_topk_from_index(q, centroids, rebuilt, k=3, nprobe=2).collect())
     )
     assert t_app == t_reb
+
+
+def test_multi_key_dedup_signals_and_null_empty_keys(spark):
+    """multi_key_dedup: each signal groups what only it can see, and
+    NULL/empty metadata keys must NEVER group (round-7 self-review:
+    the first cut prefixed keys with "url:" BEFORE the != "" filter,
+    so every empty-url doc shared the non-empty key "url:" and merged
+    into one cluster)."""
+    rows = [
+        # exact-dup pair (same text, distinct urls)
+        Row(doc_id=0, text=BASE, url="http://a/0"),
+        Row(doc_id=1, text=BASE, url="http://a/1"),
+        # url-dup pair (distinct text, same url)
+        Row(doc_id=2, text="completely different content about cooking pasta",
+            url="http://same/page"),
+        Row(doc_id=3, text="another unrelated document on mountain hiking",
+            url="http://same/page"),
+        # unrelated docs with EMPTY url -> must stay singletons
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog today",
+            url=""),
+        Row(doc_id=5, text="metric spaces admit a completion via cauchy sequences",
+            url=""),
+        # unrelated docs with NULL url -> must stay singletons
+        Row(doc_id=6, text="parquet row groups store column chunks with statistics",
+            url=None),
+        Row(doc_id=7, text="watermarks bound state retention in streaming windows",
+            url=None),
+    ]
+    out = DD.multi_key_dedup(
+        spark.createDataFrame(rows),
+        key_cols=("url",),
+        threshold=0.9,
+        num_hashes=32,
+        bands=8,
+    )
+    cl = {r.doc_id: r.cluster for r in out.collect()}
+    assert cl[0] == cl[1]  # digest signal
+    assert cl[2] == cl[3]  # url signal
+    # empty/NULL keys never group
+    singles = [cl[4], cl[5], cl[6], cl[7]]
+    assert len(set(singles)) == 4
+    assert cl[0] != cl[2] and cl[4] not in (cl[0], cl[2])
+    # survivor = policy argmax (longest text, min-id tie-break)
+    surv = {r.cluster: r.survivor_id for r in out.filter("is_survivor").collect()}
+    assert surv[cl[0]] == 0  # equal length -> min id
+    n_surv = out.filter("is_survivor").count()
+    assert n_surv == out.select("cluster").distinct().count()
