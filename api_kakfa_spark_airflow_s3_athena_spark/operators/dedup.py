@@ -1274,6 +1274,7 @@ def prefix_jaccard_join(
     id_col: str = "doc_id",
     threshold: float = 0.9,
     max_bucket: int = 65536,
+    bitset_max_vocab: int = 4096,
 ) -> DataFrame:
     """EXACT token-set similarity self-join via prefix filtering
     (Chaudhuri et al. 2006 / Bayardo et al. "Scaling Up All Pairs
@@ -1304,6 +1305,12 @@ def prefix_jaccard_join(
     Returns ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard >= t
     (rounded 6dp). Token-SET Jaccard — distinct from the shingle
     (n-gram multiset) Jaccard the MinHash pipeline verifies.
+
+    When the GLOBAL vocabulary is at most ``bitset_max_vocab`` tokens
+    (the adversarial small-vocab regime where prefix selectivity
+    degrades and verification dominates), the verify phase switches to
+    popcount over ⌈V/64⌉-long bitmasks — same exact integers, same
+    division, bit-identical output (test-pinned); ``0`` disables.
     """
     toks = (
         df.select(
@@ -1319,6 +1326,28 @@ def prefix_jaccard_join(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # bitset-verify gate, two stages so the common (large-vocab) case
+    # pays almost nothing: a 2048-doc sample's distinct-token count
+    # LOWER-bounds the true vocabulary, so "sample > cap" proves the
+    # vocab is large and skips without ever running the full census;
+    # only a small-sample verdict pays the exact freq count (and then
+    # freq is checkpointed — tiny by the verdict — so the census,
+    # the driver-side vocab collect, and the ranked join all read one
+    # materialization). A sorted/topical corpus can fool the sample
+    # into one wasted census, never into a wrong result — the gate
+    # only picks between two exact verify plans (same _auto_blocks
+    # discipline: data-dependent plan, data-independent answer).
+    vocab_size = 0
+    if bitset_max_vocab > 0:
+        sample_v = (
+            toks.limit(2048)
+            .select(F.explode("ts").alias("tok"))
+            .agg(F.count_distinct("tok").alias("v"))
+            .collect()[0][0]
+        )
+        if sample_v is not None and sample_v <= bitset_max_vocab:
+            freq = freq.localCheckpoint(eager=True)
+            vocab_size = freq.count()
     # rarest-first sorted token array per doc: attach (cnt, tok) and
     # sort_array on the struct — row-local after one key-wise join
     ranked = (
@@ -1461,13 +1490,75 @@ def prefix_jaccard_join(
         .mapInPandas(_gen_pairs, schema=f"id_a {id_dt}, id_b {id_dt}")
         .distinct()
     )
-    sets = toks.select(F.col(id_col), F.array_sort("ts").alias("ts"))
-    a, b = sets.alias("a"), sets.alias("b")
     # threshold on the UNROUNDED Jaccard (a single IEEE division of
     # exact integers — bit-identical across engines), rounded only for
     # display: filtering on the rounded value would admit pairs with
     # true J in [t - 5e-7, t) that the exact pruning above rightly
     # never generates
+    if 0 < vocab_size <= bitset_max_vocab:
+        # BITSET verify (small global vocabulary — the adversarial
+        # regime where prefix selectivity degrades and the verify
+        # phase dominates): collect the ≤``bitset_max_vocab`` tokens,
+        # assign each a bit, and represent every doc's token SET as
+        # ⌈V/64⌉ longs built in one row-local Arrow pass. Then
+        # |a ∩ b| = Σ popcount(mask_a & mask_b) and
+        # |a ∪ b| = n_a + n_b - |a ∩ b| — the SAME exact integers as
+        # array_intersect/array_union, so the IEEE division (and the
+        # threshold compare) is bit-identical to the array path
+        # (pinned by tests/test_dedup_similarity.py). The verify join
+        # carries 8·⌈V/64⌉-byte masks instead of the full string
+        # arrays (~40× smaller rows on the measured 40-word hostile
+        # corpus) and each pair costs ⌈V/64⌉ AND+popcounts instead of
+        # a per-pair string hash set. Gated on vocabulary size, not
+        # corpus size: on real Zipfian text (V ≫ 4096) masks would be
+        # wider than the token arrays themselves and the array path
+        # wins, so it stays the default.
+        vocab = {r[0]: i for i, r in enumerate(freq.select("tok").collect())}
+        nwords = (vocab_size + 63) // 64
+
+        def _mask_rows(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ms, lens = [], []
+                for ts in pdf["ts"]:
+                    m = [0] * nwords
+                    for tk in ts:
+                        i = vocab[tk]
+                        m[i >> 6] |= 1 << (i & 63)
+                    # two's-complement into signed int64 for Arrow
+                    ms.append(
+                        [v - (1 << 64) if v >= (1 << 63) else v for v in m]
+                    )
+                    lens.append(len(ts))
+                yield pd.DataFrame({"id": pdf["id"], "n": lens, "m": ms})
+
+        masks = toks.select(F.col(id_col).alias("id"), "ts").mapInPandas(
+            _mask_rows, schema=f"id {id_dt}, n int, m array<bigint>"
+        )
+        ma, mb = masks.alias("ma"), masks.alias("mb")
+        inter = F.aggregate(
+            F.zip_with(
+                F.col("ma.m"),
+                F.col("mb.m"),
+                lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            cands.join(ma, cands.id_a == F.col("ma.id"))
+            .join(mb, cands.id_b == F.col("mb.id"))
+            .select(
+                "id_a",
+                "id_b",
+                (inter / (F.col("ma.n") + F.col("mb.n") - inter)).alias("__j"),
+            )
+            .filter(F.col("__j") >= threshold)
+            .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+        )
+    sets = toks.select(F.col(id_col), F.array_sort("ts").alias("ts"))
+    a, b = sets.alias("a"), sets.alias("b")
     return (
         cands.join(a, cands.id_a == F.col(f"a.{id_col}"))
         .join(b, cands.id_b == F.col(f"b.{id_col}"))

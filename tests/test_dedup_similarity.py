@@ -854,20 +854,61 @@ def test_prefix_jaccard_join_equals_brute_force(spark):
         Row(doc_id=7, text=""),
     ]
     docs = spark.createDataFrame(rows)
+    # bitset_max_vocab=0 forces the array_intersect verify; the default
+    # engages the bitset verify on this tiny vocabulary — both must
+    # match the brute force EXACTLY (same pairs, same 6dp jaccard)
     for t in (0.5, 0.8, 0.9, 1.0):
-        got = {
-            (r.id_a, r.id_b): r.jaccard
-            for r in DD.prefix_jaccard_join(docs, threshold=t).collect()
-        }
-        sets = {r.doc_id: set(r.text.split()) - {""} for r in rows}
-        want = {}
-        for a in sets:
-            for b in sets:
-                if a < b and sets[a] and sets[b]:
-                    j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
-                    if round(j, 6) >= t:
-                        want[(a, b)] = round(j, 6)
-        assert got == want, t
+        for cap in (0, 4096):
+            got = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in DD.prefix_jaccard_join(
+                    docs, threshold=t, bitset_max_vocab=cap
+                ).collect()
+            }
+            sets = {r.doc_id: set(r.text.split()) - {""} for r in rows}
+            want = {}
+            for a in sets:
+                for b in sets:
+                    if a < b and sets[a] and sets[b]:
+                        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                        if round(j, 6) >= t:
+                            want[(a, b)] = round(j, 6)
+            assert got == want, (t, cap)
+
+
+def test_prefix_jaccard_bitset_verify_equals_array_verify(spark):
+    """The bitset verify (popcount over ⌈V/64⌉-long masks) must be
+    bit-identical to the array_intersect verify on a corpus large
+    enough for borderline ratios: same exact integer |∩| and |∪| feed
+    the same single IEEE division, so even the 6dp-rounded jaccards
+    compare EQUAL, not approximately. Vocabulary of 70 tokens forces
+    a 2-word mask (exercises the multi-word AND+popcount fold and the
+    signed-int64 two's-complement packing of bit 63)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(70)]
+    rows = []
+    for i in range(300):
+        base = rng.sample(vocab, rng.randint(5, 40))
+        rows.append(Row(doc_id=i, text=" ".join(base)))
+        if i % 3 == 0:  # planted near-dups: drop one token
+            rows.append(
+                Row(doc_id=1000 + i, text=" ".join(base[:-1] or base))
+            )
+    docs = spark.createDataFrame(rows)
+    bits = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.prefix_jaccard_join(docs, threshold=0.8).collect()
+    }
+    arr = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.prefix_jaccard_join(
+            docs, threshold=0.8, bitset_max_vocab=0
+        ).collect()
+    }
+    assert bits == arr
+    assert len(bits) >= 100  # the plants guarantee a non-trivial pair set
 
 def test_simhash_auto_blocks_threshold():
     """blocks=None sizes the banding layout from the corpus: minimal
