@@ -3134,6 +3134,65 @@ def price_band_range_join(spark, sf_dir):
 
 
 @register(
+    "shipdate_window_range_join_binned",
+    oracle="""
+        WITH hot AS (
+            SELECT o_orderkey, o_orderdate
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 1000
+        )
+        SELECT o_orderkey AS window_key,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM hot JOIN lineitem
+          ON l_shipdate >= o_orderdate
+         AND l_shipdate <= o_orderdate + INTERVAL 6 DAY
+        GROUP BY o_orderkey
+    """,
+    tags=("analytics", "join", "range"),
+)
+def shipdate_window_range_join_binned(spark, sf_dir):
+    """Large-interval-table range join via bin bucketization — the
+    scale path :func:`price_band_range_join`'s docstring promises. The
+    1,000 highest-value orders (deterministic: totalprice desc,
+    orderkey tie-break) each open a 7-day shipping window; every
+    lineitem shipped inside ANY window is matched by pure interval
+    overlap (no equi key). ``binned_interval_join`` turns the BETWEEN
+    predicate into an equi-join on a day-number bin (width 7, so ~2
+    exploded rows per window): the fact side hash-joins on an 8-byte
+    key instead of nested-loop scanning the window table — at 100 TB
+    with millions of windows the nested loop is a fact×windows scan,
+    the binned join one ordinary (AQE-skew-splittable) exchange.
+    Output equality with the naive BETWEEN join is the oracle; the
+    no-nested-loop plan shape is pinned in tests/test_intervals.py."""
+    from ..operators.intervals import binned_interval_join
+
+    epoch = F.to_timestamp(F.lit("1970-01-01"))
+    hot = (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(1000)
+        .select(
+            F.col("o_orderkey").alias("window_key"),
+            F.datediff("o_orderdate", epoch).cast("long").alias("lo"),
+            (F.datediff("o_orderdate", epoch) + 6).cast("long").alias("hi"),
+        )
+    )
+    fact = _t(spark, sf_dir, "lineitem").select(
+        F.datediff("l_shipdate", epoch).cast("long").alias("__d"), "l_quantity"
+    )
+    return (
+        binned_interval_join(fact, hot, "__d", bin_width=7)
+        .groupBy("window_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "embedding_centroids",
     oracle="""
         SELECT label, pos, round(avg(val), 6) AS centroid_val
