@@ -89,6 +89,9 @@ HEADLINE = HEADLINE_R01 + [
     # xxhash64 keys through the exchanges instead of ~50-char strings;
     # 144.7 -> 60.8 MB shuffle write at sf1)
     "boilerplate_span_coverage_hashed",
+    # round-7 addition: range join as a bin-key equi-join (no nested
+    # loop); sf1->sf10 ratio 1.6x on the .scale relational fixtures
+    "shipdate_window_range_join_binned",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit
