@@ -675,15 +675,16 @@ def simhash_hamming_pairs(
     against the brute-force compare).
 
     ``blocks=None`` picks the layout from corpus size
-    (:func:`_auto_blocks`): one count() job on the input — cheap on a
-    bare parquet scan (footer row counts), ONE EXTRA PASS when the
-    input is a derived frame (union, filter) that can't answer from
-    metadata; either way small next to the dedup itself, but callers
-    who already know the corpus size should pass ``blocks``
+    (:func:`_auto_blocks_for`): one count() job on the input — cheap
+    on a bare parquet scan (footer row counts), ONE EXTRA PASS when
+    the input is a derived frame (union, filter) that can't answer
+    from metadata, and memoized per (application, semantic plan) so
+    repeat invocations over the same frame pay it once; callers who
+    already know the corpus size should still pass ``blocks``
     explicitly. Note this makes plan construction eager.
     """
     if blocks is None:
-        blocks = _auto_blocks(df.count(), max_distance)
+        blocks = _auto_blocks_for(df, max_distance)
     sigs = df.select(
         F.col(id_col), simhash(F.col(text_col), 64, shingle_n, seed).alias("sig")
     )
@@ -719,6 +720,34 @@ def _auto_blocks(n_docs: int, max_distance: int) -> int:
     if max_distance == 3 and n_docs >= SIMHASH_BLOCKS_AUTO_THRESHOLD:
         return 6
     return max_distance + 1
+
+
+# (applicationId, semanticHash) -> row count, for _auto_blocks_for.
+# Bounded: cleared wholesale at 1024 entries (values are ints; the
+# bound exists so a long-lived interactive session can't grow it
+# without limit).
+_NDOC_CACHE: dict = {}
+
+
+def _auto_blocks_for(df: DataFrame, max_distance: int) -> int:
+    """:func:`_auto_blocks` with the count() memoized per
+    (application, semantic plan): repeat invocations over the same
+    frame — an interactive session probing thresholds, the delta path
+    called per epoch against the same stored index — pay the sizing
+    job once (round-7 VERDICT follow-up). Staleness is bounded AND
+    benign: a same-plan frame whose underlying files changed serves
+    the old count, but the layout choice is output-invariant
+    (test-pinned for every valid ``blocks``), and both sides of any
+    band join derive their layout from the same call — a stale count
+    can only pick the slower exact plan, never a wrong answer."""
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    n = _NDOC_CACHE.get(key)
+    if n is None:
+        n = df.count()
+        if len(_NDOC_CACHE) >= 1024:
+            _NDOC_CACHE.clear()
+        _NDOC_CACHE[key] = n
+    return _auto_blocks(n, max_distance)
 
 
 def _banded_sigs(
@@ -1065,7 +1094,7 @@ def simhash_hamming_pairs_arrow(
     one extra input pass when the input is a derived frame; size-aware
     callers should pass ``blocks`` explicitly)."""
     if blocks is None:
-        blocks = _auto_blocks(df.count(), max_distance)
+        blocks = _auto_blocks_for(df, max_distance)
     sigs = simhash_signatures_arrow(
         df, text_col=text_col, id_col=id_col, shingle_n=shingle_n, seed=seed
     )
@@ -1116,7 +1145,7 @@ def simhash_delta_hamming_pairs(
     # the dominant (index) side — a count-star on the stored 8-byte
     # signature table
     if blocks is None:
-        blocks = _auto_blocks(sig_index.count(), max_distance)
+        blocks = _auto_blocks_for(sig_index, max_distance)
     dsigs = simhash_signatures_arrow(
         delta, text_col=text_col, id_col=id_col, shingle_n=shingle_n, seed=seed
     )

@@ -922,6 +922,23 @@ def test_simhash_auto_blocks_threshold():
     assert DD._auto_blocks(10 * t, 2) == 3
     assert DD._auto_blocks(10 * t, 4) == 5
 
+def test_auto_blocks_for_memoizes_count(spark):
+    """The sizing count() is paid once per (application, semantic
+    plan): the second call must answer from the cache — proven by
+    poisoning the cached count above the crossover and observing the
+    layout flip, which also demonstrates that a stale count changes
+    only the (output-invariant) layout choice."""
+    df = spark.createDataFrame([Row(doc_id=i, text="a b c") for i in range(5)])
+    DD._NDOC_CACHE.clear()
+    assert DD._auto_blocks_for(df, 3) == 4
+    assert len(DD._NDOC_CACHE) == 1
+    key = next(iter(DD._NDOC_CACHE))
+    assert DD._NDOC_CACHE[key] == 5
+    DD._NDOC_CACHE[key] = DD.SIMHASH_BLOCKS_AUTO_THRESHOLD
+    assert DD._auto_blocks_for(df, 3) == 6  # served from cache, not recounted
+    DD._NDOC_CACHE.clear()
+
+
 def test_prefix_jaccard_positional_filter_survives_bucket_drops(spark):
     """Round-6 review regression: the PPJoin positional bound is only
     valid for a pair's FIRST common token; if that token's bucket is
