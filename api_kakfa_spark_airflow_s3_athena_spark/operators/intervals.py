@@ -47,7 +47,9 @@ def binned_interval_join(
 
     ``point_col``, ``lo_col``, ``hi_col`` are numeric (callers convert
     dates/timestamps to day/epoch numbers); column names must be
-    disjoint across the two frames. ``closed``: ``"both"`` keeps
+    disjoint across the two frames and neither may contain ``__bin``
+    (the internal join key). NULL points and NULL bounds match
+    nothing, same as SQL BETWEEN. ``closed``: ``"both"`` keeps
     ``lo <= p <= hi`` (SQL BETWEEN), ``"left"`` keeps ``lo <= p < hi``.
     Degenerate intervals with ``lo > hi`` match nothing and are
     dropped (also keeps ``F.sequence`` from descending — it does, see
