@@ -1297,6 +1297,21 @@ def minhash_dedup_pairs_arrow(
     )
 
 
+def _threshold_and_round(pairs_with_j: DataFrame, threshold: float) -> DataFrame:
+    """Shared verify tail for :func:`prefix_jaccard_join`'s two
+    branches (``pairs_with_j`` = ``(id_a, id_b, __j)``): threshold on
+    the UNROUNDED Jaccard — a single IEEE division of exact integers,
+    bit-identical across engines — and round 6dp only for display.
+    Filtering on the rounded value would admit pairs with true J in
+    [t - 5e-7, t) that the exact candidate pruning rightly never
+    generates; keeping this contract in ONE place keeps the branches'
+    test-pinned bit-equality from silently diverging (round-7 review).
+    """
+    return pairs_with_j.filter(F.col("__j") >= threshold).select(
+        "id_a", "id_b", F.round("__j", 6).alias("jaccard")
+    )
+
+
 def prefix_jaccard_join(
     df: DataFrame,
     text_col: str = "text",
@@ -1357,16 +1372,21 @@ def prefix_jaccard_join(
     )
     # bitset-verify gate, two stages so the common (large-vocab) case
     # pays almost nothing: a 2048-doc sample's distinct-token count
-    # LOWER-bounds the true vocabulary, so "sample > cap" proves the
-    # vocab is large and skips without ever running the full census;
-    # only a small-sample verdict pays the exact freq count (and then
-    # freq is checkpointed — tiny by the verdict — so the census,
-    # the driver-side vocab collect, and the ranked join all read one
-    # materialization). A sorted/topical corpus can fool the sample
-    # into one wasted census, never into a wrong result — the gate
+    # LOWER-bounDS the true vocabulary, so "sample > cap" proves the
+    # vocab is large and skips without ever running a full census;
+    # only a small-sample verdict pays one exact freq pass, BOUNDED
+    # at both ends — limit(cap+1).collect() ships at most cap+1 rows
+    # to the driver and materializes nothing corpus-sized executor-
+    # side (the round-7 review caught the first cut eagerly
+    # checkpointing the full, potentially huge, freq table before the
+    # census could reject it). A fooled sample on a sorted/topical
+    # corpus costs one wasted freq pass, never storage and never a
+    # wrong result. A CONFIRMED-small freq is rebuilt as a local
+    # frame, so the vocab bit-assignment and the ranked join below
+    # reuse those <=cap rows with zero further corpus scans. The gate
     # only picks between two exact verify plans (same _auto_blocks
     # discipline: data-dependent plan, data-independent answer).
-    vocab_size = 0
+    vocab_rows = None
     if bitset_max_vocab > 0:
         sample_v = (
             toks.limit(2048)
@@ -1374,9 +1394,11 @@ def prefix_jaccard_join(
             .agg(F.count_distinct("tok").alias("v"))
             .collect()[0][0]
         )
-        if sample_v is not None and sample_v <= bitset_max_vocab:
-            freq = freq.localCheckpoint(eager=True)
-            vocab_size = freq.count()
+        if sample_v is not None and 0 < sample_v <= bitset_max_vocab:
+            probe = freq.limit(bitset_max_vocab + 1).collect()
+            if 0 < len(probe) <= bitset_max_vocab:
+                vocab_rows = probe
+                freq = df.sparkSession.createDataFrame(probe, freq.schema)
     # rarest-first sorted token array per doc: attach (cnt, tok) and
     # sort_array on the struct — row-local after one key-wise join
     ranked = (
@@ -1519,12 +1541,7 @@ def prefix_jaccard_join(
         .mapInPandas(_gen_pairs, schema=f"id_a {id_dt}, id_b {id_dt}")
         .distinct()
     )
-    # threshold on the UNROUNDED Jaccard (a single IEEE division of
-    # exact integers — bit-identical across engines), rounded only for
-    # display: filtering on the rounded value would admit pairs with
-    # true J in [t - 5e-7, t) that the exact pruning above rightly
-    # never generates
-    if 0 < vocab_size <= bitset_max_vocab:
+    if vocab_rows is not None:
         # BITSET verify (small global vocabulary — the adversarial
         # regime where prefix selectivity degrades and the verify
         # phase dominates): collect the ≤``bitset_max_vocab`` tokens,
@@ -1542,8 +1559,8 @@ def prefix_jaccard_join(
         # corpus size: on real Zipfian text (V ≫ 4096) masks would be
         # wider than the token arrays themselves and the array path
         # wins, so it stays the default.
-        vocab = {r[0]: i for i, r in enumerate(freq.select("tok").collect())}
-        nwords = (vocab_size + 63) // 64
+        vocab = {r["tok"]: i for i, r in enumerate(vocab_rows)}
+        nwords = (len(vocab_rows) + 63) // 64
 
         def _mask_rows(batches):
             import pandas as pd
@@ -1575,29 +1592,27 @@ def prefix_jaccard_join(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        return (
+        return _threshold_and_round(
             cands.join(ma, cands.id_a == F.col("ma.id"))
             .join(mb, cands.id_b == F.col("mb.id"))
             .select(
                 "id_a",
                 "id_b",
                 (inter / (F.col("ma.n") + F.col("mb.n") - inter)).alias("__j"),
-            )
-            .filter(F.col("__j") >= threshold)
-            .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+            ),
+            threshold,
         )
     sets = toks.select(F.col(id_col), F.array_sort("ts").alias("ts"))
     a, b = sets.alias("a"), sets.alias("b")
-    return (
+    return _threshold_and_round(
         cands.join(a, cands.id_a == F.col(f"a.{id_col}"))
         .join(b, cands.id_b == F.col(f"b.{id_col}"))
         .select(
             "id_a",
             "id_b",
             jaccard(F.col("a.ts"), F.col("b.ts")).alias("__j"),
-        )
-        .filter(F.col("__j") >= threshold)
-        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+        ),
+        threshold,
     )
 
 

