@@ -30,11 +30,12 @@ Design (scale-first):
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
+from typing import List, Sequence, Tuple
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["compact_parquet", "plan_compaction"]
+__all__ = ["compact_parquet", "plan_compaction", "snapshot_diff"]
 
 
 def _fs(spark: SparkSession, path: str):
@@ -134,3 +135,49 @@ def compact_parquet(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: Sequence[str],
+) -> DataFrame:
+    """Corpus reconciliation between two table snapshots: one row per
+    id whose membership or content changed — ``status`` in
+    ``added`` (id only in ``new``), ``removed`` (only in ``old``),
+    ``changed`` (both, content differs). Unchanged ids emit nothing.
+
+    Scale shape: each side reduces to a skinny ``(id, digest)``
+    projection IN THE SCAN — content bytes never cross an exchange,
+    however wide the rows; the full-outer join then shuffles 16-byte
+    digests on the id. Snapshots stored bucketed by id (the layout a
+    recurring reconciliation job should maintain) co-locate the join
+    and remove even that exchange. Content equality is md5 equality
+    (columns joined with field/NULL sentinels, so ``("a", NULL)`` and
+    ``("a", "")`` never collide) — up to a ~2^-128 collision, the
+    same digest-not-documents trade as ``exact_dedup``.
+    """
+    def _dig(df: DataFrame):
+        parts = []
+        for c in content_cols:
+            parts.append(
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            )
+            parts.append(F.lit("\x1f"))
+        return df.select(F.col(id_col), F.md5(F.concat(*parts)).alias("__dg"))
+
+    o, n = _dig(old).alias("o"), _dig(new).alias("n")
+    status = (
+        F.when(F.col(f"o.{id_col}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{id_col}").isNull(), F.lit("removed"))
+        .when(F.col("o.__dg") != F.col("n.__dg"), F.lit("changed"))
+    )
+    return (
+        o.join(n, F.col(f"o.{id_col}") == F.col(f"n.{id_col}"), "full_outer")
+        .select(
+            F.coalesce(F.col(f"o.{id_col}"), F.col(f"n.{id_col}")).alias(id_col),
+            status.alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

@@ -6896,6 +6896,64 @@ def compaction_maintenance(spark, sf_dir):
 
 
 @register(
+    "corpus_snapshot_diff",
+    oracle="""
+        WITH nw AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 89 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 97 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text
+            FROM documents WHERE doc_id % 101 = 0
+        )
+        SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN nw.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM documents o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+        WHERE o.doc_id IS NULL OR nw.doc_id IS NULL
+           OR o.text IS DISTINCT FROM nw.text
+    """,
+    tags=("maintenance", "dedup"),
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Corpus reconciliation between two snapshot releases: which ids
+    were added, removed, or content-changed — the audit a recurring
+    100 TB ingest runs before promoting a snapshot. The "new" snapshot
+    is a deterministic mutation of documents (drop ids %97, edit text
+    of ids %89, add ids %101 re-keyed +10M), mirrored exactly in the
+    oracle SQL; the oracle compares TEXT directly while the operator
+    compares md5 digests, so the dual-run verifies the
+    digest-not-documents shortcut is faithful (scan-projected 16-byte
+    digests are all that cross the exchange — content bytes never
+    shuffle regardless of row width; id-bucketed snapshot storage
+    removes even that)."""
+    from ..operators.maintenance import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 89 == 0, F.concat("text", F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 101 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(
+        docs.select("doc_id", "text"), new, "doc_id", ("text",)
+    )
+
+
+@register(
     "boilerplate_span_coverage",
     oracle="""
         WITH toks AS (

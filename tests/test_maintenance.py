@@ -62,3 +62,46 @@ def test_partitioned_compact_skips_compact_partitions(spark, tmp_path):
     # partition column survives the dir swap
     got = spark.read.parquet(path).groupBy("dt").count().collect()
     assert sorted((r.dt, r["count"]) for r in got) == [("a", 200), ("b", 200)]
+
+
+def test_snapshot_diff_statuses_and_null_sentinels(spark):
+    """All four outcomes on one constructed pair, including the digest
+    traps: (a) NULL vs empty-string content must read as CHANGED (the
+    concat sentinel keeps them distinct), (b) a multi-column content
+    change in either column is caught, (c) NULL -> NULL is unchanged,
+    (d) column-boundary shifts ("ab","c") vs ("a","bc") are distinct."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            Row(id=1, a="x", b="y"),      # unchanged
+            Row(id=2, a="x", b="y"),      # removed
+            Row(id=4, a="x", b=None),     # NULL -> "" must be changed
+            Row(id=5, a=None, b="y"),     # NULL -> NULL unchanged
+            Row(id=6, a="ab", b="c"),     # boundary shift -> changed
+            Row(id=7, a="x", b="y"),      # second column changed
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(id=1, a="x", b="y"),
+            Row(id=3, a="x", b="y"),      # added
+            Row(id=4, a="x", b=""),
+            Row(id=5, a=None, b="y"),
+            Row(id=6, a="a", b="bc"),
+            Row(id=7, a="x", b="z"),
+        ]
+    )
+    got = {
+        (r.id, r.status)
+        for r in snapshot_diff(old, new, "id", ("a", "b")).collect()
+    }
+    assert got == {
+        (2, "removed"),
+        (3, "added"),
+        (4, "changed"),
+        (6, "changed"),
+        (7, "changed"),
+    }
