@@ -162,9 +162,13 @@ R5_RELATIONAL_OPS = [
     "data_expectations_gate",
     "referential_integrity_audit",
     "benford_first_digit_audit",
+    # round 7: binned range join (orders+lineitem; measured sf1->sf10
+    # ratio 1.6x)
+    "shipdate_window_range_join_binned",
 ]
 # (the remaining r5 closers — weighted_sample_aes, doc_token_entropy —
-# read the documents fixture, which generate() already covers)
+# read the documents fixture, which generate() already covers, as does
+# round 7's corpus_snapshot_diff: measured sf1->sf10 ratio 1.3x)
 
 
 def generate_relational(spark, mult: int, out_dir: str) -> None:
