@@ -288,3 +288,89 @@ def test_pagerank_rank_floor_and_mass(spark, vals):
     total = sum(r.rank for r in got)
     assert all(r.rank >= 0.15 - 1e-12 for r in got)
     assert total <= n + 1e-9
+
+
+@SLOW
+@given(
+    pts=st.lists(
+        st.integers(min_value=-40, max_value=120), min_size=0, max_size=25
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=110),
+            st.integers(min_value=-10, max_value=40),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    width=st.sampled_from([None, 1, 3, 2.5]),
+)
+def test_binned_interval_join_property(spark, pts, ivs, width):
+    """For ANY point set, interval set (including inverted lo>hi rows
+    from negative deltas), and bin width: the binned equi-join must
+    emit exactly the BETWEEN pairs, each exactly once."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.intervals import (
+        binned_interval_join,
+    )
+
+    fact = spark.createDataFrame(
+        [Row(pid=i, p=float(p)) for i, p in enumerate(pts)],
+        schema="pid int, p double",
+    )
+    intervals = spark.createDataFrame(
+        [Row(tag=j, lo=float(lo), hi=float(lo + d)) for j, (lo, d) in enumerate(ivs)],
+        schema="tag int, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.tag)
+        for r in binned_interval_join(
+            fact, intervals, "p", bin_width=width
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (lo, d) in enumerate(ivs)
+        if lo <= p <= lo + d
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    old=st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.one_of(st.none(), st.text(alphabet="xyz", max_size=3)),
+        max_size=10,
+    ),
+    new=st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.one_of(st.none(), st.text(alphabet="xyz", max_size=3)),
+        max_size=10,
+    ),
+)
+def test_snapshot_diff_property(spark, old, new):
+    """For ANY pair of (id -> nullable content) snapshots, the diff is
+    exactly the set-algebra answer: added = new-only ids, removed =
+    old-only, changed = shared ids whose content IS DISTINCT."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    mk = lambda d: spark.createDataFrame(
+        [Row(id=k, c=v) for k, v in d.items()], schema="id int, c string"
+    )
+    got = {
+        (r.id, r.status)
+        for r in snapshot_diff(mk(old), mk(new), "id", ("c",)).collect()
+    }
+    want = (
+        {(k, "added") for k in new.keys() - old.keys()}
+        | {(k, "removed") for k in old.keys() - new.keys()}
+        | {
+            (k, "changed")
+            for k in old.keys() & new.keys()
+            if old[k] != new[k]
+        }
+    )
+    assert got == want
