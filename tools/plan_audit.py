@@ -60,6 +60,11 @@ AUDIT = [
     "minhash_near_dup_pairs_arrow",
     "quality_gate_calibrated",
     "event_value_anomalies",
+    # round 7 additions: range-join rewrite and reconciliation paths
+    "shipdate_window_range_join_binned",
+    "corpus_snapshot_diff",
+    "multi_key_dedup_policy",
+    "ann_ivf_delta_append",
 ]
 
 
