@@ -317,7 +317,17 @@ def _pairs_from_bands(
     ordered pairs — one aggregation instead of a self-join (~3x
     faster, same output). Buckets over ``max_bucket`` are dropped (a
     size-k bucket yields k²/2 pairs; near-dups still meet in their
-    other, more selective bands)."""
+    other, more selective bands).
+
+    Memory note: the cap bounds the PAIR blowup, not the aggregation
+    buffer — an over-cap bucket's id array is materialized (one object
+    per hot group; ObjectHashAggregate spills between groups) before
+    the size filter discards it. ``banded`` is live lineage here (a
+    census pre-drop would re-run the whole signature pass), so the
+    trade stands; the delta path, whose inputs are stored, pre-drops
+    hot buckets with a count census instead. Standard pipeline order
+    (exact_dedup before MinHash) keeps mega-duplicate boilerplate out
+    of these buckets in the first place."""
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -517,25 +527,39 @@ def minhash_delta_dedup_pairs(
     ).unionByName(dband.withColumn("__delta", F.lit(True)))
     dbuckets = dband.select("band", "bucket").distinct()
     # index slice: only buckets the delta touches survive (map-side
-    # broadcast filter on the corpus-sized side). Census + candidate
-    # generation are FUSED into one bucket aggregate (round-7: the
-    # sf0.1 bench row was many-small-jobs bound — the old shape ran a
-    # separate hot-bucket census, broadcast the surviving keys, then
-    # re-joined the delta bands against the slice; one collect_list
-    # aggregate does all three: the size() filter IS the census, the
-    # delta flag scopes the pair explode to delta-touching pairs, and
-    # the shuffle volume is the same delta-touched slice either way —
-    # this is also the batch operator's bucket-aggregate shape, so the
-    # two paths now share their physical strategy).
-    hit = all_b.join(F.broadcast(dbuckets), ["band", "bucket"])
-    grouped = (
+    # broadcast filter on the corpus-sized side). Candidate generation
+    # stays FUSED with the size guard for everything the aggregate
+    # keeps (round-7: the sf0.1 bench row was many-small-jobs bound),
+    # but buckets over ``max_bucket`` are pre-dropped by a COUNT-only
+    # census so the collect_list never materializes a mega-bucket's
+    # array only to discard it (round-7 review: a delta doc touching a
+    # degenerate million-copy index bucket would otherwise build the
+    # full array in one aggregation buffer — the exact regime the
+    # guard exists for). The census re-reads only STORED inputs (the
+    # index parquet slice + the cached delta bands) — no re-shingling,
+    # unlike a batch-side census, which is why this pass is cheap
+    # here. Hot keys are few by construction, so the anti-join
+    # broadcast is tiny. The slice is checkpointed once (eager, GC-
+    # released) so the census and the collect read the same stored
+    # rows instead of re-running the index join twice.
+    hit = all_b.join(F.broadcast(dbuckets), ["band", "bucket"]).localCheckpoint(
+        eager=True
+    )
+    hot = (
         hit.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("band", "bucket")
+    )
+    grouped = (
+        hit.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        .groupBy("band", "bucket")
         .agg(
             F.collect_list(
                 F.struct(F.col(id_col).alias("id"), F.col("__delta"))
             ).alias("es")
         )
-        .filter((F.size("es") > 1) & (F.size("es") <= max_bucket))
+        .filter(F.size("es") > 1)
     )
     pairs = F.flatten(
         F.transform(
@@ -774,7 +798,7 @@ def _banded_sigs(
     hamming verify, but a merged bucket could cross ``max_bucket`` and
     be dropped, losing true pairs (round-7 ADVICE finding; packing
     injectivity is now pinned by
-    tests/test_sketches.py::test_banded_key_packing_injective).
+    tests/test_dedup_similarity.py::test_banded_key_packing_injective).
     Layouts whose band-index + payload bits exceed 64 (none of the
     measured ones; e.g. a hypothetical d=1/blocks=16) fall back to an
     exact (band, chunk-array) struct key. Row-local bit ops only —
@@ -1355,6 +1379,10 @@ def prefix_jaccard_join(
     degrades and verification dominates), the verify phase switches to
     popcount over ⌈V/64⌉-long bitmasks — same exact integers, same
     division, bit-identical output (test-pinned); ``0`` disables.
+    NOTE: any positive ``bitset_max_vocab`` makes the operator EAGER —
+    the vocabulary-sample gate runs a bounded collect at call time
+    (like :func:`binned_interval_join` and ``blocks=None`` banding);
+    pass ``0`` for pure-lazy plan construction.
     """
     toks = (
         df.select(
@@ -1627,6 +1655,7 @@ def multi_key_dedup(
     shingle_n: int = 3,
     seed: int = 1,
     policy_order=None,
+    policy_cols: tuple = (),
 ) -> DataFrame:
     """Production multi-signal dedup POLICY: one clustering over the
     union of (1) exact content duplicates (text digest), (2) metadata
@@ -1640,10 +1669,11 @@ def multi_key_dedup(
     Scale shape, per signal:
 
     - digest / metadata keys: each equality group contributes a STAR
-      of ``n-1`` edges to its min-id representative (one window pass
-      over a skinny ``(key, id)`` frame — never the quadratic
-      within-group pair set, so a million-copy boilerplate page costs
-      a million edges, not 10^12). NULL and empty keys never group.
+      of ``n-1`` edges to its min-id representative (skew-safe
+      groupBy + join-back over a skinny ``(key, id)`` frame — never
+      the quadratic within-group pair set, so a million-copy
+      boilerplate page costs a million edges, not 10^12). NULL and
+      empty keys never group.
     - near-dup: :func:`minhash_dedup_pairs` — O(n·bands) banding
       shuffle, exact-Jaccard verify on candidates only.
     - clustering: :func:`~..graph.connected_components` over the edge
@@ -1653,26 +1683,41 @@ def multi_key_dedup(
 
     ``policy_order``: list of Columns ranking cluster members BEST
     FIRST (default: longest text, then smallest id — deterministic).
+    The survivor window runs over a skinny projection, so a custom
+    ordering may reference only ``__len``, ``id``, and column names
+    listed in ``policy_cols`` — name every input column your ordering
+    uses there (e.g. ``policy_order=[F.col("fetch_ts").desc()],
+    policy_cols=("fetch_ts",)``); this is what keeps wide text out of
+    the window exchange (round-7 review: without the carry list,
+    custom orderings could not resolve at all).
     Returns one row per input doc:
     ``(id, cluster, n_members, survivor_id, is_survivor)``.
     """
     from .graph import connected_components
 
+    carry = list(dict.fromkeys([*key_cols, *policy_cols]))
     skinny = df.select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col)).alias("__fp"),
         F.length(F.col(text_col)).alias("__len"),
-        *[F.col(k) for k in key_cols],
+        *[F.col(k) for k in carry],
     )
 
     def star_edges(key: Column) -> DataFrame:
         """(id, group-min-id) edges for one equality key; linear in
-        group size."""
-        w = Window.partitionBy("__k")
+        group size. Representative via groupBy + join-back, NOT a
+        min-over-window: a window partition ships the whole equality
+        group to ONE task (no partial aggregation, no AQE skew split),
+        so the motivating million-copy boilerplate key would straggle
+        on exactly the input this operator exists for (round-7 review
+        finding). The aggregate combines map-side and the join back is
+        ordinary skew-splittable equi-join traffic."""
+        keyed = skinny.select("id", key.alias("__k")).filter(
+            F.col("__k").isNotNull() & (F.col("__k") != "")
+        )
+        reps = keyed.groupBy("__k").agg(F.min("id").alias("__rep"))
         return (
-            skinny.select("id", key.alias("__k"))
-            .filter(F.col("__k").isNotNull() & (F.col("__k") != ""))
-            .withColumn("__rep", F.min("id").over(w))
+            keyed.join(reps, "__k")
             .filter(F.col("id") != F.col("__rep"))
             .select(F.col("id").alias("id_a"), F.col("__rep").alias("id_b"))
         )
@@ -1697,6 +1742,7 @@ def multi_key_dedup(
     ).select(
         "id",
         "__len",
+        *[F.col(c) for c in policy_cols],
         F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
     )
     order = policy_order or [F.col("__len").desc(), F.col("id").asc()]

@@ -153,19 +153,24 @@ def snapshot_diff(
     however wide the rows; the full-outer join then shuffles 16-byte
     digests on the id. Snapshots stored bucketed by id (the layout a
     recurring reconciliation job should maintain) co-locate the join
-    and remove even that exchange. Content equality is md5 equality
-    (columns joined with field/NULL sentinels, so ``("a", NULL)`` and
-    ``("a", "")`` never collide) — up to a ~2^-128 collision, the
-    same digest-not-documents trade as ``exact_dedup``.
+    and remove even that exchange. Content equality is md5 over the
+    JSON encoding of the content tuple (``to_json`` with nulls kept):
+    JSON string escaping makes the encoding INJECTIVE for any values —
+    separator bytes inside the data, NULL vs empty string, and
+    column-boundary shifts all encode distinctly (a first-cut
+    sentinel-joined concat was NOT injective when values contained
+    the separator — round-7 review finding, regression-pinned) — so
+    equality is exact up to a ~2^-128 md5 collision, the same
+    digest-not-documents trade as ``exact_dedup``.
     """
     def _dig(df: DataFrame):
-        parts = []
-        for c in content_cols:
-            parts.append(
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            )
-            parts.append(F.lit("\x1f"))
-        return df.select(F.col(id_col), F.md5(F.concat(*parts)).alias("__dg"))
+        payload = F.to_json(
+            F.struct(
+                *[F.col(c).cast("string").alias(c) for c in content_cols]
+            ),
+            {"ignoreNullFields": "false"},
+        )
+        return df.select(F.col(id_col), F.md5(payload).alias("__dg"))
 
     o, n = _dig(old).alias("o"), _dig(new).alias("n")
     status = (

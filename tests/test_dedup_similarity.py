@@ -1061,3 +1061,25 @@ def test_multi_key_dedup_signals_and_null_empty_keys(spark):
     assert surv[cl[0]] == 0  # equal length -> min id
     n_surv = out.filter("is_survivor").count()
     assert n_surv == out.select("cluster").distinct().count()
+
+def test_multi_key_dedup_custom_policy_via_policy_cols(spark):
+    """Round-7 review regression: a custom policy_order referencing an
+    input column must actually resolve — the survivor frame carries
+    the columns named in policy_cols. Freshest-fetch-wins policy: the
+    SHORTER but newer copy must survive, inverting the default."""
+    rows = [
+        Row(doc_id=0, text=BASE + " extra words making this the longest copy",
+            url="http://same/page", fetch_ts=100),
+        Row(doc_id=1, text=BASE, url="http://same/page", fetch_ts=200),
+    ]
+    out = DD.multi_key_dedup(
+        spark.createDataFrame(rows),
+        key_cols=("url",),
+        threshold=0.9,
+        num_hashes=32,
+        bands=8,
+        policy_order=[F.col("fetch_ts").desc(), F.col("id").asc()],
+        policy_cols=("fetch_ts",),
+    )
+    surv = {r.doc_id: r.is_survivor for r in out.collect()}
+    assert surv == {0: False, 1: True}

@@ -105,3 +105,24 @@ def test_snapshot_diff_statuses_and_null_sentinels(spark):
         (6, "changed"),
         (7, "changed"),
     }
+
+
+def test_snapshot_diff_digest_injective_under_separator_injection(spark):
+    """Round-7 review regression: content containing the old scheme's
+    separator byte must not alias across column boundaries — old
+    ("x\\x1fy", "z") vs new ("x", "y\\x1fz") concatenated identically
+    under sentinel-joining and was reported unchanged. The JSON
+    encoding keeps them distinct; likewise a literal "\\x00null"
+    string vs an actual NULL."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [Row(id=1, a="x\x1fy", b="z"), Row(id=2, a="\x00null", b="q")]
+    )
+    new = spark.createDataFrame(
+        [Row(id=1, a="x", b="y\x1fz"), Row(id=2, a=None, b="q")]
+    )
+    got = {(r.id, r.status) for r in snapshot_diff(old, new, "id", ("a", "b")).collect()}
+    assert got == {(1, "changed"), (2, "changed")}
