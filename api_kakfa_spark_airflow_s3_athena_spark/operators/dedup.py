@@ -310,7 +310,10 @@ def _bands_from_sig(
 
 
 def _pairs_from_bands(
-    banded: DataFrame, id_col: str, max_bucket: int
+    banded: DataFrame,
+    id_col: str,
+    max_bucket: int,
+    guard_hot_buckets: bool = False,
 ) -> DataFrame:
     """Distinct ordered candidate pairs from an ``(id, band, bucket)``
     frame: group each bucket into its sorted id list and explode
@@ -319,15 +322,28 @@ def _pairs_from_bands(
     size-k bucket yields k²/2 pairs; near-dups still meet in their
     other, more selective bands).
 
-    Memory note: the cap bounds the PAIR blowup, not the aggregation
-    buffer — an over-cap bucket's id array is materialized (one object
-    per hot group; ObjectHashAggregate spills between groups) before
-    the size filter discards it. ``banded`` is live lineage here (a
-    census pre-drop would re-run the whole signature pass), so the
-    trade stands; the delta path, whose inputs are stored, pre-drops
-    hot buckets with a count census instead. Standard pipeline order
-    (exact_dedup before MinHash) keeps mega-duplicate boilerplate out
-    of these buckets in the first place."""
+    Memory note: by default the cap bounds the PAIR blowup, not the
+    aggregation buffer — an over-cap bucket's id array is materialized
+    (one object per hot group; ObjectHashAggregate spills between
+    groups) before the size filter discards it. ``banded`` is live
+    lineage here (a census pre-drop would re-run the whole signature
+    pass), so the default stands; the delta path, whose inputs are
+    stored, always pre-drops hot buckets with a count census instead.
+    ``guard_hot_buckets=True`` buys the same bound for this path by
+    checkpointing the banded frame once (O(n·bands) skinny rows) and
+    censusing it before collect — measured +9-18% wall at
+    sf0.1/sf1/sf10 with identical output (NOTES round 7); turn it on
+    for corpora that may carry mega-duplicate boilerplate NOT already
+    removed by the standard exact_dedup-first pipeline order."""
+    if guard_hot_buckets:
+        banded = banded.localCheckpoint(eager=True)
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

@@ -1083,3 +1083,27 @@ def test_multi_key_dedup_custom_policy_via_policy_cols(spark):
     )
     surv = {r.doc_id: r.is_survivor for r in out.collect()}
     assert surv == {0: False, 1: True}
+
+def test_pairs_from_bands_guard_identical_output(spark):
+    """guard_hot_buckets=True (checkpoint + census pre-drop) must be
+    pair-for-pair identical to the default collect-then-filter,
+    including a bucket exactly AT the cap (kept) and one over it
+    (dropped)."""
+    rows = []
+    for i in range(4):          # bucket exactly at cap 4 -> kept
+        rows.append(Row(doc_id=i, band=0, bucket=7))
+    for i in range(5):          # over-cap bucket -> dropped either way
+        rows.append(Row(doc_id=100 + i, band=1, bucket=9))
+    rows += [Row(doc_id=200, band=2, bucket=1), Row(doc_id=201, band=2, bucket=1)]
+    banded = spark.createDataFrame(rows)
+    plain = {(r.id_a, r.id_b) for r in DD._pairs_from_bands(banded, "doc_id", 4).collect()}
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in DD._pairs_from_bands(
+            banded, "doc_id", 4, guard_hot_buckets=True
+        ).collect()
+    }
+    assert plain == guarded
+    assert (200, 201) in plain
+    assert all(not (100 <= a <= 104) for a, _ in plain)  # hot bucket gone
+    assert len([p for p in plain if p[0] < 100]) == 6    # C(4,2) at-cap pairs
