@@ -18,6 +18,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "canonical_key",
     "tokens",
     "token_count",
     "word_shingles",
@@ -198,6 +199,30 @@ def mask_pii(text: Column) -> Column:
     ``regexp_replace`` chain: JVM-side, codegen'd, no Python."""
     no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(no_email, PII_LONG_NUM_RE, "<NUM>")
+
+
+def canonical_key(text: Column) -> Column:
+    """Canonicalized exact-dedup key: md5 over the text with case
+    folded, punctuation replaced by spaces, and whitespace runs
+    collapsed — the cheap first-line dedup key every production
+    pipeline computes BEFORE near-dup LSH (a re-crawled page that
+    differs only in casing, spacing, or trailing punctuation must
+    collapse without paying shingles). Row-local in the scan
+    projection, so only 16-byte digests reach the dedup shuffle.
+    Distinct from :func:`fingerprint` (order/count-insensitive token
+    SET): canonical_key preserves token order and multiplicity.
+    Both regex classes are ASCII-only in Spark's Java regex AND
+    DuckDB's RE2, so the oracle twin is byte-identical (DuckDB needs
+    the 'g' flag — its regexp_replace is first-match by default,
+    Spark's is global)."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return F.md5(canon)
 
 
 def fingerprint(text: Column) -> Column:

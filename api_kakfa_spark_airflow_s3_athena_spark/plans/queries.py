@@ -1127,6 +1127,62 @@ def doc_fingerprint_dedup(spark, sf_dir):
 
 
 @register(
+    "canonical_text_dedup",
+    oracle=r"""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + 20000000 AS doc_id,
+                   upper(replace(text, ' ', '  ')) || ' !!!' AS text
+            FROM documents WHERE doc_id % 83 = 0 AND text IS NOT NULL
+        )
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_key,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(min(doc_id) AS BIGINT) AS rep_id
+        FROM aug
+        GROUP BY 1
+        HAVING count(*) > 1
+    """,
+    tags=("dedup", "text"),
+)
+def canonical_text_dedup(spark, sf_dir):
+    """Canonicalized exact dedup — the cheap first-line key computed
+    BEFORE near-dup LSH: case folded, punctuation spaced out,
+    whitespace runs collapsed, then md5. Plants a variant copy of
+    every doc with ``doc_id % 83 == 0`` (UPPERCASED, every space
+    doubled, trailing ' !!!') — each plant differs from its original
+    under raw md5 but canonicalizes to the SAME key by construction
+    (the canonicalizer removes exactly what the mutation adds), so
+    every planted pair MUST appear as a 2-copy group with the
+    original's id as representative; any miss is a canonicalizer bug.
+    The oracle recomputes the same canonicalization in DuckDB (RE2
+    needs the 'g' flag; both engines' ``\\s``/char classes are
+    ASCII-only, so the twins agree byte-for-byte). The digest is
+    computed in the scan projection — only 16-byte keys and doc ids
+    reach the dedup shuffle, text never does."""
+    from ..functions.text import canonical_key
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    plants = docs.filter(F.col("doc_id") % 83 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(
+            F.upper(F.regexp_replace("text", " ", "  ")), F.lit(" !!!")
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(plants)
+    return (
+        aug.select(canonical_key(F.col("text")).alias("canon_key"), "doc_id")
+        .groupBy("canon_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("rep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
     "text_stats_by_lang",
     oracle="""
         SELECT lang,

@@ -129,3 +129,24 @@ def test_mask_pii(spark):
         spark, "mail bob.smith+x@corp.example.org or call 0123456789 ext 123"
     ).select(TX.mask_pii(F.col("t")).alias("x")).collect()[0].x
     assert got == "mail <EMAIL> or call <NUM> ext 123"  # 3-digit run untouched
+
+
+def test_canonical_key_collapses_variants_only(spark):
+    """Case / extra-whitespace / punctuation variants collide on the
+    canonical key; a genuinely different text does not; the key is
+    insensitive to leading/trailing noise."""
+    from api_kakfa_spark_airflow_s3_athena_spark.functions.text import canonical_key
+
+    rows = [
+        Row(i=0, t="Hello, World!  How are you?"),
+        Row(i=1, t="hello world how are you"),
+        Row(i=2, t="HELLO   WORLD -- how ARE you???"),
+        Row(i=3, t="  hello world how are you  "),
+        Row(i=4, t="hello world how are we"),        # different content
+        Row(i=5, t="helloworld how are you"),        # spacing changes tokens
+    ]
+    df = spark.createDataFrame(rows)
+    keys = {r.i: r.k for r in df.select("i", canonical_key(F.col("t")).alias("k")).collect()}
+    assert keys[0] == keys[1] == keys[2] == keys[3]
+    assert keys[4] != keys[0]
+    assert keys[5] != keys[0]
