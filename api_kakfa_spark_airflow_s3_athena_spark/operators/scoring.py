@@ -108,3 +108,44 @@ def linear_text_classifier(
         ).alias("score"),
         (F.col("score_int") > 0).alias("keep"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio ``compressed/raw bytes`` —
+    the classic cheap repetition detector (used alongside the Gopher
+    repetition signals in public LLM-pipeline recipes): templated or
+    looping text compresses far below natural prose, while
+    high-entropy noise barely compresses at all. Returns
+    ``(id, n_bytes, ratio)``; empty/NULL text yields ratio NULL.
+
+    Arrow-batched ``mapInPandas`` (zlib has no SQL expression): the
+    per-row Python loop only dispatches into zlib's C deflate, and the
+    stage is row-local — a map-side scan pass with no shuffle, so it
+    composes with quality gates at any corpus size. ``level`` pins the
+    deflate setting; ratios are deterministic for a given zlib build
+    (so oracle contracts assert STRUCTURAL bounds, not exact bytes).
+    """
+
+    def gen(batches):
+        import pandas as pd
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda t: t.encode("utf-8"))
+            n = raw.map(len)
+            ratio = [
+                (len(zlib.compress(b, level)) / nb) if nb else None
+                for b, nb in zip(raw, n)
+            ]
+            yield pd.DataFrame(
+                {"id": pdf["id"], "n_bytes": n, "ratio": ratio}
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(text_col)).mapInPandas(
+        gen, schema="id long, n_bytes long, ratio double"
+    )

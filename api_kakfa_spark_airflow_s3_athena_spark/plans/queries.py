@@ -1183,6 +1183,77 @@ def canonical_text_dedup(spark, sf_dir):
 
 
 @register(
+    "compression_ratio_quality",
+    oracle="""
+        SELECT CAST(count(*) + 2 AS BIGINT) AS n_docs,
+               true AS ratios_in_bounds,
+               true AS corpus_min_above,
+               true AS repetitive_below,
+               true AS random_above,
+               true AS rep_below_corpus,
+               true AS rand_above_corpus_mean
+        FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("text", "quality"),
+)
+def compression_ratio_quality(spark, sf_dir):
+    """zlib compression-ratio quality signal with its contract made
+    hash-checkable (zlib has no SQL twin, so the oracle pins booleans
+    + the exact doc count): score the corpus plus two plants — a
+    loop-repetitive doc (must compress to <0.2, and below the corpus
+    minimum) and a deterministic high-entropy base85 doc (must stay
+    >0.7, above the corpus mean) — and assert every non-null ratio in
+    (0, 1.25]. Thresholds sit well clear of the measured corpus band
+    (min 0.38-0.40, mean ~0.55, max ~1.13 across sf0.001/0.01/0.1 —
+    short docs exceed 1.0 from deflate header overhead, which is why
+    the random plant is compared to mean, not max). Any tolerance
+    breach is a hard CORRECTNESS failure. The scoring pass itself is
+    a row-local Arrow stage (operators/scoring.compression_ratio)."""
+    import base64
+    import hashlib
+
+    from ..operators.scoring import compression_ratio
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    rep_text = "lorem ipsum dolor sit amet " * 150
+    h, parts, total = b"spark-graft-compression-plant", [], 0
+    while total < 4000:
+        h = hashlib.sha256(h).digest()
+        p = base64.b85encode(h).decode()
+        parts.append(p)
+        total += len(p)
+    rand_text = "".join(parts)[:4000]
+    plants = spark.createDataFrame(
+        [(900000001, rep_text), (900000002, rand_text)],
+        "doc_id long, text string",
+    )
+    s = compression_ratio(docs.unionByName(plants))
+    corpus_ratio = F.when(F.col("id") < 900000000, F.col("ratio"))
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(corpus_ratio).alias("cmin"),
+        F.avg(corpus_ratio).alias("cmean"),
+        F.min(F.when(F.col("id") == 900000001, F.col("ratio"))).alias("rep"),
+        F.min(F.when(F.col("id") == 900000002, F.col("ratio"))).alias("rnd"),
+        F.min("ratio").alias("gmin"),
+        F.max("ratio").alias("gmax"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        ((F.col("gmin") > 0) & (F.col("gmax") <= 1.25)).alias("ratios_in_bounds"),
+        (F.col("cmin") > 0.3).alias("corpus_min_above"),
+        (F.col("rep") < 0.2).alias("repetitive_below"),
+        (F.col("rnd") > 0.7).alias("random_above"),
+        (F.col("rep") < F.col("cmin")).alias("rep_below_corpus"),
+        (F.col("rnd") > F.col("cmean")).alias("rand_above_corpus_mean"),
+    )
+
+
+@register(
     "text_stats_by_lang",
     oracle="""
         SELECT lang,

@@ -304,3 +304,32 @@ def test_keyword_topk_rank_is_deterministic(spark):
     bq = [(r.doc_id, r.rnk) for r in keyword_topk(docs, ["x", "y"], k=5).collect()]
     assert a == bq and len(a) == 5
     assert [r for _, r in a] == [1, 2, 3, 4, 5]
+
+
+def test_compression_ratio_bounds_ordering_and_nulls(spark):
+    """Repetitive text compresses below natural prose, high-entropy
+    text above it; empty/NULL text yields NULL ratio; results are
+    partition-layout independent (row-local stage)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+        compression_ratio,
+    )
+
+    import hashlib as _h
+
+    noise = "".join(
+        _h.sha256(bytes([i])).hexdigest() for i in range(64)
+    )  # 4096 hex chars, no structure beyond the 16-char alphabet
+    rows = [
+        Row(doc_id=0, text="lorem ipsum dolor sit amet " * 200),
+        Row(doc_id=2, text=noise),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text=None),
+    ]
+    df = spark.createDataFrame(rows)
+    one = {r.id: (r.n_bytes, r.ratio) for r in compression_ratio(df.coalesce(1)).collect()}
+    many = {r.id: (r.n_bytes, r.ratio) for r in compression_ratio(df.repartition(7)).collect()}
+    assert one == many
+    assert one[3][1] is None and one[4][1] is None
+    assert 0 < one[0][1] < 0.1          # loop text compresses away
+    assert 0.4 < one[2][1] <= 1.25      # hex noise barely compresses
+    assert one[0][1] < one[2][1]
