@@ -92,6 +92,10 @@ HEADLINE = HEADLINE_R01 + [
     # round-7 addition: range join as a bin-key equi-join (no nested
     # loop); sf1->sf10 ratio 1.6x on the .scale relational fixtures
     "shipdate_window_range_join_binned",
+    # round-7 continuation: first-line canonical dedup key and the
+    # zlib repetition signal — both row-local scan passes
+    "canonical_text_dedup",
+    "compression_ratio_quality",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit
