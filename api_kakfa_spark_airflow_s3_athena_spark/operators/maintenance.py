@@ -154,20 +154,24 @@ def snapshot_diff(
     digests on the id. Snapshots stored bucketed by id (the layout a
     recurring reconciliation job should maintain) co-locate the join
     and remove even that exchange. Content equality is md5 over the
-    JSON encoding of the content tuple (``to_json`` with nulls kept):
-    JSON string escaping makes the encoding INJECTIVE for any values —
+    JSON encoding of the content tuple (``to_json`` with nulls kept),
+    built from the RAW columns — no string pre-cast. JSON escaping
+    makes the encoding INJECTIVE per the column's declared type:
     separator bytes inside the data, NULL vs empty string, and
-    column-boundary shifts all encode distinctly (a first-cut
-    sentinel-joined concat was NOT injective when values contained
-    the separator — round-7 review finding, regression-pinned) — so
-    equality is exact up to a ~2^-128 md5 collision, the same
-    digest-not-documents trade as ``exact_dedup``.
+    column-boundary shifts all encode distinctly, and nested types
+    (arrays/structs/maps) serialize element-wise with quoting, so
+    ``['a, b']`` vs ``['a','b']`` and a NULL element vs the string
+    ``'null'`` stay distinct. (A first-cut sentinel-joined concat was
+    NOT injective when values contained the separator — round-7
+    review finding; a second-cut ``cast("string")`` pre-pass was NOT
+    injective for nested types because Spark's complex-type cast
+    renders without quoting — round-8 ADVICE finding; both
+    regression-pinned.) Equality is exact up to a ~2^-128 md5
+    collision, the same digest-not-documents trade as ``exact_dedup``.
     """
     def _dig(df: DataFrame):
         payload = F.to_json(
-            F.struct(
-                *[F.col(c).cast("string").alias(c) for c in content_cols]
-            ),
+            F.struct(*[F.col(c).alias(c) for c in content_cols]),
             {"ignoreNullFields": "false"},
         )
         return df.select(F.col(id_col), F.md5(payload).alias("__dg"))

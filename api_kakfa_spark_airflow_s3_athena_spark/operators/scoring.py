@@ -129,7 +129,11 @@ def compression_ratio(
     composes with quality gates at any corpus size. ``level`` pins the
     deflate setting; ratios are deterministic for a given zlib build
     (so oracle contracts assert STRUCTURAL bounds, not exact bytes).
+    The output ``id`` field inherits ``id_col``'s actual type from
+    ``df.schema`` (string/int/... ids all work — round-8 ADVICE fix;
+    a hardcoded ``id long`` schema broke non-bigint callers).
     """
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         import pandas as pd
@@ -147,5 +151,5 @@ def compression_ratio(
             )
 
     return df.select(F.col(id_col).alias("id"), F.col(text_col)).mapInPandas(
-        gen, schema="id long, n_bytes long, ratio double"
+        gen, schema=f"id {id_type}, n_bytes long, ratio double"
     )

@@ -1203,7 +1203,12 @@ def compression_ratio_quality(spark, sf_dir):
     loop-repetitive doc (must compress to <0.2, and below the corpus
     minimum) and a deterministic high-entropy base85 doc (must stay
     >0.7, above the corpus mean) — and assert every non-null ratio in
-    (0, 1.25]. Thresholds sit well clear of the measured corpus band
+    (0, 1.25] — the upper bound applied only to docs of >= 64 raw
+    bytes, because zlib's fixed header/checksum overhead (~11-20
+    bytes) dominates tiny payloads (a 1-byte doc scores ~9), so a
+    fixture gaining short docs must not turn the bound into a
+    spurious failure (round-8 ADVICE fix).
+    Thresholds sit well clear of the measured corpus band
     (min 0.38-0.40, mean ~0.55, max ~1.13 across sf0.001/0.01/0.1 —
     short docs exceed 1.0 from deflate header overhead, which is why
     the random plant is compared to mean, not max). Any tolerance
@@ -1240,11 +1245,14 @@ def compression_ratio_quality(spark, sf_dir):
         F.min(F.when(F.col("id") == 900000001, F.col("ratio"))).alias("rep"),
         F.min(F.when(F.col("id") == 900000002, F.col("ratio"))).alias("rnd"),
         F.min("ratio").alias("gmin"),
-        F.max("ratio").alias("gmax"),
+        F.max(F.when(F.col("n_bytes") >= 64, F.col("ratio"))).alias("gmax"),
     )
     return agg.select(
         F.col("n").cast("long").alias("n_docs"),
-        ((F.col("gmin") > 0) & (F.col("gmax") <= 1.25)).alias("ratios_in_bounds"),
+        (
+            (F.col("gmin") > 0)
+            & F.coalesce(F.col("gmax") <= 1.25, F.lit(True))
+        ).alias("ratios_in_bounds"),
         (F.col("cmin") > 0.3).alias("corpus_min_above"),
         (F.col("rep") < 0.2).alias("repetitive_below"),
         (F.col("rnd") > 0.7).alias("random_above"),
@@ -2639,19 +2647,21 @@ def ann_ivf_delta_append(spark, sf_dir):
     hits = SIM.ivf_topk_from_index(
         plant_q, centroids, stored, k=2, nprobe=1, exclude_self=True
     )
+    # ONE conjunction per query: the ORIGINAL must sit at rank 1 with
+    # cosine ~1.0 (>= 1 - eps, not exact float equality) — asserting
+    # "original found somewhere" and "anything at rank 1" separately
+    # would never actually pin original-at-rank-1 (round-8 ADVICE fix)
     recall = (
         hits.groupBy("query_id")
         .agg(
             F.max(
                 ((F.col("neighbor_id") + offset) == F.col("query_id"))
-                & (F.col("score") == 1.0)
-            ).alias("found"),
-            F.max(F.col("rank") == 1).alias("has_rank1"),
+                & (F.col("rank") == 1)
+                & (F.col("score") >= 1.0 - 1e-9)
+            ).alias("found_rank1")
         )
         .agg(
-            F.coalesce(F.min(F.col("found") & F.col("has_rank1")), F.lit(True)).alias(
-                "all_found"
-            ),
+            F.coalesce(F.min("found_rank1"), F.lit(True)).alias("all_found"),
             F.count(F.lit(1)).alias("n_queried"),
         )
     )
@@ -6190,9 +6200,10 @@ def multi_key_dedup_policy(spark, sf_dir):
 
     - exact (id%11, +10M): identical text, own url -> only the digest
       groups them;
-    - url (id%13, +20M): text edited (appended revision token), but
-      re-crawled under the ORIGINAL url -> only the url key groups
-      them;
+    - url (id%13, +20M): text FULLY REWRITTEN (md5-derived tokens,
+      zero shingle overlap -> not a digest match, not a MinHash
+      near-dup), but re-crawled under the ORIGINAL url -> only the
+      url key groups them;
     - near (id%17, +30M, >=3 tokens): every space DOUBLED — the token
       stream (and so the shingle set, signature, and band buckets) is
       IDENTICAL while the raw string (and so the digest) differs, and
@@ -6299,9 +6310,22 @@ def _multi_key_corpus(spark, sf_dir):
             F.concat(F.lit("http://ex.com/p"), F.col("doc_id").cast("string")),
         )
     )
+    # url-plant text is a FULL REWRITE (md5-derived tokens, zero
+    # shingle overlap with the original), not a light edit: a light
+    # edit would also be a MinHash near-dup at threshold 0.5, so the
+    # contract could not detect a silently-broken url star-edge
+    # signal (round-8 ADVICE fix — the unit test already isolated it;
+    # now the registered query does too)
+    _h = F.md5(F.col("text"))
+    rewrite = F.concat_ws(
+        " ",
+        F.lit("recrawl"),
+        F.lit("revision"),
+        *[F.substring(_h, 1 + 4 * i, 4) for i in range(8)],
+    )
     url_p = docs.filter(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" updated-revision")).alias("text"),
+        rewrite.alias("text"),
         # re-crawl of the ORIGINAL url (built from the pre-offset id)
         own_url.alias("url"),
     )

@@ -126,3 +126,56 @@ def test_snapshot_diff_digest_injective_under_separator_injection(spark):
     )
     got = {(r.id, r.status) for r in snapshot_diff(old, new, "id", ("a", "b")).collect()}
     assert got == {(1, "changed"), (2, "changed")}
+
+
+def test_snapshot_diff_digest_injective_for_nested_types(spark):
+    """Round-8 ADVICE regression: a ``cast("string")`` pre-pass before
+    ``to_json`` rendered complex types WITHOUT quoting, so
+    ``['a, b']`` vs ``['a', 'b']`` both became the string "[a, b]"
+    and a NULL array element aliased the string 'null' — two
+    different contents digested equal and were silently reported
+    unchanged. The raw-column ``to_json`` encoding keeps them
+    distinct; equal nested contents must still digest equal."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            Row(id=1, tags=["a, b"], title="t"),
+            Row(id=2, tags=[None, "x"], title="t"),
+            Row(id=3, tags=["same"], title="keep"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(id=1, tags=["a", "b"], title="t"),
+            Row(id=2, tags=["null", "x"], title="t"),
+            Row(id=3, tags=["same"], title="keep"),
+        ]
+    )
+    got = {
+        (r.id, r.status)
+        for r in snapshot_diff(old, new, "id", ("tags", "title")).collect()
+    }
+    assert got == {(1, "changed"), (2, "changed")}
+
+
+def test_snapshot_diff_struct_content_column(spark):
+    """Struct-typed content columns: field-boundary shifts must be
+    detected (the unquoted cast rendering '{x, y}' aliased them)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [Row(id=1, meta=Row(a="x, y", b="z")), Row(id=2, meta=Row(a="p", b="q"))]
+    )
+    new = spark.createDataFrame(
+        [Row(id=1, meta=Row(a="x", b="y, z")), Row(id=2, meta=Row(a="p", b="q"))]
+    )
+    got = {
+        (r.id, r.status)
+        for r in snapshot_diff(old, new, "id", ("meta",)).collect()
+    }
+    assert got == {(1, "changed")}

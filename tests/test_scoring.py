@@ -333,3 +333,24 @@ def test_compression_ratio_bounds_ordering_and_nulls(spark):
     assert 0 < one[0][1] < 0.1          # loop text compresses away
     assert 0.4 < one[2][1] <= 1.25      # hex noise barely compresses
     assert one[0][1] < one[2][1]
+
+
+def test_compression_ratio_string_ids(spark):
+    """Round-8 ADVICE regression: the output id field must inherit
+    id_col's actual type — a hardcoded `id long` schema crashed any
+    caller with string doc ids."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id="u-1", text="aaaa bbbb " * 50),
+            Row(doc_id="u-2", text=None),
+        ]
+    )
+    out = compression_ratio(df)
+    assert out.schema["id"].dataType.simpleString() == "string"
+    got = {r.id: r.ratio for r in out.collect()}
+    assert set(got) == {"u-1", "u-2"}
+    assert got["u-2"] is None and 0 < got["u-1"] < 1
