@@ -22,6 +22,12 @@ just NOTES):
 - ``streaming_dedup_epoch_marginal_sec``: per-epoch wall seconds of
   each streaming_dedup_ingest run — the steady-state per-batch ingest
   cost that matters at 100 TB, which the 3-epoch pipeline total hides.
+
+Round-8 addition — contention self-defense: when the r01-set
+best-two spread exceeds ``SPREAD_FRAC`` of the subtotal, noisy rows
+are automatically re-run (best-of-3/4) and the artifact carries
+``contended`` + ``escalated_runs`` so a recording taken on a busy
+machine is visibly flagged and self-corrects where possible.
 """
 
 from __future__ import annotations
@@ -106,6 +112,20 @@ HEADLINE = HEADLINE_R01 + [
 # discards is itself measurable.
 RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+# Contention self-defense (round-8 VERDICT #1): BENCH_r07 was recorded
+# on a contended machine and its headline sat ~50% above the clean
+# band; the artifact needed NOTES to be trusted. Now the harness
+# defends itself: when the r01-set spread (sum of second-best minus
+# sum of best run per query) exceeds SPREAD_FRAC of the subtotal, the
+# noisy rows are re-run (up to MAX_EXTRA_PASSES extra runs each, so a
+# contended pair escalates to best-of-3/4), and the artifact carries
+# a `contended` flag either way — a contended record can never again
+# silently become the round's number.
+SPREAD_FRAC = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_FRAC", "0.25"))
+MAX_EXTRA_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+# per-query noise floor: don't re-run sub-50 ms jitter
+_NOISE_FLOOR_SEC = 0.05
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,6 +202,49 @@ def main() -> None:
             timings[name] = None
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
+    # --- contention self-defense -----------------------------------
+    def _best_two_spread(runs: list) -> float:
+        s = sorted(runs)
+        return (s[1] - s[0]) if len(s) > 1 else 0.0
+
+    def _r01_spread() -> tuple:
+        names = [n for n in HEADLINE_R01 if query_runs.get(n)]
+        best = sum(min(query_runs[n]) for n in names)
+        spread = sum(_best_two_spread(query_runs[n]) for n in names)
+        return best, spread
+
+    def _single_run(name: str) -> float:
+        fn = EXTRA_ROWS.get(name)
+        if fn is None:
+            spec = REGISTRY[name]
+            fn = spec.bench_fn or spec.fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    escalated: dict = {}
+    for _pass in range(MAX_EXTRA_PASSES):
+        best, spread = _r01_spread()
+        if spread <= SPREAD_FRAC * best:
+            break
+        # re-run every benched row whose own best-two spread is noisy
+        # (artifact-wide, not just r01 — extra runs are cheap and only
+        # the noisy rows pay them)
+        for name, runs in query_runs.items():
+            noisy = _best_two_spread(runs) > max(
+                SPREAD_FRAC * min(runs), _NOISE_FLOOR_SEC
+            )
+            if not noisy:
+                continue
+            try:
+                runs.append(_single_run(name))
+                timings[name] = min(runs)
+                escalated[name] = len(runs)
+            except Exception as exc:
+                print(f"bench escalation error in {name}: {exc}", file=sys.stderr)
+    r01_best, r01_spread_final = _r01_spread()
+    contended = r01_spread_final > SPREAD_FRAC * r01_best
+
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
         LAST_STREAM_DEDUP_EPOCH_SEC,
     )
@@ -198,6 +261,13 @@ def main() -> None:
         ),
         3,
     )
+    # spread_sec since round 8 = sum over the r01 set of (second-best
+    # minus best) run — the reproducibility of the reported number.
+    # With the historical 2-run pairs second-best == worst, so the
+    # definition is backward-compatible with the r07 artifact; after
+    # an escalation pass it correctly EXCLUDES the discarded contended
+    # outliers (which r01_set_total_worst_sec still exposes).
+    spread_sec = round(r01_spread_final, 3)
     # `value` is the ROUND-1 SET subtotal — the only number that is
     # apples-to-apples against BENCH_r01 (the operative baseline; see
     # BASELINE.md): the headline set has grown every round as new
@@ -214,7 +284,9 @@ def main() -> None:
                 "all_queries_total_sec": total,
                 "r01_set_total_sec": r01_total,
                 "r01_set_total_worst_sec": r01_worst,
-                "spread_sec": round(r01_worst - r01_total, 3),
+                "spread_sec": spread_sec,
+                "contended": contended,
+                "escalated_runs": escalated,
                 "query_runs": query_runs,
                 "streaming_dedup_epoch_marginal_sec": LAST_STREAM_DEDUP_EPOCH_SEC,
                 "runs_per_query": RUNS_PER_QUERY,
