@@ -102,6 +102,9 @@ HEADLINE = HEADLINE_R01 + [
     # zlib repetition signal — both row-local scan passes
     "canonical_text_dedup",
     "compression_ratio_quality",
+    # round-8 addition: product-quantization ANN (codebooks + encode
+    # + ADC top-k; bare-operator bench_fn, contract in the registry)
+    "ann_cosine_topk_pq",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit

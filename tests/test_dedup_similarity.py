@@ -441,6 +441,44 @@ def test_pq_encode_deterministic_and_shaped(spark):
     assert codes1[0] == codes1[1]
 
 
+def test_pq_codebooks_sampled_trainer_properties(spark):
+    """Round-8: the bounded driver-sample trainer (default path) —
+    deterministic across calls and partition layouts; ksub padding on
+    a corpus smaller than ksub keeps the (m, ksub, dsub) shape without
+    changing encodings; self adist is the global minimum (LUT of a
+    row's own code is the per-subspace min)."""
+    import numpy as np
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    df, _ = _embeddings(spark, n=60, dim=8, seed=7)
+    b1 = pq_codebooks(df, m=4, ksub=4, iters=2)
+    b2 = pq_codebooks(df.repartition(7), m=4, ksub=4, iters=2)
+    assert np.array_equal(b1, b2)
+
+    tiny, _ = _embeddings(spark, n=3, dim=8, seed=7)
+    bt = pq_codebooks(tiny, m=4, ksub=8, iters=2)
+    assert bt.shape == (4, 8, 2)  # padded to ksub
+
+    # self-retrieval: scoring each vector as its own query must put
+    # the vector itself at the per-query minimum adist
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(q, pq_encode(df, b1), b1, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        best = min(r.adist for r in rows)
+        self_rows = [r for r in rows if r.neighbor_id == qid]
+        assert self_rows and self_rows[0].adist == best
+
+
 def test_pq_adc_matches_explicit_lookup(spark):
     """pq_topk's ADC distance equals the hand-computed LUT sum for
     every returned (query, neighbor) pair."""
