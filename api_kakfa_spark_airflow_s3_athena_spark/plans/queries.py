@@ -8114,6 +8114,95 @@ def pagerank_customer_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "graph_degree_distribution",
+    oracle="""
+        WITH pu AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.i AS u, b.i AS v
+            FROM pu a JOIN pu b ON a.g = b.g AND a.i < b.i
+        ),
+        deg AS (
+            SELECT n, count(*) AS degree
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY n
+        )
+        SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+    tags=("graph", "llm-pipeline"),
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the part co-purchase graph (parts are
+    adjacent when they appear in the same order) — the first
+    diagnostic run on any similarity/citation graph before choosing
+    dedup or clustering parameters (round-8 VERDICT #5; the
+    customer-supplier graph is bipartite, so the non-bipartite graph
+    is CONSTRUCTED via co-occurrence). Edge generation is one
+    aggregation per order (collect_set + ordered-pair explode with a
+    max-basket guard — ``graph.cooccurrence_edges``), never a
+    self-join of lineitem on the order key; degrees and the histogram
+    are two skinny shuffles."""
+    from ..operators.graph import cooccurrence_edges, degree_distribution
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=1)
+    return degree_distribution(edges).select(
+        "degree", F.col("n_nodes").cast("long").alias("n_nodes")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH pu AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        ),
+        ew AS (
+            SELECT a.i AS u, b.i AS v, count(*) AS w
+            FROM pu a JOIN pu b ON a.g = b.g AND a.i < b.i
+            GROUP BY a.i, b.i
+        ),
+        e AS (SELECT u, v FROM ew WHERE w >= 2),
+        nodes AS (
+            SELECT count(DISTINCT n) AS n_nodes
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        ),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST(n_triangles AS BIGINT) AS n_triangles
+        FROM nodes, tri
+    """,
+    tags=("graph", "llm-pipeline"),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count of the support>=2 part co-purchase graph
+    (round-8 VERDICT #5): support pruning keeps edges that recur
+    across orders (the raw co-occurrence graph of a 100-supplier
+    corpus is near-complete and carries no signal). The Spark side
+    counts via DEGREE-ORDERED orientation (``graph.triangle_count``:
+    wedges from each edge's lower-degree endpoint, closed against the
+    oriented edge set — O(m^1.5) worst case, hub-safe), while the
+    oracle states the naive ordered 3-way self-join; both count each
+    triangle exactly once, so the single result row hash-matches.
+    n_nodes/n_edges pin the graph construction itself."""
+    from ..operators.graph import cooccurrence_edges, triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_count(edges).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
 # per-column profile rules: (column, metric exprs) — the min/max
 # stringification is type-aware so both engines render identically
 # (bigints plain, doubles through DECIMAL(12,2), timestamps through an

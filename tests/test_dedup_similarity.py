@@ -1145,3 +1145,38 @@ def test_pairs_from_bands_guard_identical_output(spark):
     assert (200, 201) in plain
     assert all(not (100 <= a <= 104) for a, _ in plain)  # hot bucket gone
     assert len([p for p in plain if p[0] < 100]) == 6    # C(4,2) at-cap pairs
+
+
+def test_minhash_candidates_guard_auto_by_corpus_size(spark, monkeypatch):
+    """Round-8 VERDICT #4: the default guard_hot_buckets=None derives
+    the census guard from corpus size like _auto_blocks does for the
+    banding layout — below the threshold the unguarded path runs,
+    at/above it the guard turns on, and both produce identical
+    pairs."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta {i} epsilon zeta") for i in range(20)]
+        + [Row(doc_id=100, text="same same same text here okay"),
+           Row(doc_id=101, text="same same same text here okay")]
+    )
+    base = {(r.id_a, r.id_b) for r in DD.minhash_candidates(docs, guard_hot_buckets=False).collect()}
+
+    monkeypatch.setattr(DD, "GUARD_HOT_BUCKETS_AUTO_THRESHOLD", 5)
+    auto_on = {(r.id_a, r.id_b) for r in DD.minhash_candidates(docs).collect()}
+    assert auto_on == base
+
+    monkeypatch.setattr(DD, "GUARD_HOT_BUCKETS_AUTO_THRESHOLD", 10**9)
+    auto_off = {(r.id_a, r.id_b) for r in DD.minhash_candidates(docs).collect()}
+    assert auto_off == base
+    assert (100, 101) in base
+
+
+def test_ndocs_for_memoizes(spark):
+    docs = spark.createDataFrame([Row(doc_id=i, text="x") for i in range(7)])
+    DD._NDOC_CACHE.clear()
+    n1 = DD._ndocs_for(docs)
+    key = (spark.sparkContext.applicationId, docs.semanticHash())
+    assert n1 == 7 and DD._NDOC_CACHE[key] == 7
+    # poison the cache: a second call must serve the memo, not recount
+    DD._NDOC_CACHE[key] = 42
+    assert DD._ndocs_for(docs) == 42
+    DD._NDOC_CACHE.clear()

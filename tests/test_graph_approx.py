@@ -225,3 +225,96 @@ def test_pagerank_index_scan_has_no_edge_exchange(spark):
                 break
     assert hit_join, f"no join found above the bucketed scan:\n{plan}"
     spark.sql("DROP TABLE IF EXISTS pr_test.trans_plan")
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; a path has 0; K4 plus a pendant vertex
+    still has 4; counts pin nodes and edges too."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        triangle_count,
+    )
+
+    def tc(pairs):
+        df = spark.createDataFrame([Row(u=a, v=b) for a, b in pairs])
+        return triangle_count(df).collect()[0]
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    r = tc(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    path = [(1, 2), (2, 3), (3, 4)]
+    r = tc(path)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 3, 0)
+
+    pendant = k4 + [(4, 5)]
+    r = tc(pendant)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
+
+    # two triangles sharing an edge: {1,2,3} and {2,3,4}
+    bowtie = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    r = tc(bowtie)
+    assert r.n_triangles == 2
+
+
+def test_triangle_count_hub_graph_matches_naive(spark):
+    """A star hub plus random chords — the degree-orientation result
+    must equal a driver-side brute-force count."""
+    import itertools
+    import random
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(13)
+    edges = {(0, i) for i in range(1, 30)}  # hub 0
+    while len(edges) < 80:
+        a, b = rng.sample(range(1, 30), 2)
+        edges.add((min(a, b), max(a, b)))
+    eset = set(edges)
+    naive = sum(
+        1
+        for x, y, z in itertools.combinations(range(30), 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    df = spark.createDataFrame([Row(u=a, v=b) for a, b in sorted(edges)])
+    r = triangle_count(df).collect()[0]
+    assert r.n_triangles == naive and naive > 0
+
+
+def test_degree_distribution_and_cooccurrence(spark):
+    """cooccurrence_edges: weights = shared groups, min_support
+    prunes, max_basket drops mega-groups; degree_distribution
+    histogram on a known graph."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        cooccurrence_edges,
+        degree_distribution,
+    )
+
+    rows = [
+        # basket 1: items 1,2,3 ; basket 2: items 1,2 ; basket 3: 1,2
+        *[Row(g=1, i=x) for x in (1, 2, 3)],
+        *[Row(g=2, i=x) for x in (1, 2)],
+        *[Row(g=3, i=x) for x in (1, 2)],
+        # duplicate (g,i) rows must not inflate weights
+        Row(g=1, i=1),
+        # mega-basket dropped by max_basket=3
+        *[Row(g=9, i=x) for x in range(100, 104)],
+    ]
+    df = spark.createDataFrame(rows)
+    e = {
+        (r.u, r.v): r.w
+        for r in cooccurrence_edges(df, "g", "i", min_support=1, max_basket=3).collect()
+    }
+    assert e == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+    e2 = {
+        (r.u, r.v): r.w
+        for r in cooccurrence_edges(df, "g", "i", min_support=2, max_basket=3).collect()
+    }
+    assert e2 == {(1, 2): 3}
+
+    tri = spark.createDataFrame(
+        [Row(u=1, v=2), Row(u=1, v=3), Row(u=2, v=3), Row(u=3, v=4)]
+    )
+    hist = {r.degree: r.n_nodes for r in degree_distribution(tri).collect()}
+    assert hist == {1: 1, 2: 2, 3: 1}

@@ -65,6 +65,11 @@ AUDIT = [
     "corpus_snapshot_diff",
     "multi_key_dedup_policy",
     "ann_ivf_delta_append",
+    # round 8 additions: the remaining round-7 row-local scan passes
+    # (VERDICT #7) and the PQ ANN path
+    "canonical_text_dedup",
+    "compression_ratio_quality",
+    "ann_cosine_topk_pq",
 ]
 
 
