@@ -165,6 +165,9 @@ R5_RELATIONAL_OPS = [
     # round 7: binned range join (orders+lineitem; measured sf1->sf10
     # ratio 1.6x)
     "shipdate_window_range_join_binned",
+    # round 8: co-purchase graph metrics (lineitem)
+    "graph_degree_distribution",
+    "graph_triangle_count",
 ]
 # (the remaining r5 closers — weighted_sample_aes, doc_token_entropy —
 # read the documents fixture, which generate() already covers, as does
