@@ -230,7 +230,9 @@ def cooccurrence_edges(
     """
     grouped = (
         df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
-        .distinct()
+        # no .distinct() pre-pass: collect_set already deduplicates
+        # per group, and a distinct here would be a second full
+        # shuffle of the relation (round-8 review finding)
         .groupBy("__g")
         .agg(F.array_sort(F.collect_set("__i")).alias("items"))
         .filter((F.size("items") > 1) & (F.size("items") <= max_basket))

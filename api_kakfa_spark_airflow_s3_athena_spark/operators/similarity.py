@@ -752,7 +752,13 @@ def pq_codebooks(
     """
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None:
+        # fail loudly at the training call site: downstream pq_encode
+        # would crash deep in an Arrow worker with an opaque
+        # empty-argmin error (round-8 review finding)
+        raise ValueError("pq_codebooks: cannot train on an empty corpus")
+    dim = len(head[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -789,9 +795,26 @@ def pq_codebooks(
         .limit(train_sample)
         .collect()
     )
-    if not rows:
-        return np.zeros((m, 0, dsub))
-    ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+    raw_ids = [r["__id"] for r in rows]
+    if all(isinstance(i, int) for i in raw_ids):
+        ids = np.array(raw_ids, dtype=np.int64)
+    else:
+        # string/decimal/any ids: md5-derived 64-bit keys give the
+        # same deterministic, partition-invariant sample ordering the
+        # integer path gets from splitmix (round-8 review finding —
+        # the previous int64 cast crashed non-integer id columns,
+        # which the distributed path has always accepted)
+        import hashlib
+
+        ids = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[:8], "big", signed=True
+                )
+                for i in raw_ids
+            ],
+            dtype=np.int64,
+        )
     vecs = np.asarray([r["__v"] for r in rows], dtype=np.float64)
 
     def _h64(vals, s):

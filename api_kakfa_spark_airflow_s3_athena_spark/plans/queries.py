@@ -6495,8 +6495,11 @@ def ann_cosine_topk_pq(spark, sf_dir):
         )
     )
 
-    # (b)+(c)+(d): recall queries scored over the UNPLANTED corpus
-    enc_plain = SIM.pq_encode(emb, books)
+    # (b)+(c)+(d): recall queries scored over the UNPLANTED corpus —
+    # pq_encode is row-local, so the base rows' encodings are already
+    # in the cached enc; filtering beats a second full encode pass
+    # (round-8 review finding)
+    enc_plain = enc.filter(F.col("vec_id") < offset)
     qrec = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -6517,9 +6520,25 @@ def ann_cosine_topk_pq(spark, sf_dir):
             F.min(F.col("neighbor_id") == F.col("query_id")), F.lit(False)
         ).alias("self_rank1_ok")
     )
-    withink = pq10.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("nk")
-    ).agg(F.coalesce(F.min(F.col("nk") <= 10), F.lit(True)).alias("within_k"))
+    # per query: exactly k rows, ranks contiguous 1..k (nk <= 10 alone
+    # would be tautological — pq_topk filters rnk <= k itself; this is
+    # the sibling ann_pq_adc_topk's stronger pin — round-8 review)
+    withink = (
+        pq10.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.count_distinct("rnk").alias("ndr"),
+            F.max("rnk").alias("mr"),
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    (F.col("nk") == 10) & (F.col("ndr") == 10) & (F.col("mr") == 10)
+                ),
+                F.lit(False),
+            ).alias("within_k")
+        )
+    )
     out = (
         plants_ok.crossJoin(recall_ok)
         .crossJoin(self_ok)
@@ -7556,7 +7575,12 @@ def ann_pq_adc_topk(spark, sf_dir):
     in the unit fixture's planted near-dup); on the near-uniform
     driver embeddings no such tie exists, so the oracle additionally
     pins: top-1 is self, the plant sits at rank 2 with bit-equal
-    distance, and ranks are contiguous 1..k. Codebook
+    distance, and ranks are contiguous 1..k. The no-tie property is
+    codebook-dependent, so it was RE-VERIFIED at sf0.001/0.01/0.1
+    when round 8 switched pq_codebooks' default to the bounded
+    driver-sample trainer (different init order => different
+    codebooks; round-8 review finding — a trainer change can shift
+    this contract without touching this function). Codebook
     training, encoding, and scoring exactness are pinned in
     tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -8143,7 +8167,10 @@ def graph_degree_distribution(spark, sf_dir):
     aggregation per order (collect_set + ordered-pair explode with a
     max-basket guard — ``graph.cooccurrence_edges``), never a
     self-join of lineitem on the order key; degrees and the histogram
-    are two skinny shuffles."""
+    are two skinny shuffles. Oracle-parity boundary: the SQL twin has
+    no max_basket drop — provably inert here (a lineitem order holds
+    <= 7 lines, the cap is 1024), but a fixture/corpus where one
+    group exceeds the cap needs the cap mirrored in the SQL."""
     from ..operators.graph import cooccurrence_edges, degree_distribution
 
     li = _t(spark, sf_dir, "lineitem")
@@ -8191,7 +8218,10 @@ def graph_triangle_count(spark, sf_dir):
     oriented edge set — O(m^1.5) worst case, hub-safe), while the
     oracle states the naive ordered 3-way self-join; both count each
     triangle exactly once, so the single result row hash-matches.
-    n_nodes/n_edges pin the graph construction itself."""
+    n_nodes/n_edges pin the graph construction itself. Oracle-parity
+    boundary: the SQL twin has no max_basket drop — inert here
+    (<= 7 lines/order vs cap 1024); mirror the cap in the SQL before
+    reusing on a relation with mega-groups."""
     from ..operators.graph import cooccurrence_edges, triangle_count
 
     li = _t(spark, sf_dir, "lineitem")

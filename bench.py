@@ -139,14 +139,15 @@ def main() -> None:
 
     spark = local_test_session("bench")
 
+    def _time_once(fn) -> float:
+        # THE timing protocol — initial runs and escalation re-runs
+        # must share one definition so they stay comparable
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
     def run_fn(fn) -> list:
-        runs = []
-        for _ in range(RUNS_PER_QUERY):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
-        return runs
+        return [_time_once(fn) for _ in range(RUNS_PER_QUERY)]
 
     def run(name: str) -> list:
         spec = REGISTRY[name]
@@ -221,9 +222,7 @@ def main() -> None:
         if fn is None:
             spec = REGISTRY[name]
             fn = spec.bench_fn or spec.fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+        return _time_once(fn)
 
     escalated: dict = {}
     for _pass in range(MAX_EXTRA_PASSES):
@@ -233,12 +232,24 @@ def main() -> None:
         # re-run every benched row whose own best-two spread is noisy
         # (artifact-wide, not just r01 — extra runs are cheap and only
         # the noisy rows pay them)
-        for name, runs in query_runs.items():
-            noisy = _best_two_spread(runs) > max(
-                SPREAD_FRAC * min(runs), _NOISE_FLOOR_SEC
-            )
-            if not noisy:
-                continue
+        noisy_rows = [
+            name
+            for name, runs in query_runs.items()
+            if _best_two_spread(runs)
+            > max(SPREAD_FRAC * min(runs), _NOISE_FLOOR_SEC)
+        ]
+        if not noisy_rows:
+            # the aggregate tripped but no single row did (many small
+            # jitters): still make progress — re-run the r01 rows
+            # contributing the most absolute spread, or the loop would
+            # ship contended=true having escalated nothing (round-8
+            # review finding)
+            noisy_rows = sorted(
+                (n for n in HEADLINE_R01 if query_runs.get(n)),
+                key=lambda n: -_best_two_spread(query_runs[n]),
+            )[:5]
+        for name in noisy_rows:
+            runs = query_runs[name]
             try:
                 runs.append(_single_run(name))
                 timings[name] = min(runs)

@@ -479,6 +479,32 @@ def test_pq_codebooks_sampled_trainer_properties(spark):
         assert self_rows and self_rows[0].adist == best
 
 
+def test_pq_codebooks_string_ids_and_empty_corpus(spark):
+    """Round-8 review regressions: the sampled trainer must accept
+    non-integer id columns (the distributed path always did), and an
+    empty corpus must fail loudly at the training call site instead
+    of crashing pq_encode deep in an Arrow worker."""
+    import numpy as np
+    import pytest as _pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    df, _ = _embeddings(spark, n=30, dim=8, seed=11)
+    sdf = df.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    b1 = pq_codebooks(sdf, m=4, ksub=4, iters=2)
+    b2 = pq_codebooks(sdf.repartition(5), m=4, ksub=4, iters=2)
+    assert b1.shape == (4, 4, 2) and np.array_equal(b1, b2)
+
+    empty = df.filter(F.col("vec_id") < 0)
+    with _pytest.raises(ValueError, match="empty corpus"):
+        pq_codebooks(empty, m=4, ksub=4, iters=2)
+
+
 def test_pq_adc_matches_explicit_lookup(spark):
     """pq_topk's ADC distance equals the hand-computed LUT sum for
     every returned (query, neighbor) pair."""
