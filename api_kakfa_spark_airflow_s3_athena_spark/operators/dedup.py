@@ -425,18 +425,30 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 1,
+    guard_hot_buckets: Optional[bool] = None,
 ) -> DataFrame:
     """MinHash LSH candidates, set-Jaccard verified at ``threshold``.
 
     Verification semi-joins the corpus down to candidate rows, then
     compares hashed shingle sets — only candidate rows pay the array
     cost, the 100 TB remainder is never touched after banding.
+    ``guard_hot_buckets`` passes through to
+    :func:`minhash_candidates`; callers that KNOW their corpus size
+    (fixture-scale contract queries) pass ``False`` to skip the
+    sizing count the ``None`` auto-default pays on derived inputs.
     """
     # Candidate pairs are the small side (O(near-dups), not O(corpus));
     # cache THEM — they are consumed three times below (id set + both
     # sides of the verify join).
     cands = minhash_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, seed
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        seed,
+        guard_hot_buckets=guard_hot_buckets,
     ).cache()
     return _verify_jaccard(
         cands, df, text_col, id_col, threshold, shingle_n, seed, release=(cands,)
@@ -1708,6 +1720,7 @@ def multi_key_dedup(
     seed: int = 1,
     policy_order=None,
     policy_cols: tuple = (),
+    guard_hot_buckets: Optional[bool] = None,
 ) -> DataFrame:
     """Production multi-signal dedup POLICY: one clustering over the
     union of (1) exact content duplicates (text digest), (2) metadata
@@ -1784,7 +1797,15 @@ def multi_key_dedup(
         # doc into one cluster — round-7 self-review finding)
         edges = edges.unionByName(star_edges(F.col(k).cast("string")))
     near = minhash_dedup_pairs(
-        df, text_col, id_col, threshold, num_hashes, bands, shingle_n, seed
+        df,
+        text_col,
+        id_col,
+        threshold,
+        num_hashes,
+        bands,
+        shingle_n,
+        seed,
+        guard_hot_buckets=guard_hot_buckets,
     ).select("id_a", "id_b")
     edges = edges.unionByName(near)
 

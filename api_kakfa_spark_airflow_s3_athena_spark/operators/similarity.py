@@ -752,17 +752,16 @@ def pq_codebooks(
     """
     import numpy as np
 
-    head = corpus.select(vec_col).first()
-    if head is None:
-        # fail loudly at the training call site: downstream pq_encode
-        # would crash deep in an Arrow worker with an opaque
-        # empty-argmin error (round-8 review finding)
-        raise ValueError("pq_codebooks: cannot train on an empty corpus")
-    dim = len(head[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
+    def _dims(dim: int):
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        return dim // m
+
     if not train_sample:
+        head = corpus.select(vec_col).first()
+        if head is None:
+            raise ValueError("pq_codebooks: cannot train on an empty corpus")
+        dsub = _dims(len(head[0]))
         books = []
         for j in range(m):
             sub = corpus.select(
@@ -795,6 +794,14 @@ def pq_codebooks(
         .limit(train_sample)
         .collect()
     )
+    if not rows:
+        # fail loudly here: a (m, 0, dsub) tensor would crash
+        # pq_encode deep in an Arrow worker with an opaque
+        # empty-argmin error (round-8 review finding); dim and the
+        # emptiness check both come from the sample collect — no
+        # separate first() job (second review pass)
+        raise ValueError("pq_codebooks: cannot train on an empty corpus")
+    dsub = _dims(len(rows[0]["__v"]))
     raw_ids = [r["__id"] for r in rows]
     if all(isinstance(i, int) for i in raw_ids):
         ids = np.array(raw_ids, dtype=np.int64)
@@ -866,12 +873,16 @@ def pq_encode(
     subspace, first-min tie-break => deterministic): 64-dim float
     corpus -> m ints per row, a ~32x storage cut. One narrow
     mapInPandas pass — the encoded table is what a 100 TB deployment
-    persists (and re-encodes incrementally per ingest batch)."""
+    persists (and re-encodes incrementally per ingest batch). The
+    output ``vec_id`` inherits ``id_col``'s actual type (string ids
+    work end to end — round-8 review fix; a hardcoded int64 cast
+    crashed one step after the trainer accepted them)."""
     import numpy as np
     import pandas as pd
 
     books = np.asarray(books)
     m, _, dsub = books.shape
+    id_type = corpus.schema[id_col].dataType.simpleString()
 
     def enc(batches):
         for pdf in batches:
@@ -885,13 +896,13 @@ def pq_encode(
                 codes[:, j] = np.argmin(d, axis=1)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "vec_id": pdf[id_col].to_numpy(),
                     "codes": list(codes),
                 }
             )
 
     return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        enc, schema="vec_id long, codes array<int>"
+        enc, schema=f"vec_id {id_type}, codes array<int>"
     )
 
 
@@ -917,18 +928,21 @@ def pq_topk(
     tie-break. Approximate by construction: quantization error bounds
     recall, but an EXACT-duplicate pair has identical codes, so its
     ADC distances tie exactly — the property the planted contract
-    pins."""
+    pins. Id columns keep their input types (string ids sort their
+    ties lexicographically — round-8 review fix)."""
     import numpy as np
     import pandas as pd
 
     books = np.asarray(books)
     m, ksub, dsub = books.shape
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    nid_type = encoded.schema["vec_id"].dataType.simpleString()
     qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(
         max_queries + 1
     ).collect()
     if len(qrows) > max_queries:
         raise ValueError(f"pq_topk got > {max_queries} queries")
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qids = [r[0] for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     # luts[q, j, c] = ||q_sub_j - books[j, c]||^2  (exact, driver-side)
     luts = np.empty((len(qids), m, ksub), dtype=np.float64)
@@ -944,7 +958,10 @@ def pq_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # no dtype coercion: int64 ids stay int64, string ids stay
+            # object — np.lexsort orders both (lexicographic for str),
+            # matching the final window's neighbor_id asc tie-break
+            ids = pdf["vec_id"].to_numpy()
             codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
             for qi, qid in enumerate(qids):
                 # adist[i] = sum_j lut[j, codes[i, j]]
@@ -960,7 +977,7 @@ def pq_topk(
                 )
 
     scored = encoded.mapInPandas(
-        score, schema="query_id long, neighbor_id long, adist double"
+        score, schema=f"query_id {qid_type}, neighbor_id {nid_type}, adist double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()

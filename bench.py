@@ -238,13 +238,16 @@ def main() -> None:
             if _best_two_spread(runs)
             > max(SPREAD_FRAC * min(runs), _NOISE_FLOOR_SEC)
         ]
-        if not noisy_rows:
-            # the aggregate tripped but no single row did (many small
-            # jitters): still make progress — re-run the r01 rows
-            # contributing the most absolute spread, or the loop would
-            # ship contended=true having escalated nothing (round-8
-            # review finding)
-            noisy_rows = sorted(
+        if not any(n in HEADLINE_R01 for n in noisy_rows):
+            # the aggregate tripped but no R01 row did individually
+            # (many small jitters — or the only per-row trips are
+            # non-r01 rows whose first-run index staging reads as
+            # spread): still make progress on the headline metric —
+            # add the r01 rows contributing the most absolute spread,
+            # or the passes would be spent entirely on rows that
+            # cannot move the contended flag (round-8 review finding,
+            # both passes)
+            noisy_rows += sorted(
                 (n for n in HEADLINE_R01 if query_runs.get(n)),
                 key=lambda n: -_best_two_spread(query_runs[n]),
             )[:5]

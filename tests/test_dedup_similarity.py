@@ -505,6 +505,45 @@ def test_pq_codebooks_string_ids_and_empty_corpus(spark):
         pq_codebooks(empty, m=4, ksub=4, iters=2)
 
 
+def test_pq_string_ids_end_to_end(spark):
+    """Second review pass: string ids must survive the WHOLE chain
+    (train -> encode -> ADC top-k), not just the trainer — encode and
+    topk previously hardcoded int64 and crashed one step later. Tie
+    ordering for equal adist is lexicographic on the string id,
+    matching the final window's neighbor_id asc."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    df, _ = _embeddings(spark, n=30, dim=8, seed=19)
+    sdf = df.select(
+        F.concat(F.lit("doc-"), F.format_string("%03d", "vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    books = pq_codebooks(sdf, m=4, ksub=4, iters=2)
+    enc = pq_encode(sdf, books)
+    assert enc.schema["vec_id"].dataType.simpleString() == "string"
+    q = sdf.filter(F.col("vec_id") < "doc-003").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(q, enc, books, k=4)
+    assert out.schema["query_id"].dataType.simpleString() == "string"
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {"doc-000", "doc-001", "doc-002"}
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        # self is the global ADC minimum; zero-padded ids make the
+        # lexicographic tie-break match the planted near-dup ordering
+        assert rs[0].adist == min(r.adist for r in rs)
+        assert any(r.neighbor_id == qid for r in rs)
+
+
 def test_pq_adc_matches_explicit_lookup(spark):
     """pq_topk's ADC distance equals the hand-computed LUT sum for
     every returned (query, neighbor) pair."""
