@@ -153,3 +153,152 @@ def compression_ratio(
     return df.select(F.col(id_col).alias("id"), F.col(text_col)).mapInPandas(
         gen, schema=f"id {id_type}, n_bytes long, ratio double"
     )
+
+
+def train_linear_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    iters: int = 8,
+    lr: float = 2.0,
+    l2: float = 0.0,
+):
+    """Distributed full-batch logistic-regression TRAINING over hashed
+    n-gram features — the half of the fastText-style quality filter
+    the engine lacked (inference: :func:`linear_text_classifier`).
+    Features are the SAME md5-bucket unigrams+bigrams the inference
+    path scores with, hashed JVM-side once, so a model trained here
+    drops straight into the production scorer via
+    :func:`quantize_weights`.
+
+    Spark shape per iteration (the :func:`~..similarity.kmeans_refine`
+    discipline): the weight vector lives on the DRIVER (n_buckets
+    doubles — tiny) and ships to executors inside the Arrow closure;
+    one ``mapInPandas`` pass scores each row (numpy gather + sigmoid)
+    and accumulates PER-BATCH gradient partials (``np.add.at`` over
+    the batch's buckets), emitting k×(partial, count) skinny rows;
+    one groupBy(bucket) aggregate + a bounded collect updates the
+    weights. So each iteration costs exactly one corpus scan + one
+    n_buckets-row shuffle — no corpus-sized join, no feature matrix
+    materialization, and the driver only ever receives the k-vector.
+    The featurized frame is cached once (arrays of bucket ids; at
+    100 TB this is the persisted feature table an iterative trainer
+    reads anyway) and released before returning.
+
+    Full-batch gradient descent is deterministic up to float-sum
+    ordering across partitions (same caveat as every distributed
+    mean); contracts built on it must assert MARGIN properties
+    (accuracy on separable plants, loss decrease), not exact weights.
+
+    Returns ``(weights ndarray[n_buckets], loss_history list)`` where
+    loss is mean log-loss per iteration (computed on the PRE-update
+    weights, so ``loss_history[0]`` is the untrained baseline).
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        hashed_feature_buckets(F.col(text_col), n_buckets).alias("__b"),
+    ).filter(F.size("__b") > 0)
+    base = base.localCheckpoint(eager=True)
+
+    w = np.zeros(n_buckets, dtype=np.float64)
+    history = []
+    try:
+        for _ in range(iters):
+            w_cur = w  # bind per iteration for the closure
+
+            def grad_partials(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    g = np.zeros(n_buckets, dtype=np.float64)
+                    # Whole-batch vectorization (no per-row Python):
+                    # flatten every doc's bucket list, reduceat for
+                    # per-doc sums, one sigmoid/log over the batch,
+                    # one scatter-add for the gradient.
+                    blists = pdf["__b"].tolist()
+                    lens = np.fromiter(
+                        (len(b) for b in blists), dtype=np.int64, count=len(blists)
+                    )
+                    flat = np.concatenate(
+                        [np.asarray(b, dtype=np.int64) for b in blists]
+                    )
+                    starts = np.zeros(len(lens), dtype=np.int64)
+                    np.cumsum(lens[:-1], out=starts[1:])
+                    y = pdf["__y"].to_numpy(dtype=np.float64)
+                    # fastText-style feature AVERAGING: the score is
+                    # mean(w[b]), so its scale is independent of
+                    # document length (a 200-token doc and a 10-token
+                    # doc see the same lr dynamics; raw sums diverged
+                    # on long real docs). Sign of the mean == sign of
+                    # the sum, so decisions stay consistent with the
+                    # production scorer (which sums and thresholds
+                    # at 0).
+                    sums = np.add.reduceat(w_cur[flat], starts)
+                    p = 1.0 / (1.0 + np.exp(-(sums / lens)))
+                    eps = 1e-12
+                    loss = float(
+                        -(
+                            y * np.log(p + eps)
+                            + (1.0 - y) * np.log(1.0 - p + eps)
+                        ).sum()
+                    )
+                    n = len(y)
+                    np.add.at(g, flat, np.repeat((p - y) / lens, lens))
+                    nz = np.nonzero(g)[0]
+                    out = pd.DataFrame(
+                        {"bucket": nz, "g": g[nz], "n": 0.0, "loss": 0.0}
+                    )
+                    meta = pd.DataFrame(
+                        {"bucket": [-1], "g": [0.0], "n": [float(n)],
+                         "loss": [loss]}
+                    )
+                    yield pd.concat([out, meta], ignore_index=True)
+
+            upd = (
+                base.mapInPandas(
+                    grad_partials,
+                    schema="bucket long, g double, n double, loss double",
+                )
+                .groupBy("bucket")
+                .agg(
+                    F.sum("g").alias("g"),
+                    F.sum("n").alias("n"),
+                    F.sum("loss").alias("loss"),
+                )
+                .collect()
+            )
+            n_total = sum(r.n for r in upd if r.bucket == -1)
+            loss_total = sum(r.loss for r in upd if r.bucket == -1)
+            if not n_total:
+                break
+            history.append(loss_total / n_total)
+            new_w = w * (1.0 - lr * l2)
+            for r in upd:
+                if r.bucket >= 0:
+                    new_w[r.bucket] -= lr * r.g / n_total
+            w = new_w
+    finally:
+        base.unpersist()
+    return w, history
+
+
+def quantize_weights(spark: SparkSession, weights) -> DataFrame:
+    """Trained float weights -> the integer ``(bucket, w_int)`` table
+    :func:`linear_text_classifier` scores with: symmetric scaling to
+    [-WEIGHT_SCALE, WEIGHT_SCALE] (max-|w| calibration, the int8-style
+    recipe from embedding_quantization), half-up rounding via floor of
+    an identical double expression so re-quantization is reproducible
+    in any engine. Sign is preserved exactly for |w| above one
+    quantization step — the margin contract a trained filter needs."""
+    import numpy as np
+
+    w = np.asarray(weights, dtype=np.float64)
+    scale = float(np.abs(w).max()) or 1.0
+    w_int = np.floor(w * WEIGHT_SCALE / scale + 0.5).astype(np.int64)
+    rows = [(int(b), int(v)) for b, v in enumerate(w_int)]
+    return spark.createDataFrame(rows, "bucket long, w_int long")

@@ -7509,6 +7509,86 @@ def cluster_aware_split(spark, sf_dir):
 
 
 @register(
+    "quality_classifier_training",
+    oracle="""
+        SELECT CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test_scored,
+               true AS loss_decreased,
+               true AS ran_all_iters,
+               true AS holdout_all_correct
+        FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("llm-pipeline", "classifier", "arrow"),
+)
+def quality_classifier_training(spark, sf_dir):
+    """Distributed quality-classifier TRAINING end to end (round-8
+    extension — inference existed since round 5, the training half
+    did not): full-batch logistic regression over the SAME hashed
+    unigram+bigram features the production scorer uses, weights on
+    the driver, one Arrow gradient scan + one n_buckets-row shuffle
+    per iteration (``scoring.train_linear_classifier``). GD has no
+    SQL twin, so the oracle pins the deterministic contract:
+
+    - a separable planted corpus (every doc gains class-marker
+      tokens: %2 docs "spamspam.../clickbait" label 0, the rest
+      "cleanprose.../wellwritten" label 1) is split train/holdout on
+      doc_id%3;
+    - mean log-loss strictly decreases over the run and all
+      iterations execute;
+    - the trained weights, QUANTIZED through ``quantize_weights``
+      and scored by the PRODUCTION inference path
+      (``linear_text_classifier``), classify every holdout doc
+      correctly — train -> quantize -> deploy, the full lifecycle,
+      with recall 1.0 by construction on the separable plant;
+    - exact train/holdout counts cross the engine compare.
+    Margin properties only — full-batch GD is deterministic up to
+    float-sum order, so exact weights stay engine-side (pinned in
+    tests/test_scoring.py)."""
+    from ..operators import scoring as SC
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    labeled = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 1).cast("int").alias("label"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.lit(" cleanprose cleanprose wellwritten"),
+            ).otherwise(F.lit(" spamspam spamspam clickbait")),
+        ).alias("text"),
+    )
+    train = labeled.filter(F.col("doc_id") % 3 != 0)
+    test = labeled.filter(F.col("doc_id") % 3 == 0)
+    iters = 6
+    w, hist = SC.train_linear_classifier(
+        train, n_buckets=4096, iters=iters, lr=2.0
+    )
+    wt = SC.quantize_weights(spark, w)
+    scored = SC.linear_text_classifier(test, wt, n_buckets=4096)
+    holdout = scored.join(test.select("doc_id", "label"), "doc_id").agg(
+        F.coalesce(
+            F.min(F.col("keep") == (F.col("label") == 1)), F.lit(False)
+        ).alias("holdout_all_correct"),
+        F.count(F.lit(1)).cast("long").alias("n_test_scored"),
+    )
+    counts = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    return counts.crossJoin(holdout).select(
+        "n_train",
+        "n_test_scored",
+        F.lit(bool(hist and hist[-1] < hist[0])).alias("loss_decreased"),
+        F.lit(len(hist) == iters).alias("ran_all_iters"),
+        "holdout_all_correct",
+    )
+
+
+@register(
     "quality_classifier_scores",
     oracle="""
         WITH toks AS (

@@ -105,6 +105,10 @@ HEADLINE = HEADLINE_R01 + [
     # round-8 addition: product-quantization ANN (codebooks + encode
     # + ADC top-k; bare-operator bench_fn, contract in the registry)
     "ann_cosine_topk_pq",
+    # round-8 addition: classifier TRAINING (6 full-batch GD
+    # iterations, one Arrow gradient scan + one 4096-row shuffle
+    # each, quantize + production-path holdout scoring)
+    "quality_classifier_training",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit

@@ -354,3 +354,75 @@ def test_compression_ratio_string_ids(spark):
     got = {r.id: r.ratio for r in out.collect()}
     assert set(got) == {"u-1", "u-2"}
     assert got["u-2"] is None and 0 < got["u-1"] < 1
+
+
+def test_train_linear_classifier_separable_corpus(spark):
+    """Full-batch logistic GD on a separable planted corpus: loss
+    decreases, train and holdout accuracy hit 1.0, and the quantized
+    weight table drives the PRODUCTION inference path to the same
+    decisions (train -> quantize -> linear_text_classifier)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+        linear_text_classifier,
+        quantize_weights,
+        train_linear_classifier,
+    )
+
+    import numpy as np
+
+    fill = ["alpha bravo charlie delta echo", "golf hotel india juliet kilo",
+            "lima mike november oscar papa", "quebec romeo sierra tango"]
+    rows = []
+    for i in range(120):
+        base = fill[i % 4] + f" filler{i % 7} filler{i % 11}"
+        if i % 2:
+            rows.append(Row(doc_id=i, label=1,
+                            text=base + " cleanprose cleanprose wellwritten"))
+        else:
+            rows.append(Row(doc_id=i, label=0,
+                            text=base + " spamspam spamspam clickbait"))
+    df = spark.createDataFrame(rows)
+    train = df.filter(F.col("doc_id") % 3 != 0)
+    test = df.filter(F.col("doc_id") % 3 == 0)
+
+    w, hist = train_linear_classifier(train, n_buckets=4096, iters=8, lr=2.0)
+    assert len(hist) == 8 and hist[-1] < hist[0]
+
+    # direct-weight holdout accuracy (numpy twin of the scorer)
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+        hashed_feature_buckets,
+    )
+
+    feats = {
+        r.doc_id: (r.label, r.b)
+        for r in test.select(
+            "doc_id", "label",
+            hashed_feature_buckets(F.col("text"), 4096).alias("b"),
+        ).collect()
+    }
+    acc = np.mean(
+        [
+            (w[np.asarray(b)].sum() > 0) == bool(y)
+            for y, b in feats.values()
+        ]
+    )
+    assert acc == 1.0
+
+    # production path: quantized table through linear_text_classifier
+    wt = quantize_weights(spark, w)
+    scored = {
+        r.doc_id: r.keep
+        for r in linear_text_classifier(test, wt, n_buckets=4096).collect()
+    }
+    assert all(scored[i] == bool(feats[i][0]) for i in scored)
+    assert len(scored) == test.count()
+
+
+def test_train_linear_classifier_empty_and_unlabeled_edges(spark):
+    """Empty corpus: no iterations recorded, zero weights returned."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+        train_linear_classifier,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, label int, text string")
+    w, hist = train_linear_classifier(df, n_buckets=64, iters=3)
+    assert hist == [] and (w == 0).all()
