@@ -66,10 +66,13 @@ AUDIT = [
     "multi_key_dedup_policy",
     "ann_ivf_delta_append",
     # round 8 additions: the remaining round-7 row-local scan passes
-    # (VERDICT #7) and the PQ ANN path
+    # (VERDICT #7), the PQ ANN path, graph metrics, and the trainer
     "canonical_text_dedup",
     "compression_ratio_quality",
     "ann_cosine_topk_pq",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "quality_classifier_training",
 ]
 
 
