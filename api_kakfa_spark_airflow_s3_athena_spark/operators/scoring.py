@@ -164,6 +164,7 @@ def train_linear_classifier(
     iters: int = 8,
     lr: float = 2.0,
     l2: float = 0.0,
+    init_weights=None,
 ):
     """Distributed full-batch logistic-regression TRAINING over hashed
     n-gram features — the half of the fastText-style quality filter
@@ -192,9 +193,16 @@ def train_linear_classifier(
     mean); contracts built on it must assert MARGIN properties
     (accuracy on separable plants, loss decrease), not exact weights.
 
+    ``init_weights`` warm-starts from a previous model (the
+    incremental-artifact pattern the dedup/ANN indexes use, applied
+    to training): a nightly ingest batch CONTINUES the prior run
+    instead of re-reading the 100 TB history — fixture-pinned in
+    tests to keep improving a partially-trained model.
+
     Returns ``(weights ndarray[n_buckets], loss_history list)`` where
     loss is mean log-loss per iteration (computed on the PRE-update
-    weights, so ``loss_history[0]`` is the untrained baseline).
+    weights, so ``loss_history[0]`` is the baseline of the incoming
+    weights — zeros for a cold start).
     """
     import numpy as np
     import pandas as pd
@@ -205,7 +213,15 @@ def train_linear_classifier(
     ).filter(F.size("__b") > 0)
     base = base.localCheckpoint(eager=True)
 
-    w = np.zeros(n_buckets, dtype=np.float64)
+    if init_weights is None:
+        w = np.zeros(n_buckets, dtype=np.float64)
+    else:
+        w = np.asarray(init_weights, dtype=np.float64).copy()
+        if w.shape != (n_buckets,):
+            raise ValueError(
+                f"init_weights shape {w.shape} != ({n_buckets},) — warm "
+                "start requires the same feature space"
+            )
     history = []
     try:
         for _ in range(iters):

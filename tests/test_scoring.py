@@ -426,3 +426,40 @@ def test_train_linear_classifier_empty_and_unlabeled_edges(spark):
     df = spark.createDataFrame([], "doc_id long, label int, text string")
     w, hist = train_linear_classifier(df, n_buckets=64, iters=3)
     assert hist == [] and (w == 0).all()
+
+
+def test_train_linear_classifier_warm_start(spark):
+    """Warm start (incremental training on a new batch) must continue
+    from the given weights: the first recorded loss equals the prior
+    model's loss on the new data (not the zero-weight baseline), and
+    training keeps improving it; a wrong-shaped init fails loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+        train_linear_classifier,
+    )
+
+    rows = []
+    for i in range(80):
+        if i % 2:
+            rows.append(Row(doc_id=i, label=1,
+                            text=f"filler{i % 5} cleanprose wellwritten"))
+        else:
+            rows.append(Row(doc_id=i, label=0,
+                            text=f"filler{i % 5} spamspam clickbait"))
+    df = spark.createDataFrame(rows)
+    batch1 = df.filter(F.col("doc_id") < 40)
+    batch2 = df.filter(F.col("doc_id") >= 40)
+
+    w1, h1 = train_linear_classifier(batch1, n_buckets=512, iters=4, lr=2.0)
+    w2, h2 = train_linear_classifier(
+        batch2, n_buckets=512, iters=4, lr=2.0, init_weights=w1
+    )
+    cold, hc = train_linear_classifier(batch2, n_buckets=512, iters=1, lr=2.0)
+    # warm baseline (loss of w1 on batch2) beats the zero-weight
+    # baseline: the prior model transfers
+    assert h2[0] < hc[0]
+    assert h2[-1] < h2[0]  # and continues improving
+    with _pytest.raises(ValueError, match="warm start"):
+        train_linear_classifier(batch2, n_buckets=256, iters=1, init_weights=w1)
