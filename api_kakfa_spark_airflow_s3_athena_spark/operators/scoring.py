@@ -211,6 +211,10 @@ def train_linear_classifier(
         F.col(label_col).cast("double").alias("__y"),
         hashed_feature_buckets(F.col(text_col), n_buckets).alias("__b"),
     ).filter(F.size("__b") > 0)
+    # a NULL label would poison the whole gradient (NaN loss / NaN
+    # partials survive every sum) — unlabeled rows contribute nothing
+    # to supervised training, drop them at the scan
+    base = base.filter(F.col("__y").isNotNull())
     base = base.localCheckpoint(eager=True)
 
     if init_weights is None:

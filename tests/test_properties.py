@@ -374,3 +374,36 @@ def test_snapshot_diff_property(spark, old, new):
         }
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_count_equals_brute_force(spark, edges):
+    """Degree-ordered triangle counting equals the O(n^3) brute force
+    on arbitrary small graphs (hubs, cliques, disconnected bits —
+    whatever hypothesis draws)."""
+    import itertools
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        triangle_count,
+    )
+
+    eset = set(edges)
+    nodes = sorted({n for e in eset for n in e})
+    naive = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    df = spark.createDataFrame([Row(u=a, v=b) for a, b in sorted(eset)])
+    r = triangle_count(df).collect()[0]
+    assert r.n_triangles == naive
+    assert r.n_edges == len(eset) and r.n_nodes == len(nodes)

@@ -463,3 +463,27 @@ def test_train_linear_classifier_warm_start(spark):
     assert h2[-1] < h2[0]  # and continues improving
     with _pytest.raises(ValueError, match="warm start"):
         train_linear_classifier(batch2, n_buckets=256, iters=1, init_weights=w1)
+
+
+def test_train_linear_classifier_ignores_null_labels(spark):
+    """A NULL label must not poison the gradient (NaN survives every
+    sum): unlabeled rows are dropped, training still converges on the
+    labeled remainder."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.scoring import (
+        train_linear_classifier,
+    )
+
+    rows = []
+    for i in range(60):
+        if i % 5 == 0:
+            rows.append(Row(doc_id=i, label=None, text="mystery unlabeled row"))
+        elif i % 2:
+            rows.append(Row(doc_id=i, label=1, text=f"f{i % 3} cleanprose wellwritten"))
+        else:
+            rows.append(Row(doc_id=i, label=0, text=f"f{i % 3} spamspam clickbait"))
+    df = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    w, hist = train_linear_classifier(df, n_buckets=256, iters=4, lr=2.0)
+    import math
+
+    assert all(math.isfinite(h) for h in hist)
+    assert hist[-1] < hist[0]
