@@ -378,7 +378,13 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >=1 band of the signature
     (:func:`minhash_band_index` built inline) — O(S log S) per row
-    where the classic per-hash scheme is O(S·num_hashes).
+    where the classic per-hash scheme is O(S·num_hashes). NOTE: with
+    the default ``guard_hot_buckets=None`` this launches one eager
+    sizing ``count()`` Spark job on ``df`` at CALL time (memoized per
+    semantic plan, shared with ``_auto_blocks_for``) — a derived or
+    expensive input re-executes its upstream plan once to pick the
+    knob; size-aware callers building many frames in a loop should
+    pass an explicit bool (the contract queries do).
 
     Returns ``(id_a, id_b)`` with id_a < id_b, distinct. Pair
     generation groups each band bucket into its (sorted) id list and

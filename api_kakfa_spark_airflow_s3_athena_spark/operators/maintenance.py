@@ -34,6 +34,7 @@ from typing import List, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 __all__ = ["compact_parquet", "plan_compaction", "snapshot_diff"]
 
@@ -168,10 +169,26 @@ def snapshot_diff(
     renders without quoting — round-8 ADVICE finding; both
     regression-pinned.) Equality is exact up to a ~2^-128 md5
     collision, the same digest-not-documents trade as ``exact_dedup``.
+
+    MapType content columns are canonicalized first (``map_entries``
+    sorted by key) — a map's entry order is physical storage order,
+    so two semantically equal maps could otherwise digest differently
+    and report a spurious ``changed`` (round-8 ADVICE finding;
+    regression-pinned). Top-level maps only: a map nested INSIDE an
+    array/struct value still renders in storage order — declare such
+    columns with the map at the top level, or pre-canonicalize.
     """
+    def _canon(df: DataFrame, c: str):
+        # sort_array on array<struct<key,value>> orders by the struct
+        # fields left-to-right — key first, and map keys are unique,
+        # so the order is total and value types never tie-break
+        if isinstance(df.schema[c].dataType, MapType):
+            return F.sort_array(F.map_entries(F.col(c))).alias(c)
+        return F.col(c).alias(c)
+
     def _dig(df: DataFrame):
         payload = F.to_json(
-            F.struct(*[F.col(c).alias(c) for c in content_cols]),
+            F.struct(*[_canon(df, c) for c in content_cols]),
             {"ignoreNullFields": "false"},
         )
         return df.select(F.col(id_col), F.md5(payload).alias("__dg"))

@@ -202,7 +202,13 @@ def train_linear_classifier(
     Returns ``(weights ndarray[n_buckets], loss_history list)`` where
     loss is mean log-loss per iteration (computed on the PRE-update
     weights, so ``loss_history[0]`` is the baseline of the incoming
-    weights — zeros for a cold start).
+    weights — zeros for a cold start). ``loss_history`` is the
+    UNPENALIZED data loss: with ``l2 > 0`` the decay is applied to
+    the weights but ``0.5*l2*||w||²`` is NOT added to the recorded
+    loss, so only the regularized objective — not this history — is
+    guaranteed to decrease; the "loss decreases" contract the
+    registry queries pin holds at the default ``l2=0`` (round-8
+    ADVICE finding).
     """
     import numpy as np
     import pandas as pd

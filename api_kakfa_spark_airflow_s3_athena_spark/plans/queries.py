@@ -7651,6 +7651,9 @@ def classifier_incremental_updates(spark, sf_dir):
         w, h = SC.train_linear_classifier(
             batch, n_buckets=4096, iters=3, lr=2.0, init_weights=w
         )
+        if not h:  # empty/all-null-label epoch -> empty history; fail
+            # loudly instead of an opaque IndexError (ADVICE r08 #2)
+            raise ValueError(f"epoch {ep} produced no labeled rows")
         firsts.append(h[0])
         improved.append(bool(h and h[-1] < h[0]))
     wt = SC.quantize_weights(spark, w)

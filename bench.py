@@ -1,6 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+TWO JSON lines — the full artifact (per-run detail) followed by a
+compact headline summary (same fields minus query_runs/
+escalation_runs), so a tail-truncated recording always retains a
+parseable headline (round-9; BENCH_r08.json lost its totals to
+truncation):
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
@@ -229,6 +233,7 @@ def main() -> None:
         return _time_once(fn)
 
     escalated: dict = {}
+    escalation_runs: dict = {}
     for _pass in range(MAX_EXTRA_PASSES):
         best, spread = _r01_spread()
         if spread <= SPREAD_FRAC * best:
@@ -258,7 +263,17 @@ def main() -> None:
         for name in noisy_rows:
             runs = query_runs[name]
             try:
-                runs.append(_single_run(name))
+                t = _single_run(name)
+                runs.append(t)
+                # escalation-pass times recorded separately too: they
+                # execute after the whole suite has warmed the JVM and
+                # page cache, so a best-of-3/4 min drawn from them is
+                # systematically faster than the clean 2-run protocol —
+                # cross-round comparisons need to see which runs are
+                # which (ADVICE r08 #5). query_runs keeps ALL runs in
+                # order (the first runs_per_query entries are the
+                # initial pass), escalation_runs is the warm tail.
+                escalation_runs.setdefault(name, []).append(t)
                 timings[name] = min(runs)
                 escalated[name] = len(runs)
             except Exception as exc:
@@ -294,26 +309,34 @@ def main() -> None:
     # BASELINE.md): the headline set has grown every round as new
     # operators gained bench rows, so the all-set total is NOT
     # comparable across rounds and is reported separately.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_r01_set_total_sec",
-                "value": r01_total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "all_queries_total_sec": total,
-                "r01_set_total_sec": r01_total,
-                "r01_set_total_worst_sec": r01_worst,
-                "spread_sec": spread_sec,
-                "contended": contended,
-                "escalated_runs": escalated,
-                "query_runs": query_runs,
-                "streaming_dedup_epoch_marginal_sec": LAST_STREAM_DEDUP_EPOCH_SEC,
-                "runs_per_query": RUNS_PER_QUERY,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_r01_set_total_sec",
+        "value": r01_total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "all_queries_total_sec": total,
+        "r01_set_total_sec": r01_total,
+        "r01_set_total_worst_sec": r01_worst,
+        "spread_sec": spread_sec,
+        "contended": contended,
+        "escalated_runs": escalated,
+        "runs_per_query": RUNS_PER_QUERY,
+        "streaming_dedup_epoch_marginal_sec": LAST_STREAM_DEDUP_EPOCH_SEC,
+    }
+    # Full artifact first (per-run detail), compact headline LAST.
+    # The driver records only the TAIL of stdout and parses the last
+    # JSON line; BENCH_r08.json was "headless" (parsed: null, tail
+    # beginning mid-query_runs) because the one giant line put the
+    # totals before a query_runs map that had outgrown the tail window
+    # (VERDICT r08 #1). With the compact line printed last, truncation
+    # can eat per-run detail but never the headline, and the last line
+    # always parses. The compact line keeps `queries` (the per-query
+    # minima the verification ledger's null-demotion reads) but drops
+    # `query_runs`/`escalation_runs` — ~40 floats, not ~40 lists.
+    print(json.dumps({**summary, "query_runs": query_runs,
+                      "escalation_runs": escalation_runs}))
+    print(json.dumps(summary))
     spark.stop()
 
 

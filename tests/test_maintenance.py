@@ -179,3 +179,38 @@ def test_snapshot_diff_struct_content_column(spark):
         for r in snapshot_diff(old, new, "id", ("meta",)).collect()
     }
     assert got == {(1, "changed")}
+
+
+def test_snapshot_diff_map_content_entry_order_canonicalized(spark):
+    """Round-8 ADVICE regression: MapType renders in physical storage
+    order under ``to_json``, so two semantically equal maps built in
+    different entry orders digested differently and reported a
+    spurious 'changed'. snapshot_diff now canonicalizes top-level map
+    columns (map_entries sorted by key) — equal maps must digest
+    equal regardless of construction order, while a genuine value
+    change must still be detected."""
+    from pyspark.sql import functions as F
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "k1", "v1", "k2", "v2"), (2, "a", "1", "b", "2")],
+        "id int, ka string, va string, kb string, vb string",
+    ).select(
+        "id", F.create_map("ka", "va", "kb", "vb").alias("props")
+    )
+    # same maps, entries constructed in the OPPOSITE order; id=2 also
+    # genuinely changes one value
+    new = spark.createDataFrame(
+        [(1, "k2", "v2", "k1", "v1"), (2, "b", "2", "a", "CHANGED")],
+        "id int, ka string, va string, kb string, vb string",
+    ).select(
+        "id", F.create_map("ka", "va", "kb", "vb").alias("props")
+    )
+    got = {
+        (r.id, r.status)
+        for r in snapshot_diff(old, new, "id", ("props",)).collect()
+    }
+    assert got == {(2, "changed")}

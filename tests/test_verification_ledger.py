@@ -196,3 +196,24 @@ def test_registry_tally_matches_parity():
     assert int(m.group(2)) == n_oracled, (
         f"PARITY.md says {m.group(2)} oracled, REGISTRY has {n_oracled}"
     )
+
+
+def test_registry_tally_matches_readme():
+    """README.md's layout table quotes the registry size too, and it
+    drifted in round 8 (said 187 at a 188-query HEAD — VERDICT r08
+    'what's wrong' #2). Same pin as PARITY.md: the quoted counts must
+    equal the live REGISTRY."""
+    import os
+    import re
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as fh:
+        m = re.search(r"`queries\(\)` \((\d+)\), `oracle_sql\(\)` \((\d+)", fh.read())
+    assert m, "README.md lost its '`queries()` (N), `oracle_sql()` (M' line"
+    n_oracled = sum(1 for s in REGISTRY.values() if s.oracle)
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"README.md says {m.group(1)} queries, REGISTRY has {len(REGISTRY)}"
+    )
+    assert int(m.group(2)) == n_oracled, (
+        f"README.md says {m.group(2)} oracled, REGISTRY has {n_oracled}"
+    )
