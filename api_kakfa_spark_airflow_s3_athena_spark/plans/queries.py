@@ -6570,6 +6570,175 @@ def ann_cosine_topk_pq(spark, sf_dir):
     return row
 
 
+def _pq_appended_index(spark, sf_dir):
+    """PQ code table built+written once from the corpus slice, books
+    persisted via pq_save_books, delta batch APPENDED once via
+    pq_index_append (stage-cached so repeat calls never double-append);
+    returns (books reloaded from the stored artifact, appended encoded
+    table read back, corpus, delta). Same split as _ivf_appended_index:
+    corpus = vec_id%5 != 0, delta = the %5 == 0 rows plus planted
+    re-ingested copies of the corpus' %7 == 0 rows at id+10M."""
+    emb = _t(spark, sf_dir, "embeddings")
+    offset = 10_000_000
+    corpus = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    plants = (
+        corpus.filter(F.col("vec_id") % 7 == 0)
+        .select((F.col("vec_id") + offset).alias("vec_id"), "embedding")
+    )
+    delta = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(plants)
+    )
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:pq_append"
+    idx_dir = _STAGE_CACHE.get(key)
+    if idx_dir is None:
+        idx_dir = tempfile.mkdtemp(prefix="pq_append_")
+        books = SIM.pq_codebooks(corpus, m=8, ksub=16, iters=3)
+        SIM.pq_save_books(spark, books, os.path.join(idx_dir, "books"))
+        # encode + query through the RELOADED artifact, so the round
+        # trip itself is on the verified path (bit-exact reload)
+        stored_books = SIM.pq_load_books(spark, os.path.join(idx_dir, "books"))
+        codes_dir = os.path.join(idx_dir, "codes")
+        SIM.pq_encode(corpus, stored_books).write.mode("overwrite").parquet(
+            codes_dir
+        )
+        SIM.pq_index_append(delta, stored_books).write.mode("append").parquet(
+            codes_dir
+        )
+        _STAGE_CACHE[key] = idx_dir
+    return (
+        SIM.pq_load_books(spark, os.path.join(idx_dir, "books")),
+        spark.read.parquet(os.path.join(idx_dir, "codes")),
+        corpus,
+        delta,
+    )
+
+
+@register(
+    "ann_pq_delta_append",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corpus,
+               CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delta_new,
+               CAST(SUM(CASE WHEN vec_id % 7 = 0 AND vec_id % 5 <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_planted,
+               true AS index_rows_ok,
+               true AS encode_equiv_ok,
+               true AS planted_rank1_ok,
+               true AS drift_band_ok
+        FROM embeddings
+    """,
+    tags=("similarity", "pq", "incremental"),
+    bench_fn=lambda spark, sf_dir: SIM.pq_index_append(
+        _pq_appended_index(spark, sf_dir)[3],
+        _pq_appended_index(spark, sf_dir)[0],
+    ),
+)
+def ann_pq_delta_append(spark, sf_dir):
+    """Incremental PQ index maintenance (round-8 VERDICT #4 — gives PQ
+    the same delta story IVF has): codebooks are trained once on the
+    corpus snapshot and PERSISTED (pq_save_books / pq_load_books,
+    bit-exact round trip), the corpus code table is written once, and
+    a new vector batch is encoded against the FROZEN reloaded books
+    (one row-local Arrow pass over the delta only) and appended — the
+    stored corpus is never re-read, never re-encoded. Contract:
+    (a) the appended code table read back has exactly corpus+delta
+        rows;
+    (b) it is (id, codes)-identical to a full re-encode of
+        corpus+delta under the same books — append-equals-rebuild,
+        checked NULL-safely through a full-outer join;
+    (c) planted exact duplicates (corpus %7 rows re-ingested at
+        id+10M in the delta) retrieve their ORIGINAL at rank 1
+        THROUGH the stored appended table: identical vector =>
+        identical codes => exactly tied ADC distance, original wins
+        the id tie-break — recall 1.0 by construction;
+    (d) the codebook-drift trigger stays un-tripped on
+        same-distribution data: the delta batch's quantization error
+        is within 1.5x of the build corpus' baseline (the re-train
+        band pq_index_append documents), and both errors are finite
+        and positive. Counts cross the engine compare."""
+    emb = _t(spark, sf_dir, "embeddings")
+    offset = 10_000_000
+    books, stored, corpus, delta = _pq_appended_index(spark, sf_dir)
+    expected_rows = corpus.count() + delta.count()
+    rows_ok = stored.agg(
+        (F.count(F.lit(1)) == F.lit(expected_rows)).alias("ok")
+    )
+    rebuilt = SIM.pq_encode(corpus.unionByName(delta), books).select(
+        "vec_id", F.col("codes").alias("r_codes")
+    )
+    equiv = (
+        stored.join(rebuilt, "vec_id", "full")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("codes").isNotNull()
+                    & F.col("r_codes").isNotNull()
+                    & (F.col("codes") == F.col("r_codes"))
+                ),
+                F.lit(True),
+            ).alias("ok")
+        )
+    )
+    plant_q = delta.filter(F.col("vec_id") >= offset).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = SIM.pq_topk(plant_q, stored, books, k=2)
+    recall = (
+        hits.groupBy("query_id")
+        .agg(
+            F.max(
+                ((F.col("neighbor_id") + offset) == F.col("query_id"))
+                & (F.col("rnk") == 1)
+            ).alias("found_rank1")
+        )
+        .agg(
+            F.coalesce(F.min("found_rank1"), F.lit(True)).alias("all_found"),
+            F.count(F.lit(1)).alias("n_queried"),
+        )
+    )
+    base_err = SIM.pq_quantization_error(corpus, books).select(
+        F.col("mse").alias("base_mse")
+    )
+    delta_err = SIM.pq_quantization_error(
+        delta.filter(F.col("vec_id") < offset), books
+    ).select(F.col("mse").alias("delta_mse"))
+    drift = base_err.crossJoin(delta_err).select(
+        (
+            (F.col("base_mse") > 0)
+            & (F.col("delta_mse") > 0)
+            & (F.col("delta_mse") <= 1.5 * F.col("base_mse"))
+        ).alias("drift_band_ok")
+    )
+    doc_agg = emb.agg(
+        F.sum((F.col("vec_id") % 5 != 0).cast("long")).alias("n_corpus"),
+        F.sum((F.col("vec_id") % 5 == 0).cast("long")).alias("n_delta_new"),
+        F.sum(((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 0)).cast("long")).alias(
+            "n_planted"
+        ),
+    )
+    return (
+        doc_agg.crossJoin(rows_ok.withColumnRenamed("ok", "index_rows_ok"))
+        .crossJoin(equiv.withColumnRenamed("ok", "encode_equiv_ok"))
+        .crossJoin(recall)
+        .crossJoin(drift)
+        .select(
+            "n_corpus",
+            "n_delta_new",
+            "n_planted",
+            "index_rows_ok",
+            "encode_equiv_ok",
+            (F.col("all_found") & (F.col("n_queried") == F.col("n_planted"))).alias(
+                "planted_rank1_ok"
+            ),
+            "drift_band_ok",
+        )
+    )
+
+
 @register(
     "training_data_funnel",
     oracle="""

@@ -113,6 +113,11 @@ HEADLINE = HEADLINE_R01 + [
     # iterations, one Arrow gradient scan + one 4096-row shuffle
     # each, quantize + production-path holdout scoring)
     "quality_classifier_training",
+    # round-9 addition: incremental PQ maintenance (bench_fn = encode
+    # the delta batch against the frozen stored codebooks; the
+    # codebook/corpus staging happens on the first of the two runs,
+    # the same convention as the IVF/MinHash/SimHash index rows)
+    "ann_pq_delta_append",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit
