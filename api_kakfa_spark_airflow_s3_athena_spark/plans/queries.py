@@ -7845,6 +7845,194 @@ def classifier_incremental_updates(spark, sf_dir):
     )
 
 
+def _gate_labeled_docs(spark, sf_dir):
+    """The separable planted corpus the classifier queries share:
+    every doc gains class-marker tokens (%2 split), labeled by the
+    marker. Returns (doc_id, label, text)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 1).cast("int").alias("label"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.lit(" cleanprose cleanprose wellwritten"),
+            ).otherwise(F.lit(" spamspam spamspam clickbait")),
+        ).alias("text"),
+    )
+
+
+def _gate_model_path(spark, sf_dir):
+    """Train + quantize + PERSIST the quality-gate model once per
+    session (the deploy step of the lifecycle): the stored parquet
+    weight table is the artifact the streaming gate reloads every
+    epoch. Trained on the doc_id%3 != 0 split — the streamed slice
+    (%3 == 0) is data the model has never seen."""
+    from ..operators import scoring as SC
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:gate_model"
+    path = _STAGE_CACHE.get(key)
+    if path is None:
+        train = _gate_labeled_docs(spark, sf_dir).filter(F.col("doc_id") % 3 != 0)
+        w, _ = SC.train_linear_classifier(train, n_buckets=4096, iters=4, lr=2.0)
+        path = os.path.join(tempfile.mkdtemp(prefix="gate_model_"), "weights")
+        SC.quantize_weights(spark, w).write.mode("overwrite").parquet(path)
+        _STAGE_CACHE[key] = path
+    return path
+
+
+def _run_stream_quality_gate(spark, sf_dir, base, epoch_times=None):
+    """Stage the 3-epoch document stream under ``base`` and run the
+    streaming quality gate to completion (availableNow). Shared by the
+    contract query (cached per session) and the bench row (fresh dir
+    per call; the session-cached model artifact is staging, so the
+    measured time is stream scoring, not training)."""
+    from ..streaming.scoring import quality_gate_sink
+
+    model_path = _gate_model_path(spark, sf_dir)
+    sl = _gate_labeled_docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    src = os.path.join(base, "src")
+    for i, e in enumerate(
+        sl.filter(F.col("doc_id") % 9 == r).select("doc_id", "text")
+        for r in (0, 3, 6)
+    ):
+        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = quality_gate_sink(
+            stream,
+            model_path=model_path,
+            scores_path=os.path.join(base, "scores"),
+            checkpoint=os.path.join(base, "ckpt"),
+            n_buckets=4096,
+            available_now=True,
+            epoch_times=epoch_times,
+        )
+        q.awaitTermination()
+
+
+# per-epoch wall seconds of the most recent _stream_gate_bench run —
+# read by bench.py (the dedup sink's marginal-cost convention)
+LAST_STREAM_GATE_EPOCH_SEC: list = []
+
+
+def _stream_gate_bench(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="stream_gate_bench_")
+    epoch_times: dict = {}
+    _run_stream_quality_gate(spark, sf_dir, base, epoch_times=epoch_times)
+    LAST_STREAM_GATE_EPOCH_SEC.append(
+        [round(epoch_times[k], 3) for k in sorted(epoch_times)]
+    )
+    return spark.read.parquet(os.path.join(base, "scores")).select(
+        "doc_id", "score", "keep"
+    )
+
+
+@register(
+    "streaming_quality_gate",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_streamed,
+               CAST(3 AS BIGINT) AS n_epochs,
+               true AS scores_equal_batch,
+               true AS exactly_once_ok,
+               true AS gate_all_correct
+        FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("streaming", "classifier", "llm-pipeline"),
+    bench_fn=_stream_gate_bench,
+)
+def streaming_quality_gate(spark, sf_dir):
+    """Streaming arm of the classifier lifecycle (round-8 VERDICT #6
+    — train -> quantize -> score was batch-only): the model trained on
+    the doc_id%3 != 0 split is quantized and PERSISTED as a parquet
+    weight table, and the held-out slice (%3 == 0, never seen in
+    training) streams in three micro-batches through
+    ``streaming/scoring.quality_gate_sink`` — each epoch reloads the
+    stored artifact and scores through the PRODUCTION inference path,
+    writing epoch-overwrite score directories. Contract:
+
+    - streaming-equals-batch-scores: the union of per-epoch outputs is
+      EXACTLY ``linear_text_classifier`` over the whole staged slice
+      with the same reloaded weight table — (n_feats, score, keep) all
+      equal through a NULL-safe full-outer join (integer sums + one
+      division are bit-identical, so this is exact equality, not a
+      tolerance band);
+    - exactly-once: no document is scored in two epochs;
+    - the gate decides correctly on every streamed doc (keep ==
+      planted label — separable corpus, recall 1.0 by construction);
+    - streamed-slice count and the epoch count cross the compare."""
+    from ..operators import scoring as SC
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:stream_gate"
+    base = _STAGE_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_gate_")
+        _run_stream_quality_gate(spark, sf_dir, base)
+        _STAGE_CACHE[key] = base
+    streamed = spark.read.parquet(os.path.join(base, "scores"))
+    sl = _gate_labeled_docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    weights = spark.read.parquet(_gate_model_path(spark, sf_dir))
+    batch = SC.linear_text_classifier(sl, weights, n_buckets=4096).select(
+        "doc_id",
+        F.col("n_feats").alias("b_feats"),
+        F.col("score").alias("b_score"),
+        F.col("keep").alias("b_keep"),
+    )
+    equal = (
+        streamed.select("doc_id", "n_feats", "score", "keep")
+        .join(batch, "doc_id", "full")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("score").isNotNull()
+                    & F.col("b_score").isNotNull()
+                    & (F.col("n_feats") == F.col("b_feats"))
+                    & (F.col("score") == F.col("b_score"))
+                    & (F.col("keep") == F.col("b_keep"))
+                ),
+                F.lit(True),
+            ).alias("scores_equal_batch")
+        )
+    )
+    once = streamed.agg(
+        (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias("exactly_once_ok"),
+        (F.count_distinct("epoch") == F.lit(3)).alias("three_epochs"),
+    )
+    correct = (
+        streamed.join(sl.select("doc_id", "label"), "doc_id")
+        .agg(
+            F.coalesce(
+                F.min(F.col("keep") == (F.col("label") == 1)), F.lit(False)
+            ).alias("gate_all_correct")
+        )
+    )
+    counts = sl.agg(F.count(F.lit(1)).cast("long").alias("n_streamed"))
+    return (
+        counts.crossJoin(equal)
+        .crossJoin(once)
+        .crossJoin(correct)
+        .select(
+            "n_streamed",
+            F.when(F.col("three_epochs"), F.lit(3)).otherwise(F.lit(-1))
+            .cast("long")
+            .alias("n_epochs"),
+            "scores_equal_batch",
+            "exactly_once_ok",
+            "gate_all_correct",
+        )
+    )
+
+
 @register(
     "quality_classifier_scores",
     oracle="""

@@ -118,6 +118,10 @@ HEADLINE = HEADLINE_R01 + [
     # codebook/corpus staging happens on the first of the two runs,
     # the same convention as the IVF/MinHash/SimHash index rows)
     "ann_pq_delta_append",
+    # round-9 addition: streaming classifier gate (3-epoch pipeline
+    # total; the per-epoch MARGINAL seconds are reported separately
+    # like the streaming-dedup row; model training is session-staged)
+    "streaming_quality_gate",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit
@@ -288,6 +292,7 @@ def main() -> None:
 
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
         LAST_STREAM_DEDUP_EPOCH_SEC,
+        LAST_STREAM_GATE_EPOCH_SEC,
     )
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
@@ -328,6 +333,7 @@ def main() -> None:
         "escalated_runs": escalated,
         "runs_per_query": RUNS_PER_QUERY,
         "streaming_dedup_epoch_marginal_sec": LAST_STREAM_DEDUP_EPOCH_SEC,
+        "streaming_gate_epoch_marginal_sec": LAST_STREAM_GATE_EPOCH_SEC,
     }
     # Full artifact first (per-run detail), compact headline LAST.
     # The driver records only the TAIL of stdout and parses the last
