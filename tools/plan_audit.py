@@ -73,6 +73,11 @@ AUDIT = [
     "graph_degree_distribution",
     "graph_triangle_count",
     "quality_classifier_training",
+    # round 9 addition: the incremental PQ maintenance contract (the
+    # streaming gate is a foreachBatch pipeline, like
+    # streaming_dedup_ingest not in this list — its batch-inference
+    # plan is covered by quality_classifier_scores)
+    "ann_pq_delta_append",
 ]
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -336,6 +337,63 @@ def generate_zipf(spark, mult: int, out_dir: str) -> None:
     )
 
 
+def generate_graph(spark, mult: int, out_dir: str) -> None:
+    """Zipfian-DEGREE undirected graph fixture (round-9, VERDICT r08
+    #5): the lineitem co-purchase graph the registry queries measure
+    is hub-free by construction (orders cap at 7 lines), so it cannot
+    exercise triangle_count's degree-ordered orientation — the whole
+    point of that algorithm is surviving hubs. Here both endpoints of
+    every edge sample their node RANK from Zipf(s=1) over
+    ``n_nodes = 10_000 * mult/10`` via the inverse CDF
+    (node = floor(N^u), p(node) ∝ 1/node — the generate_zipf trick),
+    giving a heavy-tailed degree distribution whose top hub touches
+    ~n_edges/H_N edges (~7% of the graph at any scale). Edges are
+    distinct with u < v (the triangle_count input contract);
+    ``n_edges = 50_000 * mult`` raw samples before dedup, so
+    --mult 100 yields a ~5M-edge graph with a ~300k-degree hub — the
+    regime where the naive wedge join dies and the oriented one must
+    stay near-linear."""
+    import math
+
+    n_edges = 50_000 * mult
+    n_nodes = 10_000 * max(mult // 10, 1)
+    lnN = math.log(n_nodes)
+
+    os.makedirs(out_dir, exist_ok=True)
+    base = spark.range(n_edges)
+    u01 = lambda tag: (  # noqa: E731 — U(0,1) per endpoint slot
+        F.pmod(F.xxhash64("id", F.lit(tag)), F.lit(1_000_003)).cast("double")
+        / 1_000_003.0
+    )
+    a = F.floor(F.exp(u01("a") * F.lit(lnN))).cast("long")
+    b = F.floor(F.exp(u01("b") * F.lit(lnN))).cast("long")
+    (
+        base.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "edges.parquet"))
+    )
+
+
+def _graph_edges(spark, d):
+    return spark.read.parquet(os.path.join(d, "edges.parquet"))
+
+
+def _graph_fns():
+    from api_kakfa_spark_airflow_s3_athena_spark.operators import graph as GR
+
+    return {
+        "graph_triangle_count_zipf": lambda spark, d: GR.triangle_count(
+            _graph_edges(spark, d)
+        ),
+        "graph_degree_distribution_zipf": lambda spark, d: GR.degree_distribution(
+            _graph_edges(spark, d)
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -344,6 +402,12 @@ def main() -> None:
         action="store_true",
         help="use the Zipfian-vocabulary documents fixture (set-similarity"
         " joins); default ops become the exact prefix join",
+    )
+    ap.add_argument(
+        "--graph",
+        action="store_true",
+        help="use the Zipfian-degree edge-list fixture (hubby graph);"
+        " default ops become the graph operators run directly on it",
     )
     ap.add_argument(
         "--docs-only",
@@ -368,10 +432,24 @@ def main() -> None:
     from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
 
     spark = local_test_session("scale_check")
-    prefix = "zipf" if args.zipf else "sf"
+    prefix = "graph" if args.graph else ("zipf" if args.zipf else "sf")
     scale_dir = os.path.join(REPO, ".scale", f"{prefix}{args.mult / 10:g}")
 
-    if args.zipf:
+    if args.graph:
+        if args.ops == ",".join(HEAVY_OPS):
+            args.ops = ",".join(_graph_fns())
+        # the base dir is a graph fixture too — auto-generate it from
+        # its encoded mult (".scale/graphG" => mult = 10*G) so one
+        # invocation measures the whole step
+        for d in (args.base, scale_dir):
+            m = re.match(r".*graph([0-9.]+)$", d.rstrip("/"))
+            if m and not os.path.exists(os.path.join(d, "edges.parquet")):
+                t0 = time.time()
+                generate_graph(spark, int(float(m.group(1)) * 10), d)
+                print(
+                    f"generated {d} in {time.time() - t0:.1f}s", file=sys.stderr
+                )
+    elif args.zipf:
         if args.ops == ",".join(HEAVY_OPS):
             args.ops = "exact_jaccard_join_prefix"
         if not os.path.exists(os.path.join(scale_dir, "documents.parquet")):
@@ -409,9 +487,14 @@ def main() -> None:
                 f"({time.time() - t0:.1f}s)", file=sys.stderr,
             )
 
+    graph_fns = _graph_fns()
+
     def run(name: str, sf_dir: str) -> float:
-        spec = REGISTRY[name]
-        fn = spec.bench_fn or spec.fn
+        if name in graph_fns:
+            fn = graph_fns[name]
+        else:
+            spec = REGISTRY[name]
+            fn = spec.bench_fn or spec.fn
         best = None
         for _ in range(args.runs):
             t0 = time.time()
@@ -432,6 +515,8 @@ def main() -> None:
                   "customer", "supplier", "events"):
             if os.path.exists(os.path.join(d, f"{t}.parquet")):
                 load_table(spark, d, t).count()
+        if os.path.exists(os.path.join(d, "edges.parquet")):
+            _graph_edges(spark, d).count()
 
     results = {}
     for name in args.ops.split(","):
