@@ -270,7 +270,70 @@ def degree_distribution(
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
-def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+def _degree_oriented(e: DataFrame) -> DataFrame:
+    """Orient each undirected edge ``(a, b)`` from its
+    lower-(degree, id) endpoint: returns ``(s, t, tk)`` where ``tk``
+    is the target's (degree, id) struct key. Shared by
+    :func:`triangle_count` (the wedge join) and
+    :func:`wedge_census` (its work estimator) so the two always
+    describe the same orientation."""
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    return withdeg.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(ka < kb, kb).otherwise(ka).alias("tk"),
+    )
+
+
+def wedge_census(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Pre-flight work estimator for :func:`triangle_count`: one row
+    ``(n_nodes, n_edges, n_wedges, max_outdeg)`` where ``n_wedges`` =
+    Σ C(outdeg, 2) under the degree orientation — EXACTLY the row
+    count of the wedge join triangle counting launches, so wall time
+    is near-proportional to it (measured 0.37-0.49 µs/wedge at
+    0.5M-5.6M edges, NOTES round 9).
+
+    Why it exists: edge count is NOT the scaling predictor on
+    densifying graphs — the round-9 Zipf-degree measurement found
+    wedge volume (and the triangle count itself) growing 19x for a
+    10x edge step because the Zipf head compacts into a near-clique.
+    This census is two skinny aggregations (degree, then per-source
+    out-degree) — the ``join_key_skew_report`` discipline applied to
+    graphs: census first, launch the quadratic-capable join knowingly.
+    """
+    e = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+    oriented = _degree_oriented(e)
+    out = oriented.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    wedges = out.agg(
+        F.coalesce(
+            F.sum(F.col("od") * (F.col("od") - 1) / 2).cast("long"), F.lit(0)
+        ).alias("n_wedges"),
+        F.coalesce(F.max("od"), F.lit(0)).alias("max_outdeg"),
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .agg(F.count_distinct("n").alias("n_nodes"))
+    )
+    return counts.crossJoin(wedges).select(
+        "n_nodes", "n_edges", "n_wedges", "max_outdeg"
+    )
+
+
+def triangle_count(
+    edges: DataFrame, u: str = "u", v: str = "v", max_wedges: int = 0
+) -> DataFrame:
     """Global triangle count of an undirected graph via DEGREE-ORDERED
     orientation (the compact-forward / node-iterator algorithm,
     Latapy 2008 — what Spark lacks as a builtin): orient every edge
@@ -289,25 +352,28 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
 
     Input edges must be distinct with ``u < v``. Returns a single row
     ``(n_nodes, n_edges, n_triangles)``.
+
+    ``max_wedges > 0`` runs :func:`wedge_census` FIRST and raises
+    ``ValueError`` when Σ C(outdeg, 2) exceeds it — wedge volume is
+    the join's actual row count and can grow superlinearly on
+    densifying graphs (19x for 10x edges on the round-9 Zipf-degree
+    fixture), so a budgeted caller censuses before launching (the
+    ``max_queries`` / ``max_bins_per_interval`` discipline). The
+    census costs two skinny aggregations and one extra scan of the
+    edge frame; the default 0 skips it.
     """
+    if max_wedges:
+        w = wedge_census(edges, u, v).collect()[0]
+        if w.n_wedges > max_wedges:
+            raise ValueError(
+                f"triangle_count: wedge census {w.n_wedges} exceeds "
+                f"max_wedges={max_wedges} (max outdeg {w.max_outdeg}); "
+                "the graph's degree head is too dense for this budget — "
+                "raise the budget, or prune low-support edges first "
+                "(cooccurrence_edges min_support)"
+            )
     e = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    withdeg = (
-        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
-    )
-    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
-    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
-    oriented = withdeg.select(
-        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("s"),
-        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("t"),
-        F.when(ka < kb, kb).otherwise(ka).alias("tk"),
-    )
+    oriented = _degree_oriented(e)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
@@ -318,7 +384,9 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles")
     )
     counts = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
-        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .agg(F.count_distinct("n").alias("n_nodes"))
     )
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 

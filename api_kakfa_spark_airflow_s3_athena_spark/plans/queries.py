@@ -8769,6 +8769,73 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+@register(
+    "graph_wedge_census",
+    oracle="""
+        WITH pu AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        ),
+        ew AS (
+            SELECT a.i AS u, b.i AS v, count(*) AS w
+            FROM pu a JOIN pu b ON a.g = b.g AND a.i < b.i
+            GROUP BY a.i, b.i
+        ),
+        e AS (SELECT u, v FROM ew WHERE w >= 2),
+        deg AS (
+            SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY n
+        ),
+        o AS (
+            SELECT CASE WHEN (du.d < dv.d)
+                          OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.u ELSE e.v END AS s
+            FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+        ),
+        od AS (SELECT s, count(*) AS od FROM o GROUP BY s),
+        agg AS (
+            SELECT CAST(COALESCE(SUM(od * (od - 1) / 2), 0) AS BIGINT)
+                       AS n_wedges,
+                   CAST(COALESCE(MAX(od), 0) AS BIGINT) AS max_outdeg
+            FROM od
+        ),
+        nodes AS (
+            SELECT count(DISTINCT n) AS n_nodes
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        )
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               n_wedges, max_outdeg
+        FROM nodes, agg
+    """,
+    tags=("graph", "llm-pipeline"),
+)
+def graph_wedge_census(spark, sf_dir):
+    """Wedge census of the part co-purchase graph (round 9): the
+    pre-flight work estimator for degree-oriented triangle counting —
+    Σ C(outdeg, 2) under the lower-(degree, id) orientation is
+    EXACTLY the row count of the wedge join ``triangle_count``
+    launches, and the round-9 Zipf-degree measurement showed it (not
+    the edge count) is the scaling predictor on densifying graphs
+    (19x wedges for 10x edges, NOTES). ``graph.wedge_census`` is two
+    skinny aggregations; ``triangle_count(max_wedges=...)`` uses it
+    as a launch guard (the max_queries discipline). Full value-level
+    oracle: the SQL twin restates the orientation as a CASE over the
+    joined degrees — (deg, id) lexicographic order, u < v breaking
+    degree ties exactly like the struct comparison. Same
+    max_basket-inert boundary as the sibling graph queries."""
+    from ..operators.graph import cooccurrence_edges, wedge_census
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return wedge_census(edges).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.col("max_outdeg").cast("long").alias("max_outdeg"),
+    )
+
+
 # per-column profile rules: (column, metric exprs) — the min/max
 # stringification is type-aware so both engines render identically
 # (bigints plain, doubles through DECIMAL(12,2), timestamps through an

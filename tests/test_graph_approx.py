@@ -318,3 +318,34 @@ def test_degree_distribution_and_cooccurrence(spark):
     )
     hist = {r.degree: r.n_nodes for r in degree_distribution(tri).collect()}
     assert hist == {1: 1, 2: 2, 3: 1}
+
+
+def test_wedge_census_matches_join_volume_and_guard(spark):
+    """Round-9: wedge_census must equal the exact oriented wedge
+    volume (K4 oriented by (deg, id): out-degrees 3,2,1,0 => C(3,2)
+    + C(2,2) = 4 wedges), and triangle_count's max_wedges guard must
+    refuse over-budget graphs while passing under-budget ones with
+    the identical result."""
+    import pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        triangle_count,
+        wedge_census,
+    )
+
+    k4 = spark.createDataFrame(
+        [Row(u=a, v=b) for a, b in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]]
+    )
+    w = wedge_census(k4).collect()[0]
+    assert (w.n_nodes, w.n_edges, w.n_wedges, w.max_outdeg) == (4, 6, 4, 3)
+
+    # star: hub is always the HIGHER-degree endpoint => every leaf
+    # orients INTO the hub, zero wedges, zero triangles possible
+    star = spark.createDataFrame([Row(u=0, v=i) for i in range(1, 9)])
+    ws = wedge_census(star).collect()[0]
+    assert (ws.n_wedges, ws.max_outdeg) == (0, 1)
+
+    with pytest.raises(ValueError, match="wedge census"):
+        triangle_count(k4, max_wedges=3)
+    r = triangle_count(k4, max_wedges=4).collect()[0]
+    assert r.n_triangles == 4
