@@ -270,6 +270,69 @@ def degree_distribution(
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    u: str = "u",
+    v: str = "v",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core of an undirected graph (edges distinct, ``u < v``):
+    the unique maximal subgraph in which every node has degree >= k
+    (Seidman 1983, "Network structure and minimum degree") — the
+    standard graph-curation filter: peripheral/spammy nodes peel off,
+    the dense collaborative core remains. Returns ``(node,
+    core_degree)`` — each surviving node with its degree INSIDE the
+    core.
+
+    Algorithm: iterative peeling. Each round computes degrees over
+    the surviving edge set (two skinny aggregations), drops nodes
+    under ``k``, and semi-joins the edge list down to survivors —
+    edges shrink monotonically, so each round is cheaper than the
+    last, and every shuffle carries only (node) / (u, v) longs. The
+    surviving-node count is monotone non-increasing and the node set
+    only ever shrinks, so an unchanged count between rounds IS the
+    fixpoint (equal counts of nested sets imply equal sets — the
+    label-sum probe trick from :func:`connected_components` in count
+    form). Each round's edge frame is eagerly localCheckpointed: the
+    lineage would otherwise stack one join per round, and the blocks
+    are ContextCleaner-released. Rounds needed = peeling depth of the
+    degree hierarchy, typically O(log n) in practice on heavy-tailed
+    graphs; raises past ``max_iter`` (pathological chains — raise the
+    budget).
+    """
+    cur = (
+        edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    prev_nodes = None
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("a").alias("n"))
+            .unionAll(cur.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k)
+        n_keep = keep.count()
+        if n_keep == 0:
+            return keep.select(
+                F.col("n").alias("node"), F.col("d").alias("core_degree")
+            )
+        if n_keep == prev_nodes:
+            return keep.select(
+                F.col("n").alias("node"), F.col("d").alias("core_degree")
+            )
+        prev_nodes = n_keep
+        kn = keep.select("n")
+        cur = (
+            cur.join(kn.withColumnRenamed("n", "a"), "a", "semi")
+            .join(kn.withColumnRenamed("n", "b"), "b", "semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"kcore did not converge in {max_iter} iterations")
+
+
 def _degree_oriented(e: DataFrame) -> DataFrame:
     """Orient each undirected edge ``(a, b)`` from its
     lower-(degree, id) endpoint: returns ``(s, t, tk)`` where ``tk``

@@ -8719,10 +8719,10 @@ def graph_degree_distribution(spark, sf_dir):
 @register(
     "graph_triangle_count",
     oracle="""
-        WITH pu AS (
+        WITH pu AS MATERIALIZED (
             SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
         ),
-        ew AS (
+        ew AS MATERIALIZED (
             SELECT a.i AS u, b.i AS v, count(*) AS w
             FROM pu a JOIN pu b ON a.g = b.g AND a.i < b.i
             GROUP BY a.i, b.i
@@ -8769,13 +8769,91 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+def _kcore_oracle_sql(k: int = 3, rounds: int = 14) -> str:
+    """Unrolled peeling twin of ``graph.kcore`` (the PageRank-oracle
+    trick: a fixed unroll is value-identical to the converged loop as
+    long as convergence lands within the unroll — extra rounds are
+    no-ops on a fixpoint). ``rounds`` edge-filter rounds; convergence
+    within them is verified empirically at all three SFs (NOTES) and
+    the Spark loop RAISES if its own budget is exceeded, so a
+    too-short unroll fails loudly rather than silently diverging.
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    chain (e_r reads e_{r-1} three times via the FROM + two IN
+    probes) would otherwise expand 3^rounds-fold and re-open the
+    lineitem parquet past the fd limit."""
+    parts = [
+        """
+        WITH pu AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        ),
+        ew AS MATERIALIZED (
+            SELECT a.i AS u, b.i AS v, count(*) AS w
+            FROM pu a JOIN pu b ON a.g = b.g AND a.i < b.i
+            GROUP BY a.i, b.i
+        ),
+        e0 AS MATERIALIZED (SELECT u, v FROM ew WHERE w >= 2),
+        d0 AS MATERIALIZED (
+            SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+            GROUP BY n
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        k{r - 1} AS MATERIALIZED (SELECT n FROM d{r - 1} WHERE d >= {k}),
+        e{r} AS MATERIALIZED (
+            SELECT u, v FROM e{r - 1}
+            WHERE u IN (SELECT n FROM k{r - 1})
+              AND v IN (SELECT n FROM k{r - 1})
+        ),
+        d{r} AS MATERIALIZED (
+            SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM e{r} UNION ALL SELECT v FROM e{r})
+            GROUP BY n
+        )""")
+    parts.append(f"""
+        SELECT n AS node, CAST(d AS BIGINT) AS core_degree
+        FROM d{rounds} WHERE d >= {k}""")
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore_membership",
+    oracle=_kcore_oracle_sql(k=3, rounds=14),
+    tags=("graph", "llm-pipeline"),
+)
+def graph_kcore_membership(spark, sf_dir):
+    """3-core of the part co-purchase graph (round 9 — completes the
+    graph-metric family: degree distribution, triangles, wedge
+    census, PageRank, connected components, now core decomposition):
+    iterative peeling until every surviving node keeps >= 3
+    co-purchase partners inside the surviving set — the standard
+    dense-core extraction a link-graph curation pass runs to separate
+    the collaborative core from peripheral/spam nodes
+    (``graph.kcore``, Seidman 1983). Full value-level oracle: the SQL
+    twin unrolls 14 peeling rounds (fixed unroll == converged loop
+    whenever convergence lands inside it — extra rounds are no-ops on
+    the fixpoint; the Spark loop raises past its own budget so a
+    short unroll fails loudly, and convergence depth is verified at
+    all three SFs in NOTES). Returns every core node with its
+    in-core degree. Same max_basket-inert boundary as the sibling
+    graph queries."""
+    from ..operators.graph import cooccurrence_edges, kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return kcore(edges, k=3).select(
+        "node", F.col("core_degree").cast("long").alias("core_degree")
+    )
+
+
 @register(
     "graph_wedge_census",
     oracle="""
-        WITH pu AS (
+        WITH pu AS MATERIALIZED (
             SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
         ),
-        ew AS (
+        ew AS MATERIALIZED (
             SELECT a.i AS u, b.i AS v, count(*) AS w
             FROM pu a JOIN pu b ON a.g = b.g AND a.i < b.i
             GROUP BY a.i, b.i

@@ -349,3 +349,22 @@ def test_wedge_census_matches_join_volume_and_guard(spark):
         triangle_count(k4, max_wedges=3)
     r = triangle_count(k4, max_wedges=4).collect()[0]
     assert r.n_triangles == 4
+
+
+def test_kcore_known_graphs(spark):
+    """K4 plus a pendant chain: the 3-core is exactly K4 (every K4
+    node keeps degree 3); the 2-core of a triangle with a tail is the
+    triangle; a pure path has an empty 2-core; peeling CASCADES (the
+    tail peels one node per round)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import kcore
+
+    def kc(pairs, k):
+        df = spark.createDataFrame([Row(u=a, v=b) for a, b in pairs])
+        return {(r.node, r.core_degree) for r in kcore(df, k=k).collect()}
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # pendant chain 4-5-6: dropping 6 drops 5 drops nothing else
+    assert kc(k4 + [(4, 5), (5, 6)], 3) == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    tri_tail = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    assert kc(tri_tail, 2) == {(1, 2), (2, 2), (3, 2)}
+    assert kc([(1, 2), (2, 3), (3, 4)], 2) == set()
