@@ -1105,3 +1105,176 @@ def pq_quantization_error(
             (F.sum("sq") / F.sum("n")).alias("mse"),
         )
     )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    train_sample: int = 65536,
+):
+    """IVF-PQ index build — the composed inverted-file + product-
+    quantization artifact (Jegou et al. 2011 §IV "IVFADC", the shape
+    FAISS deploys as ``IndexIVFPQ``): ``(centroids, books,
+    encoded_cells)`` where ``encoded_cells`` is the corpus as
+    ``(vec_id, codes, cell)`` — m byte codes (~32x storage cut) keyed
+    by nearest-centroid cell. Persist it ``partitionBy("cell")`` once
+    per snapshot; :func:`ivfpq_topk` then reads ONLY probed cells
+    (static partition pruning) and scores them by ADC lookups — the
+    two pruning levers multiply: cells cut the rows read, codes cut
+    the bytes per row, which is what makes exhaustive-quality ANN
+    affordable at 100 TB.
+
+    Codes quantize the RAW vectors (the non-residual IVFADC variant):
+    residual encoding would subtract each row's centroid before
+    quantizing — slightly tighter codes, but the encoded table would
+    then be unusable without the centroid join and the plain-PQ delta
+    path (:func:`pq_index_append`) could no longer feed both indexes
+    from one encode pass. Incremental maintenance composes the two
+    existing delta paths: :func:`ivf_index_append` for the cell,
+    :func:`pq_index_append` for the codes, joined on the id."""
+    centroids = ivf_centroids(corpus, n_centroids, corpus_id, vec_col, seed)
+    cells = _ivf_assign(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        centroids,
+        "neighbor_id",
+        "c_vec",
+        keep=1,
+    )
+    books = pq_codebooks(
+        corpus, m=m, ksub=ksub, iters=iters, vec_col=vec_col,
+        id_col=corpus_id, seed=seed, train_sample=train_sample,
+    )
+    encoded = pq_encode(corpus, books, vec_col=vec_col, id_col=corpus_id)
+    encoded_cells = encoded.join(
+        cells.select(F.col("neighbor_id").alias("vec_id"), "cell"), "vec_id"
+    )
+    return centroids, books, encoded_cells
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    books,
+    encoded_cells: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """ADC top-k restricted to each query's ``nprobe`` nearest cells —
+    the IVFADC query path over an :func:`ivfpq_index` artifact. One
+    broadcast pass assigns queries to cells; the probed-cell union
+    becomes a LITERAL IN-filter on the encoded table (static partition
+    pruning on a ``partitionBy("cell")`` index — same lever as
+    :func:`ivf_topk_from_index`); each Arrow batch scores each query
+    against ONLY its own probed cells (vectorized ``isin`` mask + m
+    LUT lookups per surviving row) and emits its local top-k, merged
+    by one skinny ranked window. Corpus floats are never read, the
+    code table never shuffles.
+
+    Returns ``(query_id, neighbor_id, adist, rnk)`` like
+    :func:`pq_topk` — with ``nprobe >= |cells|`` the two are
+    row-identical (the probe mask passes everything; pinned in
+    tests), and smaller ``nprobe`` trades recall for the pruned scan.
+    Approximation stacks: quantization error (PQ) + cell pruning
+    (IVF); an exact-duplicate pair still ties at the minimum adist
+    INSIDE a shared probed cell, so the planted-retrieval contract
+    survives composition."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(books)
+    m, ksub, dsub = books.shape
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    nid_type = encoded_cells.schema["vec_id"].dataType.simpleString()
+    q_assigned = _ivf_assign(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        centroids,
+        "query_id",
+        "q_vec",
+        keep=nprobe,
+    )
+    # one bounded collect carries BOTH the probe sets and the query
+    # vectors (q_assigned duplicates the vector per probed cell — at
+    # most max_queries * nprobe skinny rows, cheaper than two jobs)
+    arows = q_assigned.limit(max_queries * nprobe + 1).collect()
+    if len(arows) > max_queries * nprobe:
+        raise ValueError(f"ivfpq_topk got > {max_queries} queries")
+    qvecs: dict = {}
+    qcells: dict = {}
+    for r in arows:
+        qvecs[r["query_id"]] = r["q_vec"]
+        qcells.setdefault(r["query_id"], []).append(r["cell"])
+    qids = sorted(qcells)
+    if not qids:
+        return (
+            encoded_cells.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.lit(0.0).alias("adist"),
+                F.lit(1).alias("rnk"),
+            )
+            .withColumn("query_id", F.lit(None).cast(qid_type))
+            .select("query_id", "neighbor_id", "adist", "rnk")
+            .limit(0)
+        )
+    qmat = np.asarray([qvecs[q] for q in qids], dtype=np.float64)
+    probe_sets = [np.asarray(sorted(qcells[q])) for q in qids]
+    luts = np.empty((len(qids), m, ksub), dtype=np.float64)
+    for j in range(m):
+        sub = qmat[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ books[j].T
+            + (books[j] ** 2).sum(axis=1)
+        )
+    probed = sorted({c for s in qcells.values() for c in s})
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cells, probe_sets[qi])
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                d = luts[qi][np.arange(m), codes[mask]].sum(axis=1)
+                d = np.round(np.maximum(d, 0.0), 6)
+                order = np.lexsort((sub_ids, d))[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": sub_ids[order],
+                        "adist": d[order],
+                    }
+                )
+
+    scored = (
+        encoded_cells.filter(F.col("cell").isin(probed))
+        .mapInPandas(
+            score,
+            schema=f"query_id {qid_type}, neighbor_id {nid_type}, adist double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adist", "rnk")
+    )

@@ -6570,6 +6570,165 @@ def ann_cosine_topk_pq(spark, sf_dir):
     return row
 
 
+def _ivfpq_bench(spark, sf_dir):
+    """Bare IVF-PQ chain for the bench row: build the composed index
+    (cells + books + codes), answer top-10 for 16 queries probing 4 of
+    16 cells — the production IVFADC query path without the contract's
+    verification frames."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, books, enc_cells = SIM.ivfpq_index(
+        emb, n_centroids=16, m=8, ksub=16, iters=3
+    )
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_topk(q, centroids, books, enc_cells, k=10, nprobe=4)
+
+
+@register(
+    "ann_cosine_topk_ivfpq",
+    oracle="""
+        SELECT CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_plants,
+               CAST(16 AS BIGINT) AS n_recall_queries,
+               true AS plants_rank1_ok,
+               true AS self_rank1_ok,
+               true AS recall_floor_ok,
+               true AS within_k
+        FROM embeddings
+    """,
+    tags=("similarity", "llm-pipeline", "arrow"),
+    bench_fn=_ivfpq_bench,
+)
+def ann_cosine_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN (round 9 — the two pruning levers the
+    registry had separately, multiplied: IVF cells cut the ROWS read,
+    PQ codes cut the BYTES per row; Jegou et al. 2011 IVFADC, the
+    FAISS ``IndexIVFPQ`` deployment shape). Index = centroids + m-byte
+    codes keyed by nearest cell (persist ``partitionBy("cell")``);
+    query = probe nprobe=4 of 16 cells, ADC-score only those cells.
+    No SQL twin, so the oracle pins the deterministic contract (the
+    PQ entry's recipe, surviving the extra pruning stage):
+
+    (a) planted exact duplicates (vec_id%7 re-ingested at +10M) share
+        the original's CELL (identical vector => identical nearest
+        centroid, deterministic tie-break) and its CODES, so under
+        pruning the original still ties the per-query minimum adist
+        and wins the id tie-break at rank 1 — one conjunction;
+    (b) with self in the corpus, each recall query's own row is in a
+        probed cell (its nearest) at the self adist = the global
+        minimum; rank-1-at-min asserted per query;
+    (c) mean recall@10 vs exact brute-force cosine over 16 fixed
+        queries >= 0.1 — the floor sits below the PQ-only entry's
+        0.15 because cell pruning stacks on quantization error
+        (measured at all three SFs before pinning, NOTES);
+    (d) ranks per query are contiguous 1..nk with nk <= 10 (pruning
+        can legitimately leave < k candidates in a thin probe set).
+    Counts cross the engine compare."""
+    emb = _t(spark, sf_dir, "embeddings")
+    offset = 10_000_000
+    plants = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(plants)
+    centroids, books, enc_cells = SIM.ivfpq_index(
+        corpus, n_centroids=16, m=8, ksub=16, iters=3
+    )
+    enc_cells = enc_cells.cache()
+
+    # (a) planted retrieval through the pruned path
+    hits = SIM.ivfpq_topk(
+        plants.select(F.col("vec_id").alias("query_id"), "embedding"),
+        centroids,
+        books,
+        enc_cells,
+        k=4,
+        nprobe=4,
+    )
+    plants_ok = (
+        hits.groupBy("query_id")
+        .agg(
+            F.max(
+                ((F.col("neighbor_id") + offset) == F.col("query_id"))
+                & (F.col("rnk") == 1)
+            ).alias("ok")
+        )
+        .agg(
+            F.coalesce(F.min("ok"), F.lit(False)).alias("plants_rank1_ok"),
+            F.count(F.lit(1)).cast("long").alias("n_plants"),
+        )
+    )
+
+    # (b)+(c)+(d) over the UNPLANTED slice of the cached code table
+    enc_plain = enc_cells.filter(F.col("vec_id") < offset)
+    qrec = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top10 = SIM.ivfpq_topk(
+        qrec, centroids, books, enc_plain, k=10, nprobe=4
+    ).cache()
+    exact10 = SIM.brute_force_topk(qrec, emb, k=10, exclude_self=False)
+    overlap = (
+        exact10.select("query_id", F.col("neighbor_id").alias("n"))
+        .join(
+            top10.select("query_id", F.col("neighbor_id").alias("n")),
+            ["query_id", "n"],
+        )
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / F.lit(10.0)).alias("recall"))
+    )
+    recall_ok = overlap.agg(
+        (F.avg("recall") >= 0.1).alias("recall_floor_ok"),
+        F.count(F.lit(1)).cast("long").alias("n_recall_queries"),
+    )
+    # self at the per-query minimum adist AND rank 1: the queries are
+    # corpus rows, own cell always probed, own-code LUT sum is the
+    # subspace-wise minimum; rank-1 (not just min-tie) holds because
+    # the testdata embeddings have no exact twins below id 16 (pinned
+    # green for the PQ entry since r8; pruning only removes rivals)
+    self_ok = top10.filter(F.col("rnk") == 1).agg(
+        F.coalesce(
+            F.min(F.col("neighbor_id") == F.col("query_id")), F.lit(False)
+        ).alias("self_rank1_ok")
+    )
+    withink = (
+        top10.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.count_distinct("rnk").alias("ndr"),
+            F.max("rnk").alias("mr"),
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    (F.col("nk") <= 10)
+                    & (F.col("ndr") == F.col("nk"))
+                    & (F.col("mr") == F.col("nk"))
+                    & (F.col("nk") >= 1)
+                ),
+                F.lit(False),
+            ).alias("within_k")
+        )
+    )
+    out = (
+        plants_ok.crossJoin(recall_ok)
+        .crossJoin(self_ok)
+        .crossJoin(withink)
+        .select(
+            "n_plants",
+            "n_recall_queries",
+            "plants_rank1_ok",
+            "self_rank1_ok",
+            "recall_floor_ok",
+            "within_k",
+        )
+    )
+    row = out.localCheckpoint(eager=True)
+    enc_cells.unpersist()
+    top10.unpersist()
+    return row
+
+
 def _pq_appended_index(spark, sf_dir):
     """PQ code table built+written once from the corpus slice, books
     persisted via pq_save_books, delta batch APPENDED once via

@@ -122,6 +122,13 @@ HEADLINE = HEADLINE_R01 + [
     # total; the per-epoch MARGINAL seconds are reported separately
     # like the streaming-dedup row; model training is session-staged)
     "streaming_quality_gate",
+    # round-9 addition: IVF-PQ composed ANN (bench_fn = index build +
+    # nprobe=4/16 pruned ADC top-10 for 16 queries — the IVFADC
+    # production query path; contract frames live in the registry)
+    "ann_cosine_topk_ivfpq",
+    # round-9 addition: k-core membership (iterative peeling; sf0.01
+    # converges in 11 rounds — the bench row is the whole loop)
+    "graph_kcore_membership",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit

@@ -1312,3 +1312,90 @@ def test_pq_quantization_error_baseline_and_drift(spark):
     )
     drift = pq_quantization_error(shifted, books).collect()[0]
     assert drift.mse > 1.5 * base.mse
+
+
+def test_ivfpq_full_probe_equals_pq_and_pruning_subsets(spark):
+    """Round-9 IVF-PQ composition: with nprobe >= n_centroids the
+    probe mask passes every cell, so ivfpq_topk must be ROW-IDENTICAL
+    to plain pq_topk over the same books/codes; with nprobe=1 each
+    query's results are a subset of the full-probe candidate set and
+    every neighbor really lives in the query's single probed cell."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    df, _ = _embeddings(spark, n=80, dim=8, seed=13)
+    centroids, books, enc_cells = ivfpq_index(
+        df, n_centroids=8, m=4, ksub=4, iters=2
+    )
+    enc_cells = enc_cells.cache()
+    q = df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = {
+        (r.query_id, r.neighbor_id, r.adist, r.rnk)
+        for r in ivfpq_topk(q, centroids, books, enc_cells, k=5, nprobe=8).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id, r.adist, r.rnk)
+        for r in pq_topk(q, pq_encode(df, books), books, k=5).collect()
+    }
+    assert full == plain and full
+
+    pruned = ivfpq_topk(q, centroids, books, enc_cells, k=5, nprobe=1).collect()
+    full_pairs = {(a, b) for a, b, _, _ in full}
+    cell_of = {r.vec_id: r.cell for r in enc_cells.collect()}
+    # query cell = its own row's cell (queries are corpus rows here)
+    for r in pruned:
+        assert cell_of[r.neighbor_id] == cell_of[r.query_id]
+    # self is always in its own probed cell AT the per-query minimum
+    # adist (rank 1 can go to a code-identical twin with a lower id —
+    # vec 1 is the planted near-dup of vec 0, same tie rule as pq_topk)
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4, 5}
+    for qid, rows in by_q.items():
+        best = min(r.adist for r in rows)
+        self_rows = [r for r in rows if r.neighbor_id == qid]
+        assert self_rows and self_rows[0].adist == best
+    # pruning never ADDS candidates: nprobe=1 pairs whose neighbor made
+    # the full-probe top-5 must agree with the full-probe scores
+    full_scores = {(a, b): (d, rk) for a, b, d, rk in full}
+    for r in pruned:
+        if (r.query_id, r.neighbor_id) in full_scores:
+            assert full_scores[(r.query_id, r.neighbor_id)][0] == r.adist
+    enc_cells.unpersist()
+
+
+def test_ivfpq_planted_duplicate_ties_at_rank1(spark):
+    """An exact-duplicate plant shares its original's cell AND codes,
+    so even under aggressive pruning (nprobe=1) the original comes
+    back at rank 1 with adist tied at the minimum (id tie-break)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    df, _ = _embeddings(spark, n=60, dim=8, seed=17)
+    plants = df.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = df.unionByName(plants)
+    centroids, books, enc_cells = ivfpq_index(
+        corpus, n_centroids=6, m=4, ksub=4, iters=2
+    )
+    hits = ivfpq_topk(
+        plants.select(F.col("vec_id").alias("query_id"), "embedding"),
+        centroids,
+        books,
+        enc_cells,
+        k=3,
+        nprobe=1,
+    ).collect()
+    rank1 = {r.query_id: r.neighbor_id for r in hits if r.rnk == 1}
+    assert rank1 == {q: q - 1000 for q in rank1}
+    assert set(rank1) == {1000, 1010, 1020, 1030, 1040, 1050}

@@ -78,6 +78,10 @@ AUDIT = [
     # streaming_dedup_ingest not in this list — its batch-inference
     # plan is covered by quality_classifier_scores)
     "ann_pq_delta_append",
+    # k-core: the audited plan is the FINAL peeling round (each round
+    # is plan-identical: census + two semi-joins on a localCheckpoint)
+    "graph_kcore_membership",
+    "ann_cosine_topk_ivfpq",
 ]
 
 

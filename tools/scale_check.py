@@ -391,6 +391,11 @@ def _graph_fns():
         "graph_degree_distribution_zipf": lambda spark, d: GR.degree_distribution(
             _graph_edges(spark, d)
         ),
+        # k=3 keeps a non-trivial core on the Zipf fixture (hub +
+        # dense head survive; the 1-degree tail peels in round 1)
+        "graph_kcore_zipf": lambda spark, d: GR.kcore(
+            _graph_edges(spark, d), k=3
+        ),
     }
 
 
