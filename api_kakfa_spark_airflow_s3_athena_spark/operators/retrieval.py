@@ -111,3 +111,66 @@ def keyword_topk(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "n_match_terms", "score", "rnk"
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    query_vec_id: int = 7,
+    k: int = 10,
+    n_arm: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword arm + exact-cosine dense arm,
+    fused by Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+    SIGIR 2009): ``rrf(d) = sum_arms 1/(rrf_k + rank_arm(d))`` over
+    each arm's top ``n_arm``, missing arm contributes 0. The modern
+    RAG retrieval shape — sparse catches exact keyword hits dense
+    embeddings smear out, dense catches paraphrases sparse can't see,
+    and RRF needs NO score calibration between the arms because it
+    only consumes RANKS.
+
+    Scale shape: each arm is already a bounded top-n (BM25 via
+    TakeOrderedAndProject, cosine via the broadcast-scored skinny
+    rank), so the fusion join touches at most ``2 * n_arm`` rows —
+    the fusion stage is free at any corpus size; the cost lives in
+    the arms, which keep their own documented scale designs.
+
+    Float parity: each arm ranks on ROUNDED scores (deterministic
+    integer ranks), and the fused score is a sum of two single IEEE
+    divisions of exact integers — bit-identical across engines, so it
+    is deliberately NOT rounded (NOTES.md float recipe: never round
+    exact-ratio arithmetic). Returns ``(doc_id, in_sparse, in_dense,
+    rrf_score, rnk)``, ranked desc with id tie-break."""
+    from .similarity import brute_force_topk
+
+    sparse = keyword_topk(
+        docs, terms, k=n_arm, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("id"), F.col("rnk").alias("rnk_sparse"))
+    q = emb.filter(F.col(emb_id) == query_vec_id).select(
+        F.col(emb_id).alias("query_id"), F.col(vec_col)
+    )
+    dense = brute_force_topk(
+        q, emb, k=n_arm, corpus_id=emb_id, vec_col=vec_col
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("rnk_dense"))
+    one = F.lit(1).cast("double")
+    fused = (
+        sparse.join(dense, "id", "full_outer")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rnk_sparse").isNotNull().alias("in_sparse"),
+            F.col("rnk_dense").isNotNull().alias("in_dense"),
+            (
+                F.coalesce(one / (F.lit(rrf_k) + F.col("rnk_sparse")), F.lit(0.0))
+                + F.coalesce(one / (F.lit(rrf_k) + F.col("rnk_dense")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return top.withColumn("rnk", F.row_number().over(w))

@@ -8383,6 +8383,97 @@ def keyword_search_bm25(spark, sf_dir):
 
 
 @register(
+    "hybrid_search_rrf",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                       AS toks
+            FROM documents
+        ),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+        stats AS (
+            SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+            FROM lens
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+            WHERE term IN ('spark', 'customer', 'slow')
+            GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        parts AS (
+            SELECT t.doc_id,
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl
+                      / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS part
+            FROM tf t
+            JOIN dft d USING (term)
+            JOIN lens l USING (doc_id), stats s
+        ),
+        sscore AS (
+            SELECT doc_id, round(sum(part), 4) AS score
+            FROM parts GROUP BY doc_id
+        ),
+        sparse AS (
+            SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rnk_sparse
+            FROM (SELECT doc_id, score FROM sscore
+                  ORDER BY score DESC, doc_id LIMIT 20)
+        ),
+        dense AS (
+            SELECT c.vec_id AS id,
+                   row_number() OVER (ORDER BY
+                       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    c.embedding::DOUBLE[]), 6)
+                           DESC, c.vec_id) AS rnk_dense
+            FROM embeddings c JOIN embeddings q
+              ON q.vec_id = 7 AND c.vec_id <> 7
+            QUALIFY rnk_dense <= 20
+        ),
+        fused AS (
+            SELECT COALESCE(s.id, d.id) AS doc_id,
+                   s.rnk_sparse IS NOT NULL AS in_sparse,
+                   d.rnk_dense IS NOT NULL AS in_dense,
+                   COALESCE(CAST(1 AS DOUBLE) / (60 + s.rnk_sparse), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rnk_dense), 0)
+                       AS rrf_score
+            FROM sparse s FULL OUTER JOIN dense d ON s.id = d.id
+        )
+        SELECT doc_id, in_sparse, in_dense, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS INTEGER) AS rnk
+        FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
+    """,
+    tags=("text", "retrieval", "similarity", "llm-pipeline", "topk"),
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    (round 9; Cormack et al., SIGIR 2009 — the modern RAG retrieval
+    shape): BM25 top-20 for the 3 keyword terms + exact-cosine top-20
+    around the vec_id=7 document embedding, fused by
+    ``sum 1/(60 + rank)`` over whichever arms returned the doc. RRF
+    consumes only RANKS, so no score calibration crosses the arms —
+    and both arms rank on ROUNDED scores (integer ranks are the only
+    cross-engine contract), while the fused score is a sum of two
+    single IEEE divisions of exact integers and is deliberately NOT
+    rounded (NOTES float recipe). Fusion joins two <= 20-row frames —
+    free at any corpus size; each arm keeps its own scale design
+    (TakeOrderedAndProject / broadcast-scored skinny rank). Full
+    value-level SQL twin."""
+    from ..operators import retrieval as RET
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return RET.hybrid_rrf_topk(
+        d, e, ["spark", "customer", "slow"], query_vec_id=7, k=10, n_arm=20
+    )
+
+
+@register(
     "curation_pipeline_v2",
     oracle="""
         WITH toks AS (

@@ -487,3 +487,62 @@ def test_train_linear_classifier_ignores_null_labels(spark):
 
     assert all(math.isfinite(h) for h in hist)
     assert hist[-1] < hist[0]
+
+
+def test_hybrid_rrf_fuses_arm_ranks_exactly(spark):
+    """Round-9 RRF fusion: the fused score must equal
+    1/(60+rank_sparse) + 1/(60+rank_dense) computed from the two arms
+    run independently, a doc in BOTH arms must outscore the same doc
+    in one arm at the same rank, and the output ranks on score desc
+    with id tie-break."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+        keyword_topk,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark spark spark engine"),
+            Row(doc_id=1, text="spark customer report"),
+            Row(doc_id=2, text="weather news today"),
+            Row(doc_id=3, text="slow spark job tuning"),
+            Row(doc_id=4, text="customer complaints queue"),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=3, embedding=[0.8, 0.0, 0.2]),
+            Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),
+        ]
+    )
+    terms = ["spark", "customer", "slow"]
+    out = hybrid_rrf_topk(docs, emb, terms, query_vec_id=0, k=5, n_arm=3).collect()
+
+    rs = {r.doc_id: r.rnk for r in keyword_topk(docs, terms, k=3).collect()}
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rd = {r.neighbor_id: r.rank for r in brute_force_topk(q, emb, k=3).collect()}
+
+    assert out  # non-empty fusion
+    for r in out:
+        want = (1.0 / (60 + rs[r.doc_id]) if r.doc_id in rs else 0.0) + (
+            1.0 / (60 + rd[r.doc_id]) if r.doc_id in rd else 0.0
+        )
+        assert r.rrf_score == want
+        assert r.in_sparse == (r.doc_id in rs)
+        assert r.in_dense == (r.doc_id in rd)
+    # ranks follow score desc, id asc
+    ordered = sorted(out, key=lambda r: (-r.rrf_score, r.doc_id))
+    assert [r.rnk for r in ordered] == list(range(1, len(out) + 1))
+    # both-arms doc dominates an equal-rank single-arm doc
+    both = [r for r in out if r.in_sparse and r.in_dense]
+    single = [r for r in out if r.in_sparse != r.in_dense]
+    if both and single:
+        assert max(r.rrf_score for r in both) > min(r.rrf_score for r in single)

@@ -82,6 +82,7 @@ AUDIT = [
     # is plan-identical: census + two semi-joins on a localCheckpoint)
     "graph_kcore_membership",
     "ann_cosine_topk_ivfpq",
+    "hybrid_search_rrf",
 ]
 
 
