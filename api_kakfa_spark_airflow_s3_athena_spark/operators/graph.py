@@ -17,7 +17,7 @@ iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -331,6 +331,58 @@ def kcore(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"kcore did not converge in {max_iter} iterations")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, "Near linear time algorithm to detect community
+    structures"), made fully deterministic: every node starts labeled
+    with its own id; each round EVERY node simultaneously adopts the
+    label most frequent among its neighbors, ties broken by the
+    SMALLEST label. Returns ``(node, community)`` after exactly
+    ``rounds`` rounds.
+
+    Fixed-round semantics by design, not convergence: synchronous
+    LPA can 2-cycle on bipartite-ish regions (the classic oscillation
+    ), so "the labeling after R rounds" is the well-defined
+    deterministic contract — identical on any engine that applies the
+    same vote/tie rule, which is what makes a value-level SQL twin
+    possible (the kcore/PageRank unroll trick). Asynchronous LPA
+    converges faster but is order-dependent — useless as a contract.
+
+    Scale shape: each round is one join of the (2m)-row adjacency
+    against the n-row label frame on the neighbor key + one
+    (node, label) count + one argmax window over nodes — all shuffles
+    carry longs. The adjacency is localCheckpointed ONCE and reused
+    every round; labels are localCheckpointed per round to keep the
+    lineage flat (the :func:`kcore` discipline). Hub nodes are safe:
+    votes aggregate BEFORE the argmax, so a hub contributes one row
+    per distinct neighbor label, not per edge."""
+    adj = (
+        edges.select(F.col(u).alias("n"), F.col(v).alias("nbr"))
+        .unionAll(edges.select(F.col(v).alias("n"), F.col(u).alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("n").distinct().select("n", F.col("n").alias("lbl"))
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(rounds):
+        votes = (
+            adj.join(labels.withColumnRenamed("n", "nbr"), "nbr")
+            .groupBy("n", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("n", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("n").alias("node"), F.col("lbl").alias("community"))
 
 
 def _degree_oriented(e: DataFrame) -> DataFrame:

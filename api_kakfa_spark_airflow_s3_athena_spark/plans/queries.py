@@ -9097,6 +9097,75 @@ def graph_kcore_membership(spark, sf_dir):
     )
 
 
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous-LPA twin of ``graph.label_propagation``
+    over the co-purchase graph — fixed rounds ARE the semantics (not
+    a convergence approximation), so the unroll is exact by
+    construction. Every CTE MATERIALIZED (the kcore lesson: DuckDB
+    inlines plain CTEs and the per-round double reference to the
+    previous label frame would blow up exponentially)."""
+    parts = [
+        """
+        WITH pu AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        ),
+        ew AS MATERIALIZED (
+            SELECT a.i AS u, b.i AS v, count(*) AS w
+            FROM pu a JOIN pu b ON a.g = b.g AND a.i < b.i
+            GROUP BY a.i, b.i
+        ),
+        e0 AS MATERIALIZED (SELECT u, v FROM ew WHERE w >= 2),
+        adj AS MATERIALIZED (
+            SELECT u AS n, v AS nbr FROM e0
+            UNION ALL SELECT v AS n, u AS nbr FROM e0
+        ),
+        l0 AS MATERIALIZED (SELECT DISTINCT n, n AS lbl FROM adj)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        v{r} AS MATERIALIZED (
+            SELECT a.n, l.lbl, count(*) AS c
+            FROM adj a JOIN l{r - 1} l ON a.nbr = l.n
+            GROUP BY a.n, l.lbl
+        ),
+        l{r} AS MATERIALIZED (
+            SELECT n, lbl FROM (
+                SELECT n, lbl, row_number() OVER (
+                    PARTITION BY n ORDER BY c DESC, lbl) AS rn
+                FROM v{r}
+            ) WHERE rn = 1
+        )""")
+    parts.append(f"""
+        SELECT n AS node, lbl AS community FROM l{rounds}""")
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle_sql(rounds=4),
+    tags=("graph", "llm-pipeline"),
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection on the part co-purchase graph by 4 rounds
+    of deterministic SYNCHRONOUS label propagation (round 9; Raghavan
+    2007 with the min-label tie rule): each node simultaneously
+    adopts the most frequent neighbor label. Fixed-round output IS
+    the contract — synchronous LPA can oscillate on bipartite
+    regions, so "after exactly R rounds" is the only well-defined
+    deterministic semantics, and it makes the oracle a plain 4-round
+    unroll (exact, not a convergence approximation). Full value-level
+    twin; per-round cost is one adjacency-vs-labels join + one
+    (node, label) count + one argmax window, all long-typed shuffles
+    (``graph.label_propagation``)."""
+    from ..operators.graph import cooccurrence_edges, label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return label_propagation(edges, rounds=4).select(
+        F.col("node").cast("long"), F.col("community").cast("long")
+    )
+
+
 @register(
     "graph_wedge_census",
     oracle="""

@@ -368,3 +368,31 @@ def test_kcore_known_graphs(spark):
     tri_tail = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
     assert kc(tri_tail, 2) == {(1, 2), (2, 2), (3, 2)}
     assert kc([(1, 2), (2, 3), (3, 4)], 2) == set()
+
+
+def test_label_propagation_two_triangles_and_star_oscillation(spark):
+    """Two triangles bridged by one edge resolve to two communities
+    rooted at each triangle's min label (hand-computed 4-round
+    synchronous trace with min tie-break); a star 2-cycles under
+    synchronous updates (the classic bipartite oscillation), which the
+    fixed-round contract makes a well-defined, testable output."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def lp(pairs, rounds):
+        df = spark.createDataFrame([Row(u=a, v=b) for a, b in pairs])
+        return {
+            (r.node, r.community)
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+
+    two_tri = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    assert lp(two_tri, 4) == {
+        (1, 1), (2, 1), (3, 1), (4, 3), (5, 3), (6, 3),
+    }
+
+    star = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    # r1: center adopts min leaf id 1, leaves adopt 0; r2 swaps back
+    assert lp(star, 1) == {(0, 1), (1, 0), (2, 0), (3, 0), (4, 0)}
+    assert lp(star, 2) == {(0, 0), (1, 1), (2, 1), (3, 1), (4, 1)}

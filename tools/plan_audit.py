@@ -83,6 +83,7 @@ AUDIT = [
     "graph_kcore_membership",
     "ann_cosine_topk_ivfpq",
     "hybrid_search_rrf",
+    "graph_label_propagation",
 ]
 
 

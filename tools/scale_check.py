@@ -396,6 +396,9 @@ def _graph_fns():
         "graph_kcore_zipf": lambda spark, d: GR.kcore(
             _graph_edges(spark, d), k=3
         ),
+        "graph_lpa_zipf": lambda spark, d: GR.label_propagation(
+            _graph_edges(spark, d), rounds=4
+        ),
     }
 
 
