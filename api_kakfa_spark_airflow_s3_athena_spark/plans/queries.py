@@ -6168,6 +6168,76 @@ def dedup_survivors_policy(spark, sf_dir):
 
 
 @register(
+    "contrastive_pair_mining",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS t
+            FROM documents
+        ),
+        pairs AS (
+            -- candidate membership on the UNROUNDED jaccard, exactly
+            -- like the engine's prefix join; banding/ranking on the
+            -- ROUNDED value, exactly like the engine's output column
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.t, b.t))) AS j
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(a.t) > 0 AND len(b.t) > 0
+        ),
+        cand AS (
+            SELECT id_a, id_b, ROUND(j, 6) AS jr FROM pairs WHERE j >= 0.7
+        ),
+        sym AS (
+            SELECT id_a AS anchor_id, id_b AS partner_id, jr FROM cand
+            UNION ALL
+            SELECT id_b AS anchor_id, id_a AS partner_id, jr FROM cand
+        ),
+        pos AS (
+            SELECT anchor_id, partner_id AS positive_id, jr AS pos_jaccard
+            FROM (SELECT anchor_id, partner_id, jr,
+                         row_number() OVER (PARTITION BY anchor_id
+                             ORDER BY jr DESC, partner_id) AS rn
+                  FROM sym WHERE jr >= 0.9)
+            WHERE rn = 1
+        ),
+        neg AS (
+            SELECT anchor_id, partner_id AS negative_id, jr AS neg_jaccard
+            FROM (SELECT anchor_id, partner_id, jr,
+                         row_number() OVER (PARTITION BY anchor_id
+                             ORDER BY jr DESC, partner_id) AS rn
+                  FROM sym WHERE jr < 0.9)
+            WHERE rn = 1
+        )
+        SELECT p.anchor_id, p.positive_id, p.pos_jaccard,
+               n.negative_id, n.neg_jaccard
+        FROM pos p JOIN neg n USING (anchor_id)
+    """,
+    tags=("dedup", "llm-pipeline", "exact-join"),
+    bench_fn=lambda spark, sf_dir: DD.contrastive_pairs(
+        _t(spark, sf_dir, "documents")
+    ),
+)
+def contrastive_pair_mining(spark, sf_dir):
+    """Contrastive triplet mining for embedding-model training data
+    (round 9): per anchor doc, the best near-duplicate POSITIVE
+    (rounded token-set Jaccard >= 0.9) and the closest
+    non-duplicate HARD NEGATIVE (in [0.7, 0.9) — lexically close
+    enough to make the contrastive loss informative), both from ONE
+    exact prefix-filtered similarity join at the lower threshold
+    (``dedup.contrastive_pairs``), so the mining inherits the
+    zero-false-negative guarantee and the rare-token-prefix scale
+    shape. The oracle recomputes the FULL brute-force O(n²) pair set
+    and must match row for row — the exact-join oracle discipline.
+    Deterministic: both engines rank on the 6-dp-rounded similarity
+    with partner-id tie-break."""
+    return DD.contrastive_pairs(_t(spark, sf_dir, "documents")).select(
+        "anchor_id", "positive_id", "pos_jaccard", "negative_id", "neg_jaccard"
+    )
+
+
+@register(
     "multi_key_dedup_policy",
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

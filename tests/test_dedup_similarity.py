@@ -1399,3 +1399,53 @@ def test_ivfpq_planted_duplicate_ties_at_rank1(spark):
     rank1 = {r.query_id: r.neighbor_id for r in hits if r.rnk == 1}
     assert rank1 == {q: q - 1000 for q in rank1}
     assert set(rank1) == {1000, 1010, 1020, 1030, 1040, 1050}
+
+
+def test_contrastive_pairs_tiny_corpus_and_injected_candidates(spark):
+    """Round-9 triplet mining: on a hand-built corpus the anchor picks
+    its best >= 0.9 partner as positive and its best < 0.9 partner as
+    hard negative; anchors missing either side are dropped; an
+    injected candidate frame replaces the default prefix join."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.dedup import (
+        contrastive_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 0 and 1: identical 10-token sets (J = 1.0)
+            Row(doc_id=0, text="a b c d e f g h i j"),
+            Row(doc_id=1, text="a b c d e f g h i j"),
+            # 2: shares 8 of 12 distinct-union tokens with 0 (J = 8/12)
+            Row(doc_id=2, text="a b c d e f g h x y"),
+            # 3: disjoint
+            Row(doc_id=3, text="p q r s t u v w"),
+        ]
+    )
+    out = {
+        r.anchor_id: r
+        for r in contrastive_pairs(
+            docs, pos_threshold=0.9, cand_threshold=0.5
+        ).collect()
+    }
+    # anchors 0 and 1 have positive (each other) and negative (2)
+    assert set(out) == {0, 1}
+    assert (out[0].positive_id, out[0].negative_id) == (1, 2)
+    assert (out[1].positive_id, out[1].negative_id) == (0, 2)
+    assert out[0].pos_jaccard == 1.0
+    assert out[0].neg_jaccard == round(8 / 12, 6)
+    # 2 has only a negative-band partner -> dropped; 3 has nothing
+
+    injected = spark.createDataFrame(
+        [
+            Row(id_a=0, id_b=1, jaccard=0.95),
+            Row(id_a=0, id_b=2, jaccard=0.6),
+            Row(id_a=1, id_b=2, jaccard=0.55),
+        ]
+    )
+    out2 = {
+        r.anchor_id: r
+        for r in contrastive_pairs(docs, pairs=injected).collect()
+    }
+    assert set(out2) == {0, 1}
+    assert (out2[0].positive_id, out2[0].negative_id) == (1, 2)
+    assert out2[1].neg_jaccard == 0.55

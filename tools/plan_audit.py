@@ -84,6 +84,7 @@ AUDIT = [
     "ann_cosine_topk_ivfpq",
     "hybrid_search_rrf",
     "graph_label_propagation",
+    "contrastive_pair_mining",
 ]
 
 
