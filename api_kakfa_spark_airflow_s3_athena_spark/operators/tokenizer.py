@@ -1,0 +1,176 @@
+"""BPE tokenizer training + distributed encoding.
+
+The reference has no tokenizer surface (SURVEY.md §2 — its pipeline
+moves user records); this extends the LLM-pipeline family: byte-pair
+encoding (Sennrich, Haddow & Birch, "Neural Machine Translation of
+Rare Words with Subword Units", ACL 2016) is how a training-data
+pipeline turns curated text into model-ready token ids, and token
+counts gate every mixture/packing decision downstream.
+
+Shape: the PQ-codebook pattern applied to tokenization. TRAINING runs
+on a bounded deterministic sample on the driver (the universal
+practice — HF `tokenizers`, SentencePiece and GPT-2's original
+trainer all train on a corpus slice, because the merge table is a
+tiny artifact whose quality saturates long before the corpus does);
+ENCODING is one distributed Arrow pass over the full corpus with the
+FROZEN merge table, row-local and linear, with a per-batch
+distinct-word cache so the Zipf head is encoded once per batch
+instead of once per occurrence. Python is unavoidable here and
+documented: BPE encoding is an iterative, data-dependent merge loop
+that no Column expression can express; the Arrow stage is
+vectorized at the batch level and the per-word loop touches each
+DISTINCT word once.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_sample: int = 65536,
+    seed: int = 23,
+) -> List[Tuple[str, str]]:
+    """Learn a BPE merge table from a bounded deterministic corpus
+    sample: ``train_sample`` docs picked by seeded id-hash order (the
+    :func:`~..operators.similarity.pq_codebooks` sampling rule —
+    reproducible and partition-invariant), whitespace words split to
+    characters, then the classic greedy loop — count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent pair,
+    repeat. Ties break on the lexicographically smallest pair, so the
+    table is fully deterministic. Stops early when no pair repeats
+    (every word fused to one symbol). Returns the ordered merge list
+    — priority IS list order, the contract :func:`bpe_encode`
+    consumes."""
+    rows = (
+        docs.select(
+            F.col(text_col).alias("__t"),
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_003)).alias(
+                "__h"
+            ),
+            F.col(id_col).alias("__id"),
+        )
+        .orderBy("__h", "__id")
+        .limit(train_sample)
+        .collect()
+    )
+    word_freq: dict = {}
+    for r in rows:
+        for w in (r["__t"] or "").split():
+            word_freq[w] = word_freq.get(w, 0) + 1
+    # each word as a tuple of symbols; start at characters
+    words = {w: tuple(w) for w in word_freq}
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, sym in words.items():
+            f = word_freq[w]
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            # nothing repeats: further merges would just memorize
+            # single occurrences — the standard stop
+            break
+        merges.append(best)
+        fused = best[0] + best[1]
+        new_words = {}
+        for w, sym in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
+def _encode_word(word: str, ranks: dict) -> List[str]:
+    """Encode one word with the frozen merge table: repeatedly apply
+    the highest-priority (lowest-rank) applicable merge — the
+    standard BPE encode loop, identical to training's merge ORDER so
+    a word seen in training reproduces its training tokenization."""
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode(
+    corpus: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document with a FROZEN merge table: one Arrow
+    pass, row-local, linear in corpus size — the incremental-ingest
+    path encodes only new batches against the stored table, exactly
+    like :func:`~.similarity.pq_index_append` encodes against frozen
+    codebooks (retraining the tokenizer is a REBUILD: new merges
+    re-tokenize every stored document, so the trigger is a measured
+    OOV/fertility drift, not a per-batch retrain).
+
+    Per batch, each DISTINCT word is encoded once and cached — on
+    Zipfian text the cache hit rate is the corpus's type/token ratio,
+    so the per-word Python loop runs orders of magnitude fewer times
+    than the token count. Returns ``(id, tokens, n_tokens)`` where
+    ``tokens`` concatenates the per-word subword sequences in order
+    (joining them with no separator reconstructs the
+    whitespace-stripped document — the invariant the registry
+    contract pins)."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def enc(batches):
+        cache: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_tokens = []
+            for text in pdf["__text"]:
+                toks: List[str] = []
+                for w in (text or "").split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = _encode_word(w, ranks)
+                        cache[w] = got
+                    toks.extend(got)
+                out_tokens.append(toks)
+            yield pd.DataFrame(
+                {"id": pdf["__id"], "tokens": out_tokens}
+            )
+
+    return (
+        corpus.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .mapInPandas(enc, schema=f"id {id_type}, tokens array<string>")
+        .select(
+            F.col("id").alias(id_col),
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -9431,6 +9431,81 @@ def bpe_pair_stats(spark, sf_dir):
     )
 
 
+def _bpe_bench(spark, sf_dir):
+    """Bare BPE chain for the bench row: train the merge table on the
+    bounded sample, encode the whole corpus in one Arrow pass, count
+    tokens — the production tokenize path."""
+    from ..operators import tokenizer as TOK
+
+    d = _t(spark, sf_dir, "documents")
+    merges = TOK.bpe_learn_merges(d, n_merges=200)
+    return TOK.bpe_encode(d, merges).agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+
+
+@register(
+    "bpe_tokenizer_encode",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(replace(text, ' ', ''))) AS BIGINT)
+                   AS n_nonspace_chars,
+               true AS reconstruction_ok,
+               true AS compressed,
+               true AS merge_table_ok
+        FROM documents
+    """,
+    tags=("text", "tokenizer", "llm-pipeline", "arrow"),
+    bench_fn=_bpe_bench,
+)
+def bpe_tokenizer_encode(spark, sf_dir):
+    """Full BPE tokenizer train + distributed encode (round 9 —
+    ``bpe_pair_stats`` was the first merge's statistics; this is the
+    whole loop, Sennrich 2016): merge table learned on the bounded
+    deterministic sample (the pq_codebooks pattern — every real
+    trainer samples, the artifact is driver-tiny), corpus encoded in
+    ONE Arrow pass against the frozen table with a per-batch
+    distinct-word cache (Zipf head encoded once per batch). No SQL
+    twin for a data-dependent iterative merge, so the oracle pins
+    the contract:
+
+    (a) reconstruction: for EVERY document, concatenating its subword
+        tokens reproduces the whitespace-stripped text — tokenization
+        never drops or invents a character;
+    (b) compression: total tokens < total non-space characters (the
+        merge table did collapse something) and the crossing value
+        ``n_nonspace_chars`` is computed from the TOKENS on the
+        engine side but from the raw text in SQL — equality of the
+        two derivations IS the reconstruction check in count form;
+    (c) merge_table_ok: table non-empty and within the requested
+        budget (early-stop on the <2-frequency rule is legal).
+    ``n_docs`` and ``n_nonspace_chars`` cross the engine compare."""
+    from ..operators import tokenizer as TOK
+
+    d = _t(spark, sf_dir, "documents")
+    merges = TOK.bpe_learn_merges(d, n_merges=200)
+    enc = TOK.bpe_encode(d, merges)
+    per_doc = enc.join(d.select("doc_id", "text"), "doc_id").select(
+        (
+            F.concat_ws("", F.col("tokens"))
+            == F.regexp_replace("text", " ", "")
+        ).alias("rec_ok"),
+        "n_tokens",
+        F.aggregate(
+            F.transform("tokens", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("token_chars"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("token_chars").cast("long").alias("n_nonspace_chars"),
+        F.coalesce(F.min("rec_ok"), F.lit(False)).alias("reconstruction_ok"),
+        (F.sum("n_tokens") < F.sum("token_chars")).alias("compressed"),
+        F.lit(0 < len(merges) <= 200).alias("merge_table_ok"),
+    )
+
+
 @register(
     "event_type_transitions",
     oracle="""

@@ -129,6 +129,9 @@ HEADLINE = HEADLINE_R01 + [
     # round-9 addition: k-core membership (iterative peeling; sf0.01
     # converges in 11 rounds — the bench row is the whole loop)
     "graph_kcore_membership",
+    # round-9 addition: BPE tokenizer (bench_fn = bounded-sample merge
+    # training + one full-corpus Arrow encode pass + token count)
+    "bpe_tokenizer_encode",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit

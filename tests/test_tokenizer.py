@@ -1,0 +1,61 @@
+"""BPE trainer + distributed encoder (operators/tokenizer.py)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+    bpe_encode,
+    bpe_learn_merges,
+)
+
+
+def test_bpe_learns_the_classic_merge_sequence(spark):
+    """Sennrich's worked example shape: 'low'x3 + 'lower' + 'lowest'.
+    Pair counts give (l,o)=5 tied with (o,w)=5 -> lexicographic min
+    picks (l,o); then (lo,w)=5; then (low,e)=2; then the <2 stop rule
+    ends training (every remaining pair occurs once)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="low low low lower lowest")]
+    )
+    merges = bpe_learn_merges(docs, n_merges=10)
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "e")]
+
+
+def test_bpe_encode_roundtrip_and_priority(spark):
+    """Encoding applies merges by PRIORITY, concatenating a doc's
+    tokens reproduces its whitespace-stripped text, unseen words fall
+    back to characters, and the encode is deterministic across
+    partition layouts (the cache is per-batch, pure)."""
+    train = spark.createDataFrame(
+        [Row(doc_id=0, text="low low low lower lowest")]
+    )
+    merges = bpe_learn_merges(train, n_merges=10)
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="low lowest"),
+            Row(doc_id=2, text="slow glow"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r.doc_id: r for r in bpe_encode(corpus, merges).collect()}
+    assert out[1].tokens == ["low", "lowe", "s", "t"]
+    # unseen words: merges still apply where subword pairs match
+    assert out[2].tokens == ["s", "low", "g", "low"]
+    assert out[3].tokens == [] and out[3].n_tokens == 0
+    for r in out.values():
+        doc = corpus.filter(F.col("doc_id") == r.doc_id).first()
+        assert "".join(r.tokens) == "".join(doc.text.split())
+    out2 = {
+        r.doc_id: r.tokens
+        for r in bpe_encode(corpus.repartition(5), merges).collect()
+    }
+    assert out2 == {k: v.tokens for k, v in out.items()}
+
+
+def test_bpe_trainer_sample_is_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="spark line column order " * (1 + i % 3)) for i in range(40)]
+    )
+    m1 = bpe_learn_merges(docs, n_merges=8)
+    m2 = bpe_learn_merges(docs.repartition(7), n_merges=8)
+    assert m1 == m2 and m1

@@ -85,6 +85,7 @@ AUDIT = [
     "hybrid_search_rrf",
     "graph_label_propagation",
     "contrastive_pair_mining",
+    "bpe_tokenizer_encode",
 ]
 
 
