@@ -1278,3 +1278,32 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "adist", "rnk")
     )
+
+
+def ivfpq_index_append(
+    delta: DataFrame,
+    centroids: DataFrame,
+    books,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF-PQ maintenance: the composed index appends by
+    composing its two delta paths — :func:`pq_index_append` encodes
+    the new batch against the FROZEN codebooks (one row-local Arrow
+    pass), :func:`ivf_index_append` assigns it to the FROZEN
+    centroids (one broadcast pass), and the join on the id yields
+    rows in the :func:`ivfpq_index` ``encoded_cells`` schema, ready
+    to ``mode("append").partitionBy("cell")`` into the stored index.
+    Only the delta is read; only the delta's cell partitions are
+    touched. Both artifacts frozen => append is row-identical to a
+    full re-encode+re-assign of corpus+delta under the same
+    artifacts (the append-equals-rebuild property both parent paths
+    pin individually; the registered contract pins the composition).
+    Retraining either artifact is a REBUILD — the drift trigger is
+    :func:`pq_quantization_error` measured per delta batch, exactly
+    as documented on :func:`pq_index_append`."""
+    codes = pq_encode(delta, books, vec_col=vec_col, id_col=corpus_id)
+    cells = ivf_index_append(delta, centroids, corpus_id=corpus_id, vec_col=vec_col)
+    return codes.join(
+        cells.select(F.col("neighbor_id").alias("vec_id"), "cell"), "vec_id"
+    )

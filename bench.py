@@ -132,6 +132,15 @@ HEADLINE = HEADLINE_R01 + [
     # round-9 addition: BPE tokenizer (bench_fn = bounded-sample merge
     # training + one full-corpus Arrow encode pass + token count)
     "bpe_tokenizer_encode",
+    # round-9 additions: 4-round synchronous LPA over the co-purchase
+    # graph, and the BM25+cosine RRF hybrid retriever (fusion joins
+    # two <=20-row frames; the arms carry the cost)
+    "graph_label_propagation",
+    "hybrid_search_rrf",
+    # round-9 addition: composed IVF-PQ delta append (bench_fn = one
+    # Arrow encode + one broadcast cell assignment over the delta
+    # against the reloaded frozen artifacts; staging session-cached)
+    "ann_ivfpq_delta_append",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit

@@ -1449,3 +1449,31 @@ def test_contrastive_pairs_tiny_corpus_and_injected_candidates(spark):
     assert set(out2) == {0, 1}
     assert (out2[0].positive_id, out2[0].negative_id) == (1, 2)
     assert out2[1].neg_jaccard == 0.55
+
+
+def test_ivfpq_index_append_equals_frozen_rebuild(spark):
+    """Round-9 composed delta path: (corpus index from ivfpq_index) +
+    (delta appended via ivfpq_index_append) must be row-identical to
+    encoding+assigning corpus+delta in one pass under the SAME frozen
+    artifacts — the append-equals-rebuild property for the
+    composition."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_index_append,
+    )
+
+    df, _ = _embeddings(spark, n=50, dim=8, seed=19)
+    corpus = df.filter(F.col("vec_id") < 40)
+    delta = df.filter(F.col("vec_id") >= 40)
+    centroids, books, enc_cells = ivfpq_index(
+        corpus, n_centroids=6, m=4, ksub=4, iters=2
+    )
+    appended = enc_cells.unionByName(
+        ivfpq_index_append(delta, centroids, books)
+    )
+    full = ivfpq_index_append(df, centroids, books)
+    got = {
+        (r.vec_id, tuple(r.codes), r.cell) for r in appended.collect()
+    }
+    want = {(r.vec_id, tuple(r.codes), r.cell) for r in full.collect()}
+    assert got == want and len(got) == 50

@@ -86,6 +86,7 @@ AUDIT = [
     "graph_label_propagation",
     "contrastive_pair_mining",
     "bpe_tokenizer_encode",
+    "ann_ivfpq_delta_append",
 ]
 
 
