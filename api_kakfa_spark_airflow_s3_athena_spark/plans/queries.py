@@ -1422,6 +1422,70 @@ def _multimodal_bare(spark, sf_dir):
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_videos,
+               CAST(count(*) * 4 AS BIGINT) AS n_frames,
+               true AS fanout_ok,
+               true AS frames_distinct_ok,
+               true AS deterministic_ok
+        FROM documents
+    """,
+    tags=("multimodal", "arrow"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing end to end (round 9 —
+    ``operators/multimodal.sample_frames`` had tests but no registry
+    entry; decode is the documented stub, the Spark contract is
+    real): payload -> explode-shaped mapInPandas fan-out to
+    ``max_frames`` frames at stride ``every_n``, payload dropped
+    after decode. Pins (a) exactly ``max_frames`` rows per video with
+    contiguous frame_idx 0..3 (both counts cross the engine compare —
+    fan-out loss in Arrow batching fails hard), (b) distinct frame
+    offsets decode to DISTINCT frame vectors (the stub is seeded by
+    (payload, frame_offset), exactly what a real seeking decoder must
+    honor), (c) two independent passes are bitwise-identical — the
+    executor-process-invariance the decoder registry contract
+    requires."""
+    from ..operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    f1 = sample_frames(d, every_n=10, max_frames=4)
+    f2 = sample_frames(d, every_n=10, max_frames=4).select(
+        "doc_id", "frame_idx", F.col("frame").alias("frame2")
+    )
+    per_vid = (
+        f1.join(f2, ["doc_id", "frame_idx"], "full")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.count_distinct("frame_idx").alias("nfi"),
+            F.max("frame_idx").alias("mfi"),
+            F.count_distinct(F.to_json(F.struct("frame"))).alias("ndf"),
+            F.min(
+                F.col("frame").isNotNull()
+                & F.col("frame2").isNotNull()
+                & (F.col("frame") == F.col("frame2"))
+            ).alias("det"),
+        )
+    )
+    return per_vid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_videos"),
+        F.sum("nf").cast("long").alias("n_frames"),
+        F.coalesce(
+            F.min((F.col("nf") == 4) & (F.col("nfi") == 4) & (F.col("mfi") == 3)),
+            F.lit(False),
+        ).alias("fanout_ok"),
+        F.coalesce(F.min(F.col("ndf") == 4), F.lit(False)).alias(
+            "frames_distinct_ok"
+        ),
+        F.coalesce(F.min("det"), F.lit(False)).alias("deterministic_ok"),
+    )
+
+
+@register(
     "multimodal_feature_extract",
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
