@@ -10071,6 +10071,149 @@ def ngram_lm_perplexity(spark, sf_dir):
     )
 
 
+def _rp_bench(spark, sf_dir):
+    """Bare JL projection for the bench row: one Arrow matmul pass
+    over the full embeddings table, 64 -> 16 dims."""
+    from ..operators.whitening import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(16 AS BIGINT) AS sketch_dim,
+               true AS dup_sketch_identical,
+               true AS pair_distortion_ok,
+               true AS norm_ratio_ok,
+               true AS deterministic_ok
+        FROM embeddings
+    """,
+    tags=("similarity", "llm-pipeline", "arrow"),
+    bench_fn=_rp_bench,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection as a materialized
+    sketch stage (round 9; Achlioptas 2003 Rademacher entries):
+    64 -> 16 dims in one Arrow BLAS pass against a SEED-DERIVED
+    matrix — no fit pass, any engine regenerates it bit-identically,
+    and every downstream ANN/cluster/dedup shuffle over the sketch
+    column is 4x lighter. No SQL twin for the matmul; the contract
+    pins what JL actually promises:
+
+    (a) exact-duplicate vectors (vec_id%7 re-ingested at +10M) get
+        BITWISE-identical sketches — projection is a pure function
+        of the vector;
+    (b) per-pair distance distortion over 16 fixed pairs within
+        [0.3, 2.0] — measured envelope 0.545-1.612 across all three
+        SFs at out_dim=16 (JL concentration is loose at 16 dims;
+        the band is calibration-backed, NOTES);
+    (c) mean sketch/input norm ratio over the 32 lowest ids within
+        [0.85, 1.2] — measured 1.00-1.05 (E[ratio^2] = 1 for
+        Rademacher/sqrt(k) entries);
+    (d) two independent projection passes bitwise-equal.
+    ``n_vectors`` and ``sketch_dim`` cross the engine compare."""
+    from ..operators.whitening import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    offset = 10_000_000
+    plants = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(plants)
+    sk1 = random_projection(corpus, out_dim=16).cache()
+    sk2 = random_projection(corpus, out_dim=16).select(
+        "vec_id", F.col("sketch").alias("sketch2")
+    )
+    # (a) plant sketch == original sketch, bitwise
+    dup_ok = (
+        sk1.filter(F.col("vec_id") >= offset)
+        .select((F.col("vec_id") - offset).alias("vec_id"), F.col("sketch").alias("psk"))
+        .join(sk1, "vec_id")
+        .agg(
+            F.coalesce(F.min(F.col("psk") == F.col("sketch")), F.lit(False)).alias(
+                "dup_sketch_identical"
+            )
+        )
+    )
+    # (b) 16 fixed pairs (2i, 2i+1): ||P(x)-P(y)|| / ||x-y|| in band
+    diff = lambda a, b: F.zip_with(a, b, lambda x, y: x - y)  # noqa: E731
+    base32 = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding")
+    withsk = base32.join(sk1, "vec_id")
+    a = withsk.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("p"),
+        F.col("embedding").alias("xa"),
+        F.col("sketch").alias("sa"),
+    )
+    b = withsk.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("p"),
+        F.col("embedding").alias("xb"),
+        F.col("sketch").alias("sb"),
+    )
+    dist_ok = (
+        a.join(b, "p")
+        .select(
+            (
+                l2_norm(diff(F.col("sa"), F.col("sb")))
+                / l2_norm(diff(F.col("xa"), F.col("xb")))
+            ).alias("r")
+        )
+        .agg(
+            F.coalesce(
+                F.min((F.col("r") >= 0.3) & (F.col("r") <= 2.0)), F.lit(False)
+            ).alias("pair_distortion_ok")
+        )
+    )
+    # (c) mean norm ratio over the 32 lowest ids
+    norm_ok = (
+        withsk.select(
+            (l2_norm(F.col("sketch")) / l2_norm(F.col("embedding"))).alias("nr")
+        )
+        .agg(
+            F.coalesce(
+                (F.avg("nr") >= 0.85) & (F.avg("nr") <= 1.2), F.lit(False)
+            ).alias("norm_ratio_ok")
+        )
+    )
+    # (d) bitwise two-pass determinism
+    det_ok = (
+        sk1.join(sk2, "vec_id", "full")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("sketch").isNotNull()
+                    & F.col("sketch2").isNotNull()
+                    & (F.col("sketch") == F.col("sketch2"))
+                ),
+                F.lit(False),
+            ).alias("deterministic_ok")
+        )
+    )
+    counts = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    dim = sk1.select(F.size("sketch").alias("d")).agg(
+        F.max("d").cast("long").alias("sketch_dim")
+    )
+    out = (
+        counts.crossJoin(dim)
+        .crossJoin(dup_ok)
+        .crossJoin(dist_ok)
+        .crossJoin(norm_ok)
+        .crossJoin(det_ok)
+        .select(
+            "n_vectors",
+            "sketch_dim",
+            "dup_sketch_identical",
+            "pair_distortion_ok",
+            "norm_ratio_ok",
+            "deterministic_ok",
+        )
+    )
+    row = out.localCheckpoint(eager=True)
+    sk1.unpersist()
+    return row
+
+
 def _whitening_bench(spark, sf_dir):
     from ..operators.whitening import fit_pca_whitening, whiten
 

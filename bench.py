@@ -141,6 +141,9 @@ HEADLINE = HEADLINE_R01 + [
     # Arrow encode + one broadcast cell assignment over the delta
     # against the reloaded frozen artifacts; staging session-cached)
     "ann_ivfpq_delta_append",
+    # round-9 addition: JL random projection (bench_fn = one Arrow
+    # BLAS matmul pass over the full embeddings table, 64 -> 16)
+    "embedding_random_projection",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit

@@ -87,6 +87,7 @@ AUDIT = [
     "contrastive_pair_mining",
     "bpe_tokenizer_encode",
     "ann_ivfpq_delta_append",
+    "embedding_random_projection",
 ]
 
 
