@@ -204,3 +204,58 @@ def test_round6_ops_on_empty_inputs(spark, empty_docs):
     ranks = pagerank_from_index(spark, "pr_test.trans_empty", iters=2)
     assert ranks.count() == 0
     spark.sql("DROP TABLE IF EXISTS pr_test.trans_empty")
+
+
+def test_round9_ops_on_empty_inputs(spark, empty_docs, empty_vecs):
+    """Round-9 operators under empty/degenerate inputs: k-core and
+    LPA on empty edge lists, IVFPQ with an EMPTY QUERY SET (the
+    bounded-collect early-exit branch must return a correctly-typed
+    empty frame), contrastive mining and BPE on empty corpora, JL
+    projection's loud empty-input failure."""
+    import numpy as np
+    import pytest as _pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.dedup import (
+        contrastive_pairs,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        kcore,
+        label_propagation,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.whitening import (
+        random_projection,
+    )
+
+    empty_edges = spark.createDataFrame([], "u long, v long")
+    assert kcore(empty_edges, k=2).count() == 0
+    assert label_propagation(empty_edges, rounds=2).count() == 0
+
+    # IVFPQ: real corpus, empty query set -> typed empty result
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    centroids, books, enc = ivfpq_index(vecs, n_centroids=3, m=2, ksub=4, iters=1)
+    empty_q = spark.createDataFrame([], "query_id long, embedding array<float>")
+    out = ivfpq_topk(empty_q, centroids, books, enc, k=3, nprobe=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "adist", "rnk",
+    ]
+
+    assert contrastive_pairs(empty_docs).count() == 0
+
+    merges = bpe_learn_merges(empty_docs, n_merges=5)
+    assert merges == []
+    assert bpe_encode(empty_docs, merges).count() == 0
+
+    with _pytest.raises(ValueError, match="empty"):
+        random_projection(empty_vecs)

@@ -407,3 +407,107 @@ def test_triangle_count_equals_brute_force(spark, edges):
     r = triangle_count(df).collect()[0]
     assert r.n_triangles == naive
     assert r.n_edges == len(eset) and r.n_nodes == len(nodes)
+
+
+@SLOW
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(2, 4),
+)
+def test_kcore_equals_brute_force_peeling(spark, edges, k):
+    """Distributed k-core equals the sequential peeling fixpoint on
+    arbitrary small graphs — node set AND in-core degrees."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import kcore
+
+    eset = set(edges)
+    while True:
+        deg = {}
+        for a, b in eset:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            break
+        eset = {(a, b) for a, b in eset if a not in drop and b not in drop}
+    want = {}
+    for a, b in eset:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    want = {(n, d) for n, d in want.items() if d >= k}
+
+    df = spark.createDataFrame([Row(u=a, v=b) for a, b in sorted(edges)])
+    got = {(r.node, r.core_degree) for r in kcore(df, k=k).collect()}
+    assert got == want
+
+
+@SLOW
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    rounds=st.integers(1, 3),
+)
+def test_label_propagation_equals_brute_force_sync(spark, edges, rounds):
+    """Distributed synchronous LPA equals the sequential simulation
+    with the same most-frequent/min-label rule after exactly R
+    rounds, on arbitrary small graphs."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.graph import (
+        label_propagation,
+    )
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[lbl[m]] = counts.get(lbl[m], 0) + 1
+            nxt[n] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lbl = nxt
+    want = set(lbl.items())
+
+    df = spark.createDataFrame([Row(u=a, v=b) for a, b in sorted(edges)])
+    got = {
+        (r.node, r.community)
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    ws=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8), min_size=1, max_size=25
+    )
+)
+def test_bpe_roundtrip_any_corpus(spark, ws):
+    """For ANY corpus: training terminates, encoding reconstructs the
+    whitespace-stripped text exactly, token count never exceeds
+    character count, and every emitted token is a substring of its
+    source word chain."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    text = " ".join(ws)
+    docs = spark.createDataFrame([Row(doc_id=0, text=text)])
+    merges = bpe_learn_merges(docs, n_merges=20)
+    row = bpe_encode(docs, merges).collect()[0]
+    stripped = "".join(text.split())
+    assert "".join(row.tokens) == stripped
+    assert row.n_tokens <= len(stripped)
