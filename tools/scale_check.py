@@ -67,6 +67,13 @@ HEAVY_OPS = [
     "bpe_pair_stats",
     "embedding_pca_whitening",
     "ngram_lm_perplexity",
+    # round-9 additions (documents/embeddings fixtures)
+    "ann_cosine_topk_ivfpq",
+    "ann_ivfpq_delta_append",
+    "bpe_tokenizer_encode",
+    "hybrid_search_rrf",
+    "embedding_random_projection",
+    "multimodal_frame_sample",
 ]
 
 
@@ -169,6 +176,9 @@ R5_RELATIONAL_OPS = [
     # round 8: co-purchase graph metrics (lineitem)
     "graph_degree_distribution",
     "graph_triangle_count",
+    # round 9: co-purchase graph decomposition/communities (lineitem)
+    "graph_kcore_membership",
+    "graph_label_propagation",
 ]
 # (the remaining r5 closers — weighted_sample_aes, doc_token_entropy —
 # read the documents fixture, which generate() already covers, as does
