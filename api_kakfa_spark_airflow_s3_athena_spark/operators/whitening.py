@@ -196,7 +196,12 @@ def random_projection(
     id_col: str = "vec_id",
     seed: int = 31,
 ) -> DataFrame:
-    """Johnson-Lindenstrauss random projection (Achlioptas 2003,
+    """Johnson-Lindenstrauss random projection. EAGER: one
+    ``first()`` probe runs at call time to read the input dimension
+    (the matrix is built before the plan returns — pass a cheap
+    input frame, not a derived pipeline, or it re-executes once).
+
+    (Achlioptas 2003,
     "Database-friendly random projections": entries drawn from
     ±1/sqrt(out_dim) preserve pairwise distances in expectation with
     JL concentration) — the materialized dimensionality cut a 100 TB
