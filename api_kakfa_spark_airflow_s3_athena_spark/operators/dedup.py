@@ -1918,5 +1918,16 @@ def contrastive_pairs(
         )
 
     pos = best(sym.filter(F.col("jaccard") >= pos_threshold), "positive_id", "pos_jaccard")
-    neg = best(sym.filter(F.col("jaccard") < pos_threshold), "negative_id", "neg_jaccard")
+    # the cand_threshold floor applies to INJECTED frames too: the
+    # default prefix join can't emit below it, but a caller-supplied
+    # candidate set can carry arbitrarily low-similarity rows, and a
+    # J~0 "hard negative" is a trivially easy one (round-9 review)
+    neg = best(
+        sym.filter(
+            (F.col("jaccard") < pos_threshold)
+            & (F.col("jaccard") >= cand_threshold)
+        ),
+        "negative_id",
+        "neg_jaccard",
+    )
     return pos.join(neg, "anchor_id")

@@ -26,8 +26,11 @@ __all__ = [
     "cooccurrence_edges",
     "dedup_survivors",
     "degree_distribution",
+    "kcore",
+    "label_propagation",
     "pagerank",
     "triangle_count",
+    "wedge_census",
 ]
 
 
@@ -430,9 +433,17 @@ def wedge_census(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     e = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
     oriented = _degree_oriented(e)
     out = oriented.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    # pure LONG arithmetic end to end: od*(od-1) is always even, so
+    # the shiftright halving is exact (Spark's / is DOUBLE division
+    # even on longs) — the double-division form lost integer
+    # exactness past 2^53, i.e. at exactly the hub sizes the census
+    # exists to measure (round-9 review finding)
     wedges = out.agg(
         F.coalesce(
-            F.sum(F.col("od") * (F.col("od") - 1) / 2).cast("long"), F.lit(0)
+            F.shiftright(
+                F.sum((F.col("od") * (F.col("od") - 1)).cast("long")), 1
+            ),
+            F.lit(0),
         ).alias("n_wedges"),
         F.coalesce(F.max("od"), F.lit(0)).alias("max_outdeg"),
     )

@@ -170,8 +170,10 @@ def snapshot_diff(
     regression-pinned.) Equality is exact up to a ~2^-128 md5
     collision, the same digest-not-documents trade as ``exact_dedup``.
 
-    MapType content columns are canonicalized first (``map_entries``
-    sorted by key) — a map's entry order is physical storage order,
+    MapType content columns are canonicalized first (entries rebuilt
+    in sorted-KEY order — keys alone give a total order, so value
+    types are never compared and map-valued maps stay legal) — a
+    map's entry order is physical storage order,
     so two semantically equal maps could otherwise digest differently
     and report a spurious ``changed`` (round-8 ADVICE finding;
     regression-pinned). Top-level maps only: a map nested INSIDE an
@@ -179,11 +181,17 @@ def snapshot_diff(
     columns with the map at the top level, or pre-canonicalize.
     """
     def _canon(df: DataFrame, c: str):
-        # sort_array on array<struct<key,value>> orders by the struct
-        # fields left-to-right — key first, and map keys are unique,
-        # so the order is total and value types never tie-break
+        # canonical order comes from the KEYS alone: map keys are
+        # unique, so sorting them is total — and Spark never has to
+        # order the values, which may themselves be maps (sort_array
+        # over map_entries fails analysis on unorderable value types
+        # — round-9 review finding, regression-pinned)
         if isinstance(df.schema[c].dataType, MapType):
-            return F.sort_array(F.map_entries(F.col(c))).alias(c)
+            col = F.col(c)
+            return F.transform(
+                F.sort_array(F.map_keys(col)),
+                lambda k: F.struct(k.alias("key"), col[k].alias("value")),
+            ).alias(c)
         return F.col(c).alias(c)
 
     def _dig(df: DataFrame):

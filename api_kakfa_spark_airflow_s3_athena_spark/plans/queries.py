@@ -6924,11 +6924,12 @@ def _ivfpq_appended_index(spark, sf_dir):
         FROM embeddings
     """,
     tags=("similarity", "ivf", "pq", "incremental"),
-    bench_fn=lambda spark, sf_dir: SIM.ivfpq_index_append(
-        _ivfpq_appended_index(spark, sf_dir)[4],
-        _ivfpq_appended_index(spark, sf_dir)[0],
-        _ivfpq_appended_index(spark, sf_dir)[1],
-    ),
+    # bind the staged tuple ONCE: three separate calls would pay two
+    # redundant pq_load_books collects + parquet re-opens inside the
+    # timed run (round-9 review finding)
+    bench_fn=lambda spark, sf_dir: (
+        lambda t: SIM.ivfpq_index_append(t[4], t[0], t[1])
+    )(_ivfpq_appended_index(spark, sf_dir)),
 )
 def ann_ivfpq_delta_append(spark, sf_dir):
     """Incremental maintenance of the COMPOSED IVF-PQ index (round 9
@@ -9670,7 +9671,11 @@ def _bpe_bench(spark, sf_dir):
     "bpe_tokenizer_encode",
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(len(replace(text, ' ', ''))) AS BIGINT)
+               -- ALL whitespace stripped ('g' flag: DuckDB replaces
+               -- first-match-only by default), matching Python
+               -- str.split() in the tokenizer — a tab/newline must
+               -- not break reconstruction parity (round-9 review)
+               CAST(sum(len(regexp_replace(text, '\s', '', 'g'))) AS BIGINT)
                    AS n_nonspace_chars,
                true AS reconstruction_ok,
                true AS compressed,
@@ -9710,7 +9715,7 @@ def bpe_tokenizer_encode(spark, sf_dir):
     per_doc = enc.join(d.select("doc_id", "text"), "doc_id").select(
         (
             F.concat_ws("", F.col("tokens"))
-            == F.regexp_replace("text", " ", "")
+            == F.regexp_replace("text", r"\s", "")
         ).alias("rec_ok"),
         "n_tokens",
         F.aggregate(

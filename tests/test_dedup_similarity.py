@@ -1444,8 +1444,13 @@ def test_contrastive_pairs_tiny_corpus_and_injected_candidates(spark):
     )
     out2 = {
         r.anchor_id: r
-        for r in contrastive_pairs(docs, pairs=injected).collect()
+        for r in contrastive_pairs(
+            docs, pairs=injected, cand_threshold=0.5
+        ).collect()
     }
+    # the floor applies to injected frames too: at the default 0.7
+    # floor the 0.55/0.6 candidates are NOT eligible negatives
+    assert contrastive_pairs(docs, pairs=injected).count() == 0
     assert set(out2) == {0, 1}
     assert (out2[0].positive_id, out2[0].negative_id) == (1, 2)
     assert out2[1].neg_jaccard == 0.55

@@ -214,3 +214,34 @@ def test_snapshot_diff_map_content_entry_order_canonicalized(spark):
         for r in snapshot_diff(old, new, "id", ("props",)).collect()
     }
     assert got == {(2, "changed")}
+
+
+def test_snapshot_diff_map_of_map_content_column(spark):
+    """Round-9 review regression: canonicalization must not require
+    ORDERING the map VALUES — a map<string, map<string,int>> column
+    fails analysis under sort_array(map_entries(...)) because the
+    entry struct embeds an unorderable value type. Keys-only sorting
+    handles it: equal nested maps digest equal (whatever entry order
+    they were built in), different nested values digest different."""
+    from pyspark.sql import functions as F
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    def frame(outer_order_swapped, inner_val):
+        inner = F.create_map(F.lit("x"), F.lit(inner_val))
+        other = F.create_map(F.lit("y"), F.lit(9))
+        pairs = (
+            [F.lit("b"), other, F.lit("a"), inner]
+            if outer_order_swapped
+            else [F.lit("a"), inner, F.lit("b"), other]
+        )
+        return spark.range(1).select(
+            F.col("id"), F.create_map(*pairs).alias("m")
+        )
+
+    same = snapshot_diff(frame(False, 1), frame(True, 1), "id", ("m",))
+    assert same.count() == 0  # equal content, opposite build order
+    diff = snapshot_diff(frame(False, 1), frame(False, 2), "id", ("m",))
+    assert [r.status for r in diff.collect()] == ["changed"]
