@@ -198,3 +198,44 @@ def test_ivf_index_scan_is_partition_pruned(spark, tmp_path):
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1) and "IN" in m.group(1).upper()
+
+
+def test_ivfpq_index_scan_is_partition_pruned(spark, tmp_path):
+    """The composed IVF-PQ code table inherits the IVF pruning lever:
+    read back from a partitionBy(cell) store, ivfpq_topk's probed-cell
+    literal IN-filter must appear as static PartitionFilters — only
+    probed cells' code files are listed/scanned, and the Arrow ADC
+    stage sees nothing else."""
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in rng.rand(8)]) for i in range(60)]
+    )
+    centroids, books, enc_cells = ivfpq_index(emb, n_centroids=6, m=4, ksub=4)
+    cdir, xdir = str(tmp_path / "c"), str(tmp_path / "x")
+    centroids.write.parquet(cdir)
+    enc_cells.write.partitionBy("cell").parquet(xdir)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = ivfpq_topk(
+        queries,
+        spark.read.parquet(cdir),
+        books,
+        spark.read.parquet(xdir),
+        k=3,
+        nprobe=2,
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and "IN" in m.group(1).upper()
