@@ -174,3 +174,25 @@ def bpe_encode(
             F.size("tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def bpe_save_merges(spark, merges: Sequence[Tuple[str, str]], path: str) -> None:
+    """Persist a merge table as a tiny parquet artifact — one row per
+    merge with its PRIORITY (list position), the same
+    snapshot-fit/serve split as ``similarity.pq_save_books``: train
+    once per corpus snapshot, every later encode job (batch or the
+    incremental-ingest delta path) reloads the identical table.
+    Strings round-trip parquet exactly, so a reloaded table encodes
+    every document to the same tokens (test-pinned)."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "priority int, left string, right string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load_merges(spark, path: str) -> List[Tuple[str, str]]:
+    """Reload a :func:`bpe_save_merges` artifact in priority order."""
+    rows = spark.read.parquet(path).collect()
+    return [
+        (r.left, r.right) for r in sorted(rows, key=lambda r: r.priority)
+    ]

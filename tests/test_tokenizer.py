@@ -59,3 +59,28 @@ def test_bpe_trainer_sample_is_partition_invariant(spark):
     m1 = bpe_learn_merges(docs, n_merges=8)
     m2 = bpe_learn_merges(docs.repartition(7), n_merges=8)
     assert m1 == m2 and m1
+
+
+def test_bpe_merge_table_roundtrips_exactly(spark, tmp_path):
+    """The persisted merge table reloads bit-exactly in priority
+    order, and encoding through the RELOADED artifact is identical to
+    encoding through the in-memory table — the deploy path a nightly
+    ingest job uses."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        bpe_load_merges,
+        bpe_save_merges,
+    )
+
+    train = spark.createDataFrame(
+        [Row(doc_id=0, text="low low low lower lowest slow glow")]
+    )
+    merges = bpe_learn_merges(train, n_merges=10)
+    path = str(tmp_path / "merges")
+    bpe_save_merges(spark, merges, path)
+    assert bpe_load_merges(spark, path) == merges
+    got = {
+        r.doc_id: r.tokens
+        for r in bpe_encode(train, bpe_load_merges(spark, path)).collect()
+    }
+    want = {r.doc_id: r.tokens for r in bpe_encode(train, merges).collect()}
+    assert got == want
