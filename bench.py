@@ -144,6 +144,10 @@ HEADLINE = HEADLINE_R01 + [
     # round-9 addition: JL random projection (bench_fn = one Arrow
     # BLAS matmul pass over the full embeddings table, 64 -> 16)
     "embedding_random_projection",
+    # round-9 addition: contrastive triplet mining over MinHash
+    # candidates (the pairs= injection path — the exact 0.7-floor
+    # join is output-bound on this corpus, NOTES; zipf-twin rule)
+    "contrastive_pair_mining",
 ]
 
 # Best-of-N per query: a single-shot timing showed double-digit
