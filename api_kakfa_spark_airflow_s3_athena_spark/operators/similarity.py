@@ -131,7 +131,27 @@ def brute_force_topk_arrow(
             f"brute_force_topk_arrow got > {max_queries} queries; "
             "use lsh_topk for large query sets"
         )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    nid_type = corpus.schema[corpus_id].dataType.simpleString()
+    if not qrows:
+        # empty query set: typed empty result, per the repo's pinned
+        # empty-input contract (a fully-filtered query frame is
+        # routine at scale; round-9 review finding)
+        return (
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.lit(0.0).alias("score"),
+                F.lit(1).alias("rank"),
+            )
+            .withColumn("query_id", F.lit(None).cast(qid_type))
+            .select("query_id", "neighbor_id", "score", "rank")
+            .limit(0)
+        )
+    # ids keep their input types (string/decimal ids work end to end —
+    # the pq_encode/pq_topk round-8 rule applied here too; np.lexsort
+    # orders object arrays lexicographically, matching the final
+    # window's neighbor_id tie-break)
+    qids = np.array([r[0] for r in qrows])
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
 
@@ -139,7 +159,7 @@ def brute_force_topk_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            ids = pdf[corpus_id].to_numpy()
             v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
             scores = v @ qmat.T  # (batch, |Q|)
@@ -160,7 +180,7 @@ def brute_force_topk_arrow(
                 )
 
     scored = corpus.select(F.col(corpus_id), F.col(vec_col)).mapInPandas(
-        score, schema="query_id long, neighbor_id long, score double"
+        score, schema=f"query_id {qid_type}, neighbor_id {nid_type}, score double"
     )
     return _ranked_topk(scored, "query_id", k)
 
@@ -473,11 +493,12 @@ def kmeans_refine(
         .limit(k)
         .collect()
     )
+    km_id_type = corpus.schema[id_col].dataType.simpleString()
     if not seeds:
         # empty corpus (a fully-filtered ingest batch is routine at
         # scale): empty assignment, no iterations, 0 x 0 centroids
         empty = corpus.sparkSession.createDataFrame(
-            [], "id long, cluster int, sq_dist double"
+            [], f"id {km_id_type}, cluster int, sq_dist double"
         )
         if return_centroids:
             return empty, [], np.zeros((0, 0))
@@ -504,7 +525,10 @@ def kmeans_refine(
                 cl, sq = _argmin(c, v)
                 yield pd.DataFrame(
                     {
-                        "id": pdf[id_col].to_numpy(dtype=np.int64),
+                        # no dtype coercion: ids keep their input type
+                        # (string ids crashed here while the join-side
+                        # consumers accepted them — round-9 review)
+                        "id": pdf[id_col].to_numpy(),
                         "cluster": cl.astype(np.int32),
                         "sq_dist": sq,
                     }
@@ -562,7 +586,7 @@ def kmeans_refine(
         cents = new_cents
 
     final = base.mapInPandas(
-        make_assign(cents), schema="id long, cluster int, sq_dist double"
+        make_assign(cents), schema=f"id {km_id_type}, cluster int, sq_dist double"
     )
     if return_centroids:
         return final, inertia_history, cents
@@ -685,13 +709,23 @@ def semdedup_pairs_arrow(
     )
     bounded = member.join(F.broadcast(keep), "cluster")
 
+    # ids keep their input types (the pq_encode/pq_topk round-8 rule;
+    # the fold twin always accepted string ids — round-9 review): the
+    # elementwise compare in the swap below orders object arrays
+    # lexicographically, matching the fold path's least/greatest
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
     def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=object),
+                    "id_b": pd.Series(dtype=object),
+                    "cos": pd.Series(dtype="float64"),
+                }
             )
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
         v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
         out_a, out_b, out_c = [], [], []
@@ -718,7 +752,7 @@ def semdedup_pairs_arrow(
         )
 
     return bounded.groupBy("cluster").applyInPandas(
-        cell_pairs, schema="id_a long, id_b long, cos double"
+        cell_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos double"
     )
 
 
@@ -785,19 +819,12 @@ def pq_codebooks(
         return np.asarray(books)
 
     # bounded driver sample: seeded-hash order = deterministic and
-    # corpus-partitioning-invariant (same pick rule as kmeans seeds)
-    rows = (
-        corpus.select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_003)).alias(
-                "__h"
-            ),
-        )
-        .orderBy("__h", "__id")
-        .limit(train_sample)
-        .collect()
-    )
+    # corpus-partitioning-invariant (same pick rule as kmeans seeds;
+    # shared helper so the rule can't drift between the sampled
+    # trainers — round-9 review)
+    from ..functions.sampling import seeded_sample_rows
+
+    rows = seeded_sample_rows(corpus, [id_col, vec_col], train_sample, seed, id_col)
     if not rows:
         # fail loudly here: a (m, 0, dsub) tensor would crash
         # pq_encode deep in an Arrow worker with an opaque
@@ -805,8 +832,8 @@ def pq_codebooks(
         # emptiness check both come from the sample collect — no
         # separate first() job (second review pass)
         raise ValueError("pq_codebooks: cannot train on an empty corpus")
-    dsub = _dims(len(rows[0]["__v"]))
-    raw_ids = [r["__id"] for r in rows]
+    dsub = _dims(len(rows[0][1]))
+    raw_ids = [r[0] for r in rows]
     if all(isinstance(i, int) for i in raw_ids):
         ids = np.array(raw_ids, dtype=np.int64)
     else:
@@ -826,7 +853,7 @@ def pq_codebooks(
             ],
             dtype=np.int64,
         )
-    vecs = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    vecs = np.asarray([r[1] for r in rows], dtype=np.float64)
 
     def _h64(vals, s):
         # xxhash64-equivalent seed ordering is only needed WITHIN the
@@ -946,6 +973,19 @@ def pq_topk(
     ).collect()
     if len(qrows) > max_queries:
         raise ValueError(f"pq_topk got > {max_queries} queries")
+    if not qrows:
+        # typed empty result (empty-input contract; the LUT build
+        # below would IndexError on a 1-d empty qmat — round-9 review)
+        return (
+            encoded.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.lit(0.0).alias("adist"),
+                F.lit(1).alias("rnk"),
+            )
+            .withColumn("query_id", F.lit(None).cast(qid_type))
+            .select("query_id", "neighbor_id", "adist", "rnk")
+            .limit(0)
+        )
     qids = [r[0] for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     # luts[q, j, c] = ||q_sub_j - books[j, c]||^2  (exact, driver-side)
@@ -1216,6 +1256,13 @@ def ivfpq_topk(
     for r in arows:
         qvecs[r["query_id"]] = r["q_vec"]
         qcells.setdefault(r["query_id"], []).append(r["cell"])
+    # exact guard: the row-limit pre-check alone undercounts when
+    # queries land fewer than nprobe cells (n_centroids < nprobe),
+    # letting up to nprobe/cells-fold extra queries through — the
+    # collect stays bounded either way, the LUT/loop budget must not
+    # (round-9 review finding)
+    if len(qcells) > max_queries:
+        raise ValueError(f"ivfpq_topk got > {max_queries} queries")
     qids = sorted(qcells)
     if not qids:
         return (

@@ -49,31 +49,44 @@ def bpe_learn_merges(
     (every word fused to one symbol). Returns the ordered merge list
     — priority IS list order, the contract :func:`bpe_encode`
     consumes."""
-    rows = (
-        docs.select(
-            F.col(text_col).alias("__t"),
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_003)).alias(
-                "__h"
-            ),
-            F.col(id_col).alias("__id"),
-        )
-        .orderBy("__h", "__id")
-        .limit(train_sample)
-        .collect()
-    )
+    from ..functions.sampling import seeded_sample_rows
+
+    rows = seeded_sample_rows(docs, [text_col], train_sample, seed, id_col)
     word_freq: dict = {}
     for r in rows:
-        for w in (r["__t"] or "").split():
+        for w in (r[0] or "").split():
             word_freq[w] = word_freq.get(w, 0) + 1
-    # each word as a tuple of symbols; start at characters
+    return _learn_merges_from_freqs(word_freq, n_merges)
+
+
+def _learn_merges_from_freqs(
+    word_freq: dict, n_merges: int
+) -> List[Tuple[str, str]]:
+    """Driver-side greedy merge loop over a word-frequency dict — the
+    pure core of :func:`bpe_learn_merges`, exposed separately so the
+    naive-recount equivalence fuzz in tests can drive it without a
+    SparkSession."""
+    # each word as a tuple of symbols; start at characters.
+    # INCREMENTAL trainer (round-9 review: the first cut re-counted
+    # every pair over every word per merge — O(n_merges x total
+    # symbols) driver work; the standard trainer touches only words
+    # containing the just-merged pair): pair counts and a pair->words
+    # inverted index are built once, then each merge re-segments ONLY
+    # where[best] and patches counts by delta. Count states after
+    # each merge are identical to a full recount by construction
+    # (only changed words' contributions change), so the merge
+    # SEQUENCE is bit-identical to the naive loop (equivalence
+    # brute-force-checked on randomized corpora in tests).
     words = {w: tuple(w) for w in word_freq}
+    counts: dict = {}
+    where: dict = {}
+    for w, sym in words.items():
+        f = word_freq[w]
+        for pair in zip(sym, sym[1:]):
+            counts[pair] = counts.get(pair, 0) + f
+            where.setdefault(pair, set()).add(w)
     merges: List[Tuple[str, str]] = []
     for _ in range(n_merges):
-        counts: dict = {}
-        for w, sym in words.items():
-            f = word_freq[w]
-            for a, b in zip(sym, sym[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + f
         if not counts:
             break
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
@@ -83,8 +96,25 @@ def bpe_learn_merges(
             break
         merges.append(best)
         fused = best[0] + best[1]
-        new_words = {}
-        for w, sym in words.items():
+        for w in list(where.get(best, ())):
+            f = word_freq[w]
+            sym = words[w]
+            for pair in zip(sym, sym[1:]):
+                c = counts[pair] - f
+                if c > 0:
+                    counts[pair] = c
+                else:
+                    del counts[pair]
+                # a pair occurring twice in w (sole contributor) can
+                # drop its where-entry at the FIRST occurrence while
+                # counts still holds the second's contribution — guard
+                # the second lookup (caught by the 5000-trial
+                # equivalence fuzz in tests)
+                ws = where.get(pair)
+                if ws is not None:
+                    ws.discard(w)
+                    if not ws:
+                        del where[pair]
             out = []
             i = 0
             while i < len(sym):
@@ -94,8 +124,11 @@ def bpe_learn_merges(
                 else:
                     out.append(sym[i])
                     i += 1
-            new_words[w] = tuple(out)
-        words = new_words
+            new_sym = tuple(out)
+            words[w] = new_sym
+            for pair in zip(new_sym, new_sym[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+                where.setdefault(pair, set()).add(w)
     return merges
 
 

@@ -1482,3 +1482,88 @@ def test_ivfpq_index_append_equals_frozen_rebuild(spark):
     }
     want = {(r.vec_id, tuple(r.codes), r.cell) for r in full.collect()}
     assert got == want and len(got) == 50
+
+
+def test_arrow_ann_twins_empty_queries_and_string_ids(spark):
+    """Round-9 review contract fixes: the Arrow ANN twins must match
+    their fold twins on (a) EMPTY query sets (typed empty result, not
+    a driver IndexError/AxisError) and (b) non-integer id columns
+    (the round-8 pq_encode rule, previously unapplied here)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+        ivfpq_index,
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    df, _ = _embeddings(spark, n=30, dim=8, seed=23)
+    empty_q = df.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk_arrow(empty_q, df, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "score", "rank",
+    ]
+    books = pq_codebooks(df, m=4, ksub=4, iters=2)
+    out2 = pq_topk(empty_q, pq_encode(df, books), books, k=3)
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == [
+        "query_id", "neighbor_id", "adist", "rnk",
+    ]
+
+    sdf = df.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    sq = sdf.filter(F.col("vec_id").isin("doc-0", "doc-1")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk_arrow(sq, sdf, k=3).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(sq, sdf, k=3).collect()
+    }
+    assert got == want and got
+
+    # ivfpq guard: undercount via nprobe > n_centroids must not let
+    # extra queries slip under the row-limit pre-check
+    centroids, books2, enc = ivfpq_index(df, n_centroids=1, m=4, ksub=4, iters=1)
+    q3 = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ivfpq_topk got"):
+        ivfpq_topk(q3, centroids, books2, enc, k=2, nprobe=4, max_queries=2)
+
+
+def test_semdedup_arrow_accepts_string_ids(spark):
+    """semdedup_pairs_arrow previously hardcoded int64 ids while its
+    fold twin passed any id type through (round-9 review): string ids
+    must produce the same pair set as the fold path."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        semdedup_pairs,
+        semdedup_pairs_arrow,
+    )
+
+    df, _ = _embeddings(spark, n=40, dim=8, seed=29)
+    sdf = df.select(
+        F.concat(F.lit("d"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    fold = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs(sdf, k=4, threshold=0.4, iters=2).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs_arrow(sdf, k=4, threshold=0.4, iters=2).collect()
+    }
+    assert arrow == fold and arrow

@@ -84,3 +84,61 @@ def test_bpe_merge_table_roundtrips_exactly(spark, tmp_path):
     }
     want = {r.doc_id: r.tokens for r in bpe_encode(train, merges).collect()}
     assert got == want
+
+
+def test_incremental_trainer_equals_naive_recount_fuzz():
+    """The incremental pair-count/inverted-index trainer must produce
+    the BIT-IDENTICAL merge sequence to a naive full-recount loop on
+    randomized corpora (pure-python, no Spark; the shipped trainer's
+    driver core). Includes the duplicate-pair/sole-contributor case
+    that desynced the where-index in the first cut."""
+    import random
+
+    def naive(word_freq, n_merges):
+        words = {w: tuple(w) for w in word_freq}
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for w, sym in words.items():
+                f = word_freq[w]
+                for a, b in zip(sym, sym[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if counts[best] < 2:
+                break
+            merges.append(best)
+            fused = best[0] + best[1]
+            new_words = {}
+            for w, sym in words.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if (
+                        i + 1 < len(sym)
+                        and sym[i] == best[0]
+                        and sym[i + 1] == best[1]
+                    ):
+                        out.append(fused)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                new_words[w] = tuple(out)
+            words = new_words
+        return merges
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        _learn_merges_from_freqs,
+    )
+
+    rng = random.Random(13)
+    for _ in range(800):
+        wf = {}
+        for _ in range(rng.randint(1, 14)):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 10)))
+            wf[w] = wf.get(w, 0) + rng.randint(1, 5)
+        nm = rng.randint(1, 20)
+        assert naive(dict(wf), nm) == _learn_merges_from_freqs(dict(wf), nm)
+    # the desync case verbatim: duplicate pair, sole contributor
+    assert naive({"abab": 3}, 5) == _learn_merges_from_freqs({"abab": 3}, 5)
