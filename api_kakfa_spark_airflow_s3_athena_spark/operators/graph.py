@@ -348,7 +348,10 @@ def label_propagation(
     with its own id; each round EVERY node simultaneously adopts the
     label most frequent among its neighbors, ties broken by the
     SMALLEST label. Returns ``(node, community)`` after exactly
-    ``rounds`` rounds.
+    ``rounds`` rounds. Input edges distinct with ``u < v`` (the
+    :func:`cooccurrence_edges` contract, same as :func:`kcore` and
+    :func:`triangle_count`) — duplicate edges would double-count
+    votes.
 
     Fixed-round semantics by design, not convergence: synchronous
     LPA can 2-cycle on bipartite-ish regions (the classic oscillation
