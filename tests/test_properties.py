@@ -511,3 +511,40 @@ def test_bpe_roundtrip_any_corpus(spark, ws):
     stripped = "".join(text.split())
     assert "".join(row.tokens) == stripped
     assert row.n_tokens <= len(stripped)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=3),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_contrastive_triplet_invariants(spark, docs):
+    """For ANY corpus: every emitted triplet has three distinct doc
+    ids, the positive clears the 0.9 band, the negative sits in
+    [0.5, 0.9), and the positive is at least as similar as the
+    negative — the band semantics that make a triplet trainable."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.dedup import (
+        contrastive_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    )
+    out = contrastive_pairs(
+        df, pos_threshold=0.9, cand_threshold=0.5
+    ).collect()
+    for r in out:
+        assert r.anchor_id != r.positive_id
+        assert r.anchor_id != r.negative_id
+        # the bands are disjoint, so one partner cannot be both
+        assert r.positive_id != r.negative_id
+        assert r.pos_jaccard >= 0.9
+        assert 0.5 <= r.neg_jaccard < 0.9
+        assert r.pos_jaccard >= r.neg_jaccard
