@@ -61,13 +61,21 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-grams as array<string>: the unit set for MinHash/Jaccard
-    dedup. Built as n-1 ``zip_with`` passes over shifted slices of the
-    token array — no explode, no shuffle, and (crucially) no outer
-    capture inside a HOF lambda: a transform-over-sequence lambda that
-    referenced the token subtree would INLINE it per index and go
-    quadratic per document (NOTES.md). The zip inputs are plain
-    arguments, each evaluated once per row."""
-    toks = tokens(text)
+    dedup. See :func:`word_shingles_from_tokens` for the construction
+    notes; this is the text-column convenience form."""
+    return word_shingles_from_tokens(tokens(text), n)
+
+
+def word_shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams from an already-tokenized array<string>. Built as
+    n-1 ``zip_with`` passes over shifted slices of the token array —
+    no explode, no shuffle, and (crucially) no outer capture inside a
+    HOF lambda: a transform-over-sequence lambda that referenced the
+    token subtree would INLINE it per index and go quadratic per
+    document (NOTES.md). The zip inputs are plain arguments, each
+    evaluated once per row. Callers that already hold the token array
+    (one tokenization, several consumers) use this form to avoid
+    re-splitting the text per consumer."""
     length = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     out = F.slice(toks, 1, length)
     for k in range(1, n):

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "heavy_hitters_by_key"]
 
 
 # The ONE tokenization, used by all three sides of the contract:
@@ -89,6 +89,117 @@ def _mg_candidates(num_counters: int, text_col: str):
             yield pd.DataFrame({"token": counters.index.astype(str)})
 
     return gen
+
+
+def _mg_candidates_by_key(key_cols, unit_col: str, num_counters: int):
+    """Per-partition, PER-KEY Misra-Gries candidate pass over an
+    already-exploded unit stream (mapInPandas). Each key's counter set
+    is an independent MG summary, so the guarantee is per key: any
+    unit with partition-local in-key frequency > n_{p,key}/num_counters
+    survives; by pigeonhole over that key's partition slices, every
+    global per-key heavy hitter survives in at least one partition.
+
+    All work is vectorized pandas: per batch one groupby-size, one
+    concat-merge, and (only when a key overflows) a sorted cumcount
+    threshold subtraction — the per-group ``transform`` lambda runs
+    once per KEY, not per row, and the number of keys is the grouping
+    cardinality (languages/domains), not the unit vocabulary."""
+    import pandas as pd
+
+    gcols = list(key_cols)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        state: "pd.DataFrame | None" = None
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[unit_col])
+            if pdf.empty:
+                continue
+            bc = (
+                pdf.groupby(gcols + [unit_col], sort=False)
+                .size()
+                .rename("cnt")
+                .reset_index()
+            )
+            merged = bc if state is None else (
+                pd.concat([state, bc], ignore_index=True)
+                .groupby(gcols + [unit_col], sort=False)["cnt"]
+                .sum()
+                .reset_index()
+            )
+            # MG summary-merge reduction per key (Agarwal et al. 2012):
+            # subtract each overflowing key's (k+1)-th largest count,
+            # drop non-positive counters.
+            merged = merged.sort_values("cnt", ascending=False, kind="mergesort")
+            thr = merged.groupby(gcols, sort=False)["cnt"].transform(
+                lambda s: s.iloc[num_counters] if len(s) > num_counters else 0
+            )
+            merged = merged.assign(cnt=merged["cnt"] - thr)
+            state = merged[merged["cnt"] > 0]
+        if state is not None and not state.empty:
+            yield state[gcols + [unit_col]]
+
+    return gen
+
+
+def heavy_hitters_by_key(
+    units: DataFrame,
+    key_cols,
+    unit_col: str = "unit",
+    num_counters: int = 200,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Exact PER-KEY heavy hitters over an exploded unit stream: every
+    (key, unit) whose in-key frequency ``freq`` satisfies
+    ``freq * num_counters > n_units(key)``, with its exact count —
+    per-domain/per-language token or n-gram heads, the curation ask
+    the global :func:`heavy_hitters` cannot answer.
+
+    ``units`` carries one row per unit OCCURRENCE (key cols + unit
+    col). Callers explode upstream (``F.explode(tokens(...))`` or a
+    shingle array) — explode is a narrow op, so the stream flows into
+    the candidate pass without a shuffle.
+
+    Scale shape (the two-phase discipline of the global operator):
+    the candidate pass emits ≤ num_counters·keys rows per partition;
+    the exact recount semi-joins the stream against the candidate set
+    BEFORE its shuffle, so only candidate-unit occurrences enter the
+    exchange, map-side combined to ≤ |candidates| rows per partition.
+    With ``broadcast_candidates=True`` (default — right whenever
+    num_counters·keys·partitions is broadcast-sized) the semi-join is
+    shuffle-free on the fact side; pass False at extreme key
+    cardinality to fall back to a shuffled semi-join, still exact.
+
+    Returns ``(key_cols…, unit_col, freq, n_units)``.
+    """
+    gcols = list(key_cols)
+    # NULL occurrences are not units: exclude them EVERYWHERE —
+    # candidates and the recount semi-join drop them implicitly (null
+    # keys never match), so the per-key totals must drop them too or
+    # thresholds would be measured against a larger denominator.
+    units = units.where(F.col(unit_col).isNotNull())
+    cands = (
+        units.select(*gcols, unit_col)
+        .mapInPandas(
+            _mg_candidates_by_key(gcols, unit_col, num_counters),
+            schema=units.select(*gcols, unit_col).schema,
+        )
+        .distinct()
+    )
+    if broadcast_candidates:
+        cands = F.broadcast(cands)
+    totals = units.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units")
+    )
+    counted = (
+        units.join(cands, on=gcols + [unit_col], how="leftsemi")
+        .groupBy(*gcols, unit_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return (
+        counted.join(F.broadcast(totals), on=gcols)
+        .filter(F.col("freq") * num_counters > F.col("n_units"))
+        .select(*gcols, unit_col, "freq", "n_units")
+    )
 
 
 def heavy_hitters(

@@ -20,9 +20,9 @@ rounded before ranking/output on both engines).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -110,6 +110,117 @@ def keyword_topk(
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
     return top.withColumn("rnk", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "n_match_terms", "score", "rnk"
+    )
+
+
+def prior_topk(
+    docs: DataFrame,
+    prior_col: Column,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-n documents by a per-document PRIOR column (recency,
+    quality-classifier score, popularity …), as an RRF arm: returns
+    ``(id, rnk)`` ranked prior-desc with id tie-break. The cut is
+    ``orderBy().limit(n)`` — TakeOrderedAndProject, no global sort —
+    and only the n survivors see the row_number window. Rank
+    determinism is the caller's contract: pass an integer prior or a
+    pre-rounded score (the arm consumes only the resulting RANKS, so
+    any deterministic ordering works)."""
+    top = (
+        docs.select(F.col(id_col).alias("id"), prior_col.alias("__p"))
+        .orderBy(F.col("__p").desc(), F.col("id").asc())
+        .limit(n)
+    )
+    w = Window.orderBy(F.col("__p").desc(), F.col("id").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select("id", "rnk")
+
+
+def rrf_fuse(
+    arms: Mapping[str, DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-arm Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+    SIGIR 2009): ``rrf(d) = sum_arms 1/(rrf_k + rank_arm(d))`` over
+    each arm's entries; a document missing from an arm contributes 0
+    there. ``arms`` maps arm name -> ``(id, rnk)`` frame (insertion
+    order fixes the summation order, so results are deterministic);
+    output carries one ``in_<name>`` flag per arm.
+
+    Rank-only fusion is what makes adding arms trivial: no score
+    calibration crosses arms, so any deterministic ranker — sparse,
+    dense, a recency or quality prior — composes by contributing its
+    rank column. Each arm is already a bounded top-n, so the fusion
+    join chain touches ≤ sum(n_arm) rows — free at any corpus size.
+
+    Float parity: the fused score folds from 0.0 over single IEEE
+    divisions of exact integers; adding 0.0 to a non-negative double
+    is exact, so the fold is bit-identical to the plain left-to-right
+    sum an SQL twin writes (NOTES.md float recipe — never round
+    exact-ratio arithmetic)."""
+    joined: Optional[DataFrame] = None
+    for name, arm in arms.items():
+        a = arm.select(F.col("id"), F.col("rnk").alias(f"rnk_{name}"))
+        joined = a if joined is None else joined.join(a, "id", "full_outer")
+    one = F.lit(1).cast("double")
+    score = F.lit(0.0)
+    flags = []
+    for name in arms:
+        score = score + F.coalesce(
+            one / (F.lit(rrf_k) + F.col(f"rnk_{name}")), F.lit(0.0)
+        )
+        flags.append(F.col(f"rnk_{name}").isNotNull().alias(f"in_{name}"))
+    fused = joined.select(F.col("id").alias(id_col), *flags, score.alias("rrf_score"))
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def hybrid_rrf3_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    prior_col: Optional[Column] = None,
+    query_vec_id: int = 7,
+    k: int = 10,
+    n_arm: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Three-arm hybrid retrieval: BM25 sparse + exact-cosine dense +
+    a per-document PRIOR arm (default: the stored ``n_chars`` length
+    prior — substitute any deterministic per-doc score column, e.g.
+    the quality classifier's quantized output or a recency stamp),
+    fused by :func:`rrf_fuse`. The prior arm is how production RAG
+    stacks bias retrieval toward fresh/high-quality documents without
+    touching the relevance arms — rank-only fusion needs no weight
+    tuning to stay sane, and each arm keeps its own bounded top-n
+    scale shape. Returns ``(doc_id, in_sparse, in_dense, in_prior,
+    rrf_score, rnk)``."""
+    from .similarity import brute_force_topk
+
+    if prior_col is None:
+        prior_col = F.col("n_chars")
+    sparse = keyword_topk(
+        docs, terms, k=n_arm, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("id"), F.col("rnk"))
+    q = emb.filter(F.col(emb_id) == query_vec_id).select(
+        F.col(emb_id).alias("query_id"), F.col(vec_col)
+    )
+    dense = brute_force_topk(
+        q, emb, k=n_arm, corpus_id=emb_id, vec_col=vec_col
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("rnk"))
+    prior = prior_topk(docs, prior_col, n_arm, id_col=id_col)
+    return rrf_fuse(
+        {"sparse": sparse, "dense": dense, "prior": prior},
+        k=k,
+        rrf_k=rrf_k,
+        id_col=id_col,
     )
 
 

@@ -1,0 +1,195 @@
+"""KMV (k-minimum-values) distinct sketches with SET OPERATIONS.
+
+Driver-mandated training-pipeline extension (SURVEY.md §2f family):
+cross-corpus overlap estimation — "how much of corpus B's vocabulary /
+shingle set / URL set is already in corpus A?" is the contamination and
+mixture-design question HyperLogLog union cannot answer, because HLL
+supports union only; KMV supports union, intersection, and Jaccard
+(Beyer, Haas, Reinwald, Sismanis, Gemulla: "On synopses for
+distinct-value estimation under multiset operations", SIGMOD 2007).
+
+Why KMV here instead of Spark's built-in HLL sketch functions:
+
+* **Set operations.** The k smallest hash values of ``A ∪ B`` are a
+  subset of (k-smallest of A) ∪ (k-smallest of B), so two KMV
+  synopses merge into the EXACT synopsis of the union with plain
+  bounded array arithmetic, and the overlap fraction inside the merged
+  synopsis is an unbiased Jaccard estimator. Intersections fall out as
+  ``ρ · est(A ∪ B)`` — no inclusion-exclusion error stacking.
+* **Determinism / oracle-ability.** The sketch is a deterministic
+  function of the input value SET (k smallest of a fixed hash — no
+  RNG, no register randomness), so a DuckDB twin can compute the
+  IDENTICAL sketch and the IDENTICAL estimate, giving a full
+  value-level correctness oracle instead of a tolerance contract.
+
+Hash: the first 15 hex chars of md5 parsed as a 60-bit integer —
+bit-identical in Spark (``conv(substr(md5(x),1,15),16,10)``) and
+DuckDB (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``); 60 bits keeps
+``conv``'s 64-bit saturation and BIGINT's sign out of play. Collisions
+(~n²/2⁶¹) are both negligible and ENGINE-CONSISTENT, so they can never
+produce an oracle mismatch.
+
+Scale design (the Misra-Gries two-phase discipline from
+``operators/frequency.py``):
+
+1. *Partial phase*: one Arrow-batched ``mapInPandas`` pass keeps, per
+   partition and group, the k smallest DISTINCT hashes (vectorized
+   ``sort_values`` + ``groupby.head`` per batch against the bounded
+   carry state). Each partition emits ≤ k rows per group.
+2. *Merge phase*: ``collect_set`` over the ≤ k·P candidate rows per
+   group, ``array_sort`` + ``slice`` to the global k smallest. Only
+   candidates enter the shuffle — O(k·P) rows per group instead of the
+   full distinct-value stream. At 100 TB the sketch shuffle is
+   kilobytes per group while an exact ``countDistinct`` shuffles the
+   entire distinct domain.
+
+Estimator: with hashes uniform on [0, 2⁶⁰), ``est = (k-1)·2⁶⁰ / h_(k)``
+(the unbiased basic estimator, Beyer et al. §3). A sketch holding
+fewer than k hashes saw its whole domain — the estimate is EXACT
+(``size(hashes)``). Every emitted estimate is a SINGLE IEEE division
+of exactly-representable operands ((k-1)·2⁶⁰ is a small-int × power of
+two, exact in double), so engine results are bit-identical per the
+float-parity recipe in NOTES.md.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kmv_hash",
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_set_estimates",
+]
+
+HASH_BITS = 60
+_HASH_SPAN = float(2**HASH_BITS)  # exact double (power of two)
+
+
+def kmv_hash(value: Column) -> Column:
+    """60-bit md5 prefix as a non-negative long — the one hash both
+    engines compute bit-identically (see module docstring)."""
+    return F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def _partial_kmin(group_cols: Sequence[str], k: int):
+    """Per-partition k-smallest-distinct-per-group pass (mapInPandas).
+
+    Carries ≤ k rows per group across Arrow batches; per batch the
+    work is one vectorized concat + drop_duplicates + sort + head —
+    O(batch + carry) C-level pandas, no per-row Python.
+    """
+    import pandas as pd
+
+    gcols = list(group_cols)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        state: "pd.DataFrame | None" = None
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["__h"])
+            if pdf.empty:
+                continue
+            combined = pdf if state is None else pd.concat([state, pdf], ignore_index=True)
+            combined = combined.drop_duplicates(subset=gcols + ["__h"])
+            state = combined.sort_values("__h", kind="mergesort").groupby(gcols, sort=False).head(k)
+        if state is not None and not state.empty:
+            yield state
+
+    return gen
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: Column,
+    k: int = 256,
+) -> DataFrame:
+    """Build one KMV synopsis per group: ``group_cols…, kmv_hashes``
+    (sorted array<long>, length ≤ k; length < k ⇒ the group's distinct
+    domain fit entirely and estimates are exact).
+
+    ``value_col`` is any Column; NULL values are ignored (SQL distinct
+    semantics for sketches: NULL is not a value).
+    """
+    gcols = list(group_cols)
+    hashed = df.select(*gcols, kmv_hash(value_col).alias("__h")).where(F.col("__h").isNotNull())
+    schema_src = hashed.schema
+    partial = hashed.mapInPandas(_partial_kmin(gcols, k), schema=schema_src)
+    # Merge phase: per group ≤ k·P candidate rows — collect_set is
+    # bounded by construction; the global k smallest of the union of
+    # local k-smallest sets is exactly the global sketch.
+    return partial.groupBy(*gcols).agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv_hashes")
+    )
+
+
+def kmv_estimate(hashes: Column, k: int) -> Column:
+    """Distinct-count estimate from a synopsis array (Beyer et al. §3):
+    exact size when the sketch is unsaturated, else
+    ``(k-1)·2⁶⁰ / h_(k)`` — one IEEE division of exact operands, so the
+    value is bit-identical across engines."""
+    n = F.size(hashes)
+    kth = F.element_at(hashes, k).cast("double")
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1) * _HASH_SPAN) / kth
+    )
+
+
+def kmv_set_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    join_cols: Sequence[str],
+    k: int,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates from two synopsis
+    frames (each as produced by :func:`kmv_sketch`, SAME k), joined on
+    ``join_cols`` (inner: a group absent from either side has no
+    overlap question to answer).
+
+    Output per group:
+
+    * ``est{sa}``, ``est{sb}`` — per-side distinct estimates,
+    * ``k_union`` — size of the merged synopsis L = k-smallest(A∪B),
+    * ``union_kth`` — max(L) (the estimator's denominator, exact int),
+    * ``est_union`` — distinct estimate of A ∪ B from L,
+    * ``overlap`` — |L ∩ A ∩ B| (exact int),
+    * ``jaccard_est`` — overlap / k_union (the Beyer et al. ρ; one
+      exact-int division, bit-stable).
+
+    The intersection estimate is ``jaccard_est · est_union`` — a
+    multi-op double chain that is NOT bit-stable across engines (FMA
+    contraction; NOTES.md float recipe), so this function emits its
+    exact-integer / single-division COMPONENTS and leaves the final
+    multiply to the caller's display layer.
+
+    All arithmetic is plain JVM array functions over ≤ k-length
+    arrays — the join moves two kilobyte-scale synopses per group, so
+    the set-operation cost is independent of corpus size.
+    """
+    sa, sb = suffixes
+    jc = list(join_cols)
+    fa = a.select(*jc, F.col("kmv_hashes").alias("__ha"))
+    fb = b.select(*jc, F.col("kmv_hashes").alias("__hb"))
+    merged = (
+        fa.join(fb, on=jc, how="inner")
+        .withColumn("__L", F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k))
+        .withColumn("k_union", F.size("__L"))
+    )
+    return merged.select(
+        *jc,
+        kmv_estimate(F.col("__ha"), k).alias(f"est{sa}"),
+        kmv_estimate(F.col("__hb"), k).alias(f"est{sb}"),
+        F.col("k_union"),
+        F.element_at("__L", -1).alias("union_kth"),
+        kmv_estimate(F.col("__L"), k).alias("est_union"),
+        F.size(F.array_intersect(F.array_intersect("__L", "__ha"), "__hb")).alias("overlap"),
+        (
+            F.size(F.array_intersect(F.array_intersect("__L", "__ha"), "__hb")).cast("double")
+            / F.col("k_union").cast("double")
+        ).alias("jaccard_est"),
+    )

@@ -24,10 +24,66 @@ DISTINCT word once.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import re
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=1)
+def byte_unicode_map() -> dict:
+    """The byte-level BPE alphabet: a fixed bijection from the 256
+    byte values to printable unicode characters (Radford et al. 2019,
+    GPT-2 — the published byte-to-unicode table every byte-level BPE
+    uses). Printable ASCII and Latin-1 ranges map to themselves; the
+    remaining 68 byte values (controls, space, DEL…) map to the
+    private range starting at U+0100, keeping every mapped character
+    printable and whitespace-free so the word-level merge machinery
+    never sees a byte it must escape.
+
+    Why byte level: the alphabet is CLOSED — 256 base symbols cover
+    any input, so a character never seen in training still encodes
+    (as its bytes) and decodes exactly; there is no OOV at any corpus
+    scale."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+@lru_cache(maxsize=1)
+def _unicode_byte_map() -> dict:
+    return {c: b for b, c in byte_unicode_map().items()}
+
+
+def _to_byte_space(word: str) -> str:
+    m = byte_unicode_map()
+    return "".join(m[b] for b in word.encode("utf-8"))
+
+
+def bpe_decode_tokens(tokens: Sequence[str], byte_level: bool = False) -> str:
+    """Invert an encoded token sequence back to the (whitespace-
+    stripped) text. Byte-level tokens concatenate to the mapped byte
+    stream, which inverts exactly — even when a merge boundary falls
+    INSIDE a multi-byte UTF-8 character, because only the full
+    concatenation is decoded. Character-level tokens concatenate
+    directly."""
+    joined = "".join(tokens)
+    if not byte_level:
+        return joined
+    inv = _unicode_byte_map()
+    return bytes(inv[c] for c in joined).decode("utf-8")
 
 
 def bpe_learn_merges(
@@ -37,6 +93,7 @@ def bpe_learn_merges(
     id_col: str = "doc_id",
     train_sample: int = 65536,
     seed: int = 23,
+    byte_level: bool = False,
 ) -> List[Tuple[str, str]]:
     """Learn a BPE merge table from a bounded deterministic corpus
     sample: ``train_sample`` docs picked by seeded id-hash order (the
@@ -48,13 +105,21 @@ def bpe_learn_merges(
     table is fully deterministic. Stops early when no pair repeats
     (every word fused to one symbol). Returns the ordered merge list
     — priority IS list order, the contract :func:`bpe_encode`
-    consumes."""
+    consumes.
+
+    ``byte_level=True`` trains in the GPT-2 byte alphabet (words are
+    mapped through :func:`byte_unicode_map` before the character
+    split), closing the vocabulary at 256 base symbols; on printable-
+    ASCII corpora the mapping is the identity, so byte-level and
+    character-level merge tables coincide (test-pinned)."""
     from ..functions.sampling import seeded_sample_rows
 
     rows = seeded_sample_rows(docs, [text_col], train_sample, seed, id_col)
     word_freq: dict = {}
     for r in rows:
         for w in (r[0] or "").split():
+            if byte_level:
+                w = _to_byte_space(w)
             word_freq[w] = word_freq.get(w, 0) + 1
     return _learn_merges_from_freqs(word_freq, n_merges)
 
@@ -157,6 +222,8 @@ def bpe_encode(
     merges: Sequence[Tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_level: bool = False,
+    special_tokens: Sequence[str] = (),
 ) -> DataFrame:
     """Encode every document with a FROZEN merge table: one Arrow
     pass, row-local, linear in corpus size — the incremental-ingest
@@ -173,11 +240,41 @@ def bpe_encode(
     ``tokens`` concatenates the per-word subword sequences in order
     (joining them with no separator reconstructs the
     whitespace-stripped document — the invariant the registry
-    contract pins)."""
+    contract pins).
+
+    ``byte_level=True`` encodes in the GPT-2 byte alphabet (words map
+    through :func:`byte_unicode_map` first): the vocabulary is CLOSED
+    at 256 base symbols, so any character — including ones absent from
+    the training sample — encodes, and :func:`bpe_decode_tokens`
+    inverts exactly. Pair the flag with a table trained at the same
+    setting; mixing levels is a caller error (byte-space symbols
+    simply never match char-space merges, so nothing merges).
+
+    ``special_tokens`` reserves control strings (``<|endoftext|>``
+    et al., the GPT-2 practice): each occurrence is emitted as ONE
+    token, verbatim — never split to bytes/chars, never merged across,
+    and the surrounding text encodes exactly as it would without the
+    marker. Reservation is an encode-side contract; the trainer is
+    untouched (specials are injected into corpora by the pipeline,
+    not learned)."""
     import pandas as pd
 
     ranks = {pair: i for i, pair in enumerate(merges)}
     id_type = corpus.schema[id_col].dataType.simpleString()
+    specials = [s for s in special_tokens if s]
+    spec_re = (
+        re.compile("(" + "|".join(re.escape(s) for s in specials) + ")")
+        if specials
+        else None
+    )
+    spec_set = set(specials)
+
+    def _word_tokens(w: str, cache: dict) -> List[str]:
+        got = cache.get(w)
+        if got is None:
+            got = _encode_word(_to_byte_space(w) if byte_level else w, ranks)
+            cache[w] = got
+        return got
 
     def enc(batches):
         cache: dict = {}
@@ -187,12 +284,14 @@ def bpe_encode(
             out_tokens = []
             for text in pdf["__text"]:
                 toks: List[str] = []
-                for w in (text or "").split():
-                    got = cache.get(w)
-                    if got is None:
-                        got = _encode_word(w, ranks)
-                        cache[w] = got
-                    toks.extend(got)
+                text = text or ""
+                segments = spec_re.split(text) if spec_re else (text,)
+                for seg in segments:
+                    if seg in spec_set:
+                        toks.append(seg)
+                        continue
+                    for w in seg.split():
+                        toks.extend(_word_tokens(w, cache))
                 out_tokens.append(toks)
             yield pd.DataFrame(
                 {"id": pdf["__id"], "tokens": out_tokens}

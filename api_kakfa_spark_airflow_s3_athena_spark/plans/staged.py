@@ -1,0 +1,376 @@
+"""Round-10 STAGED registry queries — implemented, tested, and
+oracle-verified this round, but NOT registered in ``queries()`` yet.
+
+Why staged: the driver verifies a 50-query prefix per round, ordered
+newest-first, and round 9's prefix budget is exactly consumed (12 new
+registrations + all 38 r05-stale rows — the VERDICT r08 rotation
+target). Registering more queries THIS round would push stale rows out
+of the prefix and break the freshness-rotation arithmetic, so these
+entries wait in this module; round 10 promotes them by moving the
+``@register_staged`` decorators into ``plans/queries.py`` verbatim
+(the specs are full ``QuerySpec`` objects — same fields, same
+contract). Verify locally with::
+
+    python tools/oracle_check.py --staged [sf_dir] [query ...]
+
+Keep the r10 cap in mind when promoting: 12 new registrations max so
+the r06-stale cohort fits the prefix (NOTES.md rotation note).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles, word_shingles_from_tokens
+from ..operators.frequency import heavy_hitters_by_key
+from ..operators.sketches import kmv_set_estimates, kmv_sketch
+from .queries import QueryFn, QuerySpec, _t
+
+STAGED: Dict[str, QuerySpec] = {}
+
+
+def register_staged(
+    name: str,
+    oracle: Optional[str] = None,
+    tags: Tuple[str, ...] = (),
+    bench_fn: Optional[QueryFn] = None,
+):
+    def deco(fn: QueryFn) -> QueryFn:
+        STAGED[name] = QuerySpec(name, fn, oracle, tags, bench_fn)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# KMV cross-corpus overlap (operators/sketches.py)
+# =====================================================================
+
+_KMV_K = 256
+# (k-1)·2⁶⁰ precomputed as the exact double both engines fold to: the
+# product of a small integer and a power of two is exactly
+# representable, so the estimator below is ONE IEEE division of exact
+# operands — bit-identical cross-engine (NOTES.md float recipe).
+_KMV_NUM = float(_KMV_K - 1) * float(2**60)
+
+# Corpus halves for the overlap question: sources src0-src9 vs the
+# rest. substr(source, 4) is the numeric suffix; the predicate is
+# sargable on both engines and stable across SFs (every SF ships
+# src0..src19).
+_SIDE_A = [f"src{i}" for i in range(10)]
+
+_KMV_ORACLE = f"""
+WITH toks AS (
+    SELECT lang,
+           source IN ({", ".join("'" + s + "'" for s in _SIDE_A)}) AS is_a,
+           list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+units AS (
+    SELECT lang, is_a, 'token' AS unit, unnest(t) AS val FROM toks
+    UNION ALL
+    SELECT lang, is_a, 'shingle5' AS unit,
+           unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3] || ' ' || t[i+4])) AS val
+    FROM toks
+),
+side AS (
+    SELECT DISTINCT lang, unit, is_a,
+           CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) AS h,
+           val
+    FROM units
+),
+ex AS (  -- exact union / overlap per group (calibration columns)
+    SELECT lang, unit,
+           COUNT(*) AS exact_union,
+           COUNT(*) FILTER (has_a AND has_b) AS exact_overlap
+    FROM (
+        SELECT lang, unit, val, bool_or(is_a) AS has_a,
+               bool_or(NOT is_a) AS has_b
+        FROM side GROUP BY lang, unit, val
+    )
+    GROUP BY lang, unit
+),
+ka AS (
+    SELECT lang, unit, h,
+           row_number() OVER (PARTITION BY lang, unit ORDER BY h) AS rn
+    FROM (SELECT DISTINCT lang, unit, h FROM side WHERE is_a)
+),
+kb AS (
+    SELECT lang, unit, h,
+           row_number() OVER (PARTITION BY lang, unit ORDER BY h) AS rn
+    FROM (SELECT DISTINCT lang, unit, h FROM side WHERE NOT is_a)
+),
+ska AS (SELECT lang, unit, h FROM ka WHERE rn <= {_KMV_K}),
+skb AS (SELECT lang, unit, h FROM kb WHERE rn <= {_KMV_K}),
+sa AS (SELECT lang, unit, COUNT(*) AS n, MAX(h) AS kth FROM ska GROUP BY lang, unit),
+sb AS (SELECT lang, unit, COUNT(*) AS n, MAX(h) AS kth FROM skb GROUP BY lang, unit),
+lu AS (
+    SELECT lang, unit, h,
+           row_number() OVER (PARTITION BY lang, unit ORDER BY h) AS rn
+    FROM (SELECT lang, unit, h FROM ska UNION SELECT lang, unit, h FROM skb)
+),
+L AS (SELECT lang, unit, h FROM lu WHERE rn <= {_KMV_K}),
+lstat AS (SELECT lang, unit, COUNT(*) AS k_union, MAX(h) AS union_kth
+          FROM L GROUP BY lang, unit),
+ov AS (
+    SELECT L.lang, L.unit, COUNT(*) AS overlap
+    FROM L
+    JOIN ska ON ska.lang = L.lang AND ska.unit = L.unit AND ska.h = L.h
+    JOIN skb ON skb.lang = L.lang AND skb.unit = L.unit AND skb.h = L.h
+    GROUP BY L.lang, L.unit
+)
+SELECT sa.lang, sa.unit,
+       CASE WHEN sa.n < {_KMV_K} THEN CAST(sa.n AS DOUBLE)
+            ELSE {_KMV_NUM!r} / CAST(sa.kth AS DOUBLE) END AS est_a,
+       CASE WHEN sb.n < {_KMV_K} THEN CAST(sb.n AS DOUBLE)
+            ELSE {_KMV_NUM!r} / CAST(sb.kth AS DOUBLE) END AS est_b,
+       lstat.k_union,
+       lstat.union_kth,
+       CASE WHEN lstat.k_union < {_KMV_K} THEN CAST(lstat.k_union AS DOUBLE)
+            ELSE {_KMV_NUM!r} / CAST(lstat.union_kth AS DOUBLE) END AS est_union,
+       COALESCE(ov.overlap, 0) AS overlap,
+       CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / CAST(lstat.k_union AS DOUBLE)
+           AS jaccard_est,
+       ex.exact_union,
+       ex.exact_overlap
+FROM sa
+JOIN sb ON sb.lang = sa.lang AND sb.unit = sa.unit
+JOIN lstat ON lstat.lang = sa.lang AND lstat.unit = sa.unit
+JOIN ex ON ex.lang = sa.lang AND ex.unit = sa.unit
+LEFT JOIN ov ON ov.lang = sa.lang AND ov.unit = sa.unit
+"""
+
+
+def _kmv_overlap_frames(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("source").isin(_SIDE_A).alias("is_a"),
+        tokens(F.col("text")).alias("t"),
+    )
+    # Two unit streams per group: raw tokens (tiny driver vocabulary —
+    # exercises the unsaturated/exact estimator branch at every SF) and
+    # 5-gram shingles (combinatorial cardinality — saturates k and
+    # exercises the (k-1)·2⁶⁰/h_(k) branch at every SF).
+    units = base.select(
+        "lang", "is_a", F.lit("token").alias("unit"), F.explode("t").alias("val")
+    ).unionByName(
+        base.select(
+            "lang",
+            "is_a",
+            F.lit("shingle5").alias("unit"),
+            F.explode(word_shingles_from_tokens(F.col("t"), 5)).alias("val"),
+        )
+    )
+    a = kmv_sketch(units.where("is_a"), ["lang", "unit"], F.col("val"), k=_KMV_K)
+    b = kmv_sketch(units.where("NOT is_a"), ["lang", "unit"], F.col("val"), k=_KMV_K)
+    return units, a, b
+
+
+def kmv_overlap_bench(spark, sf_dir):
+    """Bare production shape: sketch both corpus halves, set-estimate.
+    No exact-distinct calibration pass — at 100 TB the sketches are
+    the point; this is what bench.py times."""
+    _, a, b = _kmv_overlap_frames(spark, sf_dir)
+    return kmv_set_estimates(a, b, ["lang", "unit"], _KMV_K)
+
+
+@register_staged(
+    "kmv_source_overlap",
+    oracle=_KMV_ORACLE,
+    tags=("sketch", "dedup", "contamination"),
+    bench_fn=kmv_overlap_bench,
+)
+def kmv_source_overlap(spark, sf_dir):
+    """Cross-corpus vocabulary overlap via KMV synopses (Beyer et al.
+    SIGMOD 2007): per language, the distinct-token union, intersection
+    fraction, and Jaccard between the src0-9 and src10-19 corpus
+    halves — the contamination/mixture question HLL union cannot
+    answer. The oracle computes the IDENTICAL sketch in SQL (same
+    md5-60bit hash, same k smallest, same single-division estimator),
+    making every column value-level comparable; exact_union /
+    exact_overlap calibration columns ride along so estimator quality
+    is visible in the artifact itself.
+
+    Scale: the sketch pass shuffles ≤ k rows per (partition, lang) —
+    kilobytes per group at any corpus size; the set-operation join
+    moves two k-length arrays per lang. The exact calibration columns
+    are the only corpus-sized aggregation and exist for the oracle
+    contract; ``bench_fn`` times the bare sketch path.
+    """
+    units, a, b = _kmv_overlap_frames(spark, sf_dir)
+    est = kmv_set_estimates(a, b, ["lang", "unit"], _KMV_K)
+    exact = (
+        units.groupBy("lang", "unit", "val")
+        .agg(F.max("is_a").alias("has_a"), F.max(~F.col("is_a")).alias("has_b"))
+        .groupBy("lang", "unit")
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.count_if(F.col("has_a") & F.col("has_b")).alias("exact_overlap"),
+        )
+    )
+    return est.join(exact, ["lang", "unit"])
+
+
+# =====================================================================
+# Per-key heavy hitters (operators/frequency.heavy_hitters_by_key)
+# =====================================================================
+
+_HH_COUNTERS = 700  # bigrams: ~900 distinct per lang, near-uniform, so
+# the threshold must sit just above the uniform frequency to split the
+# upper tail NON-trivially at every SF (measured: 1153/1149/127 hitters
+# of ~4500 (lang,bigram) pairs at sf0.001/0.01/0.1; 500 went empty at
+# sf0.1 as the distribution flattens with corpus size)
+
+
+@register_staged(
+    "heavy_hitters_per_lang",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang,
+                   list_filter(regexp_split_to_array(text,
+                       '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        big AS (
+            SELECT lang,
+                   unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1])) AS unit
+            FROM toks
+        ),
+        f AS (SELECT lang, unit, CAST(count(*) AS BIGINT) AS freq
+              FROM big GROUP BY lang, unit),
+        n AS (SELECT lang, CAST(sum(freq) AS BIGINT) AS n_units
+              FROM f GROUP BY lang)
+        SELECT f.lang, f.unit, f.freq, n.n_units
+        FROM f JOIN n ON n.lang = f.lang
+        WHERE f.freq * {_HH_COUNTERS} > n.n_units
+    """,
+    tags=("llm-pipeline", "text", "approx", "per-key"),
+)
+def heavy_hitters_per_lang(spark, sf_dir):
+    """Per-language bigram heavy hitters: every word bigram whose
+    in-language frequency exceeds n_lang/500, with exact counts — the
+    per-domain/per-language token-head question (stop-list induction,
+    boilerplate tracing PER SUBCORPUS) the global heavy_hitter_tokens
+    cannot answer. Runs the per-key two-phase Misra-Gries operator
+    (operators/frequency.heavy_hitters_by_key): bounded per-key
+    candidate summaries per partition, then an exact
+    candidates-only recount — the oracle is the naive per-key full
+    histogram at the same threshold, so a single lost true hitter
+    fails the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    units = docs.select(
+        "lang", F.explode(word_shingles(F.col("text"), 2)).alias("unit")
+    )
+    return heavy_hitters_by_key(
+        units, ["lang"], "unit", num_counters=_HH_COUNTERS
+    )
+
+
+# =====================================================================
+# Three-arm hybrid retrieval (operators/retrieval.rrf_fuse / prior_topk)
+# =====================================================================
+
+@register_staged(
+    "hybrid_search_rrf3",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                       AS toks
+            FROM documents
+        ),
+        lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+        stats AS (
+            SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+            FROM lens
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+            WHERE term IN ('spark', 'customer', 'slow')
+            GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        parts AS (
+            SELECT t.doc_id,
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl
+                      / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS part
+            FROM tf t
+            JOIN dft d USING (term)
+            JOIN lens l USING (doc_id), stats s
+        ),
+        sscore AS (
+            SELECT doc_id, round(sum(part), 4) AS score
+            FROM parts GROUP BY doc_id
+        ),
+        sparse AS (
+            SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rnk_sparse
+            FROM (SELECT doc_id, score FROM sscore
+                  ORDER BY score DESC, doc_id LIMIT 20)
+        ),
+        dense AS (
+            SELECT c.vec_id AS id,
+                   row_number() OVER (ORDER BY
+                       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    c.embedding::DOUBLE[]), 6)
+                           DESC, c.vec_id) AS rnk_dense
+            FROM embeddings c JOIN embeddings q
+              ON q.vec_id = 7 AND c.vec_id <> 7
+            QUALIFY rnk_dense <= 20
+        ),
+        prior AS (
+            SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                       AS rnk_prior
+            FROM (SELECT doc_id, n_chars FROM documents
+                  ORDER BY n_chars DESC, doc_id LIMIT 20)
+        ),
+        fused AS (
+            SELECT COALESCE(s.id, d.id, p.id) AS doc_id,
+                   s.rnk_sparse IS NOT NULL AS in_sparse,
+                   d.rnk_dense IS NOT NULL AS in_dense,
+                   p.rnk_prior IS NOT NULL AS in_prior,
+                   COALESCE(CAST(1 AS DOUBLE) / (60 + s.rnk_sparse), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rnk_dense), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + p.rnk_prior), 0)
+                       AS rrf_score
+            FROM sparse s
+            FULL OUTER JOIN dense d ON s.id = d.id
+            FULL OUTER JOIN prior p ON COALESCE(s.id, d.id) = p.id
+        )
+        SELECT doc_id, in_sparse, in_dense, in_prior, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS INTEGER) AS rnk
+        FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
+    """,
+    tags=("text", "retrieval", "similarity", "llm-pipeline", "topk"),
+)
+def hybrid_search_rrf3(spark, sf_dir):
+    """Three-arm hybrid retrieval: the registered two-arm RRF fusion
+    (hybrid_search_rrf) plus a per-document PRIOR arm — here the
+    stored n_chars length prior; production plugs a recency stamp or
+    the quality classifier's quantized score — fused by the N-arm
+    operators/retrieval.rrf_fuse. Rank-only fusion makes the third arm
+    free: no weight tuning, no score calibration, each arm keeps its
+    bounded top-n shape (TakeOrderedAndProject), and the fusion join
+    chain touches <= 60 rows. The fused score folds 0.0 + three single
+    exact-integer divisions (left-assoc in both engines — bit-stable,
+    unrounded per the float recipe). Full value-level SQL twin."""
+    from ..operators import retrieval as RET
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return RET.hybrid_rrf3_topk(
+        d, e, ["spark", "customer", "slow"], query_vec_id=7, k=10, n_arm=20
+    )

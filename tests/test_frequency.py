@@ -90,3 +90,95 @@ def test_heavy_hitters_empty_and_null_texts(spark):
     )
     got = {(r.token, r.freq) for r in heavy_hitters(docs, num_counters=2).collect()}
     assert got == {("a", 3)}
+
+
+# ---------------------------------------------------------------------
+# Per-key heavy hitters
+# ---------------------------------------------------------------------
+
+def _keyed_units(spark, parts=8):
+    """Two keys with DIFFERENT distributions: key 'a' dominated by
+    'hot' (60%), key 'b' near-uniform over 12 units — per-key
+    thresholds must separate them where a global one cannot."""
+    rows = []
+    for i in range(300):
+        rows.append(Row(k="a", unit="hot" if i % 5 < 3 else f"a{i % 9}"))
+        rows.append(Row(k="b", unit=f"b{i % 12}"))
+    return spark.createDataFrame(rows).repartition(parts)
+
+
+def _naive_by_key(units, num_counters):
+    tot = {r.k: r.n for r in units.groupBy("k").count().withColumnRenamed("count", "n").collect()}
+    return {
+        (r.k, r.unit, r.freq)
+        for r in units.groupBy("k", "unit")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .collect()
+        if r.freq * num_counters > tot[r.k]
+    }
+
+
+@pytest.mark.parametrize("num_counters", [2, 5, 20])
+def test_heavy_hitters_by_key_exact_vs_naive(spark, num_counters):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.frequency import (
+        heavy_hitters_by_key,
+    )
+
+    units = _keyed_units(spark)
+    got = {
+        (r.k, r.unit, r.freq)
+        for r in heavy_hitters_by_key(
+            units, ["k"], "unit", num_counters=num_counters
+        ).collect()
+    }
+    assert got == _naive_by_key(units, num_counters)
+
+
+def test_heavy_hitters_by_key_thresholds_are_per_key(spark):
+    """'hot' (60% of key a) qualifies at num_counters=2 for ITS key;
+    nothing in near-uniform key b does — a global threshold over the
+    concatenated stream could not produce this split."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.frequency import (
+        heavy_hitters_by_key,
+    )
+
+    res = heavy_hitters_by_key(
+        _keyed_units(spark), ["k"], "unit", num_counters=2
+    ).collect()
+    assert {(r.k, r.unit) for r in res} == {("a", "hot")}
+    assert all(r.n_units == 300 for r in res)
+
+
+def test_heavy_hitters_by_key_partition_invariant_and_shuffled_join(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.frequency import (
+        heavy_hitters_by_key,
+    )
+
+    expect = _naive_by_key(_keyed_units(spark), 5)
+    for parts in (1, 13):
+        for bc in (True, False):
+            got = {
+                (r.k, r.unit, r.freq)
+                for r in heavy_hitters_by_key(
+                    _keyed_units(spark, parts=parts),
+                    ["k"],
+                    "unit",
+                    num_counters=5,
+                    broadcast_candidates=bc,
+                ).collect()
+            }
+            assert got == expect, (parts, bc)
+
+
+def test_heavy_hitters_by_key_null_units_ignored(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.frequency import (
+        heavy_hitters_by_key,
+    )
+
+    units = spark.createDataFrame(
+        [Row(k="a", unit="x"), Row(k="a", unit=None), Row(k="a", unit="x")]
+    )
+    res = heavy_hitters_by_key(units, ["k"], "unit", num_counters=3).collect()
+    # NULL occurrences are not units: they neither count toward totals
+    # nor appear as candidates
+    assert {(r.k, r.unit, r.freq, r.n_units) for r in res} == {("a", "x", 2, 2)}

@@ -1,0 +1,114 @@
+"""KMV distinct-sketch contracts: determinism, the k-smallest merge
+property that makes set operations exact-on-synopses, estimator
+accuracy in both regimes, and bit-parity with an independent Python
+md5 reference."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators.sketches import (
+    kmv_estimate,
+    kmv_set_estimates,
+    kmv_sketch,
+)
+
+
+def _py_hash(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _frame(spark, values, group="g", parts=4):
+    return spark.createDataFrame(
+        [(group, v) for v in values], ["grp", "val"]
+    ).repartition(parts)
+
+
+def test_sketch_matches_python_reference_and_is_partition_invariant(spark):
+    values = [f"tok{i}" for i in range(500)] + ["tok7"] * 40  # dups collapse
+    k = 64
+    expected = sorted(_py_hash(v) for v in set(values))[:k]
+    for parts in (1, 7):
+        got = (
+            kmv_sketch(_frame(spark, values, parts=parts), ["grp"], F.col("val"), k=k)
+            .collect()
+        )
+        assert len(got) == 1
+        assert got[0].kmv_hashes == expected
+
+
+def test_unsaturated_sketch_is_exact(spark):
+    df = _frame(spark, [f"v{i}" for i in range(30)])
+    sk = kmv_sketch(df, ["grp"], F.col("val"), k=256)
+    est = sk.select(kmv_estimate(F.col("kmv_hashes"), 256).alias("e")).collect()[0].e
+    assert est == 30.0
+
+
+def test_saturated_estimate_within_tolerance(spark):
+    n, k = 5000, 256  # RSE ~ 1/sqrt(k-2) ~ 6.3%; assert < 4 sigma
+    df = _frame(spark, [f"item-{i}" for i in range(n)], parts=8)
+    sk = kmv_sketch(df, ["grp"], F.col("val"), k=k)
+    est = sk.select(kmv_estimate(F.col("kmv_hashes"), k).alias("e")).collect()[0].e
+    assert abs(est - n) / n < 0.25, est
+
+
+def test_merged_synopsis_equals_sketch_of_union(spark):
+    """k-smallest(sketch(A) ∪ sketch(B)) == sketch(A ∪ B) — the
+    structural property set operations rely on (Beyer et al. §4)."""
+    k = 32
+    a_vals = [f"a{i}" for i in range(300)] + [f"shared{i}" for i in range(100)]
+    b_vals = [f"b{i}" for i in range(200)] + [f"shared{i}" for i in range(100)]
+    a = kmv_sketch(_frame(spark, a_vals), ["grp"], F.col("val"), k=k)
+    b = kmv_sketch(_frame(spark, b_vals), ["grp"], F.col("val"), k=k)
+    direct = kmv_sketch(
+        _frame(spark, a_vals + b_vals), ["grp"], F.col("val"), k=k
+    ).collect()[0].kmv_hashes
+    merged = (
+        a.join(b.withColumnRenamed("kmv_hashes", "hb"), "grp")
+        .select(F.slice(F.array_sort(F.array_union("kmv_hashes", "hb")), 1, k).alias("L"))
+        .collect()[0]
+        .L
+    )
+    assert merged == direct
+
+
+def test_set_estimates_exact_regime(spark):
+    """Both sides unsaturated -> union, overlap, jaccard all EXACT."""
+    k = 256
+    a_vals = [f"a{i}" for i in range(40)] + [f"s{i}" for i in range(10)]
+    b_vals = [f"b{i}" for i in range(20)] + [f"s{i}" for i in range(10)]
+    a = kmv_sketch(_frame(spark, a_vals), ["grp"], F.col("val"), k=k)
+    b = kmv_sketch(_frame(spark, b_vals), ["grp"], F.col("val"), k=k)
+    r = kmv_set_estimates(a, b, ["grp"], k).collect()[0]
+    assert r.est_a == 50.0 and r.est_b == 30.0
+    assert r.k_union == 70 and r.est_union == 70.0
+    assert r.overlap == 10
+    assert r.jaccard_est == 10 / 70
+
+
+def test_set_estimates_saturated_regime(spark):
+    """True Jaccard 1/3 (1000 shared, 1000 unique each side), k=256:
+    rho's sigma ~ sqrt(J(1-J)/k) ~ 0.03 — assert within 4 sigma, and
+    the union estimate within its own 4-sigma band."""
+    k = 256
+    shared = [f"s{i}" for i in range(1000)]
+    a_vals = [f"a{i}" for i in range(1000)] + shared
+    b_vals = [f"b{i}" for i in range(1000)] + shared
+    a = kmv_sketch(_frame(spark, a_vals, parts=8), ["grp"], F.col("val"), k=k)
+    b = kmv_sketch(_frame(spark, b_vals, parts=8), ["grp"], F.col("val"), k=k)
+    r = kmv_set_estimates(a, b, ["grp"], k).collect()[0]
+    assert abs(r.jaccard_est - 1 / 3) < 0.12, r.jaccard_est
+    assert abs(r.est_union - 3000) / 3000 < 0.25, r.est_union
+    # intersection estimate (caller-side multiply, documented)
+    est_inter = r.jaccard_est * r.est_union
+    assert abs(est_inter - 1000) / 1000 < 0.35, est_inter
+
+
+def test_null_values_ignored_and_missing_groups_absent(spark):
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", None), ("g2", None)], ["grp", "val"]
+    )
+    rows = kmv_sketch(df, ["grp"], F.col("val"), k=8).collect()
+    assert len(rows) == 1 and rows[0].grp == "g1"
+    assert rows[0].kmv_hashes == [_py_hash("x")]

@@ -546,3 +546,75 @@ def test_hybrid_rrf_fuses_arm_ranks_exactly(spark):
     single = [r for r in out if r.in_sparse != r.in_dense]
     if both and single:
         assert max(r.rrf_score for r in both) > min(r.rrf_score for r in single)
+
+
+def test_rrf_fuse_three_arms_and_prior_arm(spark):
+    """N-arm fusion (staged round 10): the three-arm fused score must
+    equal the sum of 1/(60+rank) over independently-run arms, the
+    prior arm ranks by the prior column desc with id tie-break, and
+    two-arm rrf_fuse output is row-identical to the registered
+    hybrid_rrf_topk (same arithmetic, same ordering contract)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.retrieval import (
+        hybrid_rrf3_topk,
+        hybrid_rrf_topk,
+        keyword_topk,
+        prior_topk,
+        rrf_fuse,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark spark spark engine", n_chars=24),
+            Row(doc_id=1, text="spark customer report", n_chars=21),
+            Row(doc_id=2, text="weather news today", n_chars=18),
+            Row(doc_id=3, text="slow spark job tuning", n_chars=21),
+            Row(doc_id=4, text="customer complaints queue", n_chars=25),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=3, embedding=[0.8, 0.0, 0.2]),
+            Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),
+        ]
+    )
+    terms = ["spark", "customer", "slow"]
+
+    # prior arm: n_chars desc, id asc -> 4(25), 0(24), 1(21), 3(21), 2(18)
+    pri = prior_topk(docs, F.col("n_chars"), 3)
+    assert {(r.id, r.rnk) for r in pri.collect()} == {(4, 1), (0, 2), (1, 3)}
+
+    out = hybrid_rrf3_topk(docs, emb, terms, query_vec_id=0, k=5, n_arm=3).collect()
+    rs = {r.doc_id: r.rnk for r in keyword_topk(docs, terms, k=3).collect()}
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rd = {r.neighbor_id: r.rank for r in brute_force_topk(q, emb, k=3).collect()}
+    rp = {r.id: r.rnk for r in pri.collect()}
+    assert out
+    for r in out:
+        want = (
+            (1.0 / (60 + rs[r.doc_id]) if r.doc_id in rs else 0.0)
+            + (1.0 / (60 + rd[r.doc_id]) if r.doc_id in rd else 0.0)
+            + (1.0 / (60 + rp[r.doc_id]) if r.doc_id in rp else 0.0)
+        )
+        assert r.rrf_score == want
+        assert (r.in_sparse, r.in_dense, r.in_prior) == (
+            r.doc_id in rs, r.doc_id in rd, r.doc_id in rp
+        )
+
+    # two-arm rrf_fuse == the registered hybrid_rrf_topk, row for row
+    sparse = keyword_topk(docs, terms, k=3).select(
+        F.col("doc_id").alias("id"), F.col("rnk")
+    )
+    dense = brute_force_topk(q, emb, k=3).select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("rnk")
+    )
+    via_fuse = rrf_fuse({"sparse": sparse, "dense": dense}, k=5).collect()
+    direct = hybrid_rrf_topk(docs, emb, terms, query_vec_id=0, k=5, n_arm=3).collect()
+    assert sorted(map(tuple, via_fuse)) == sorted(map(tuple, direct))

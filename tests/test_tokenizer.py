@@ -142,3 +142,91 @@ def test_incremental_trainer_equals_naive_recount_fuzz():
         assert naive(dict(wf), nm) == _learn_merges_from_freqs(dict(wf), nm)
     # the desync case verbatim: duplicate pair, sole contributor
     assert naive({"abab": 3}, 5) == _learn_merges_from_freqs({"abab": 3}, 5)
+
+
+def test_byte_level_alphabet_is_a_256_bijection():
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        byte_unicode_map,
+    )
+
+    m = byte_unicode_map()
+    assert sorted(m.keys()) == list(range(256))
+    assert len(set(m.values())) == 256
+    # printable ASCII maps to itself (specials made of it round-trip
+    # through decode untouched); every mapped char is non-whitespace
+    for b in range(ord("!"), ord("~") + 1):
+        assert m[b] == chr(b)
+    assert not any(c.isspace() for c in m.values())
+
+
+def test_byte_level_matches_char_level_on_ascii(spark):
+    """Printable-ASCII corpora: the byte map is the identity, so the
+    byte-level trainer learns the IDENTICAL merge table."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="low low low lower lowest")]
+    )
+    assert bpe_learn_merges(docs, n_merges=10, byte_level=True) == \
+        bpe_learn_merges(docs, n_merges=10)
+
+
+def test_byte_level_encodes_unseen_unicode_and_decodes_exactly(spark):
+    """The closed 256-symbol alphabet: characters absent from training
+    (emoji, CJK) still encode, and decoding the token stream restores
+    the exact whitespace-stripped text — even though merge boundaries
+    can fall inside multi-byte UTF-8 sequences."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        bpe_decode_tokens,
+    )
+
+    train = spark.createDataFrame([Row(doc_id=0, text="abc abc ab")])
+    merges = bpe_learn_merges(train, n_merges=5, byte_level=True)
+    target = spark.createDataFrame(
+        [Row(doc_id=1, text="abc café \U0001f600\U0001f600 中文")]
+    )
+    rows = bpe_encode(target, merges, byte_level=True).collect()
+    toks = rows[0].tokens
+    assert bpe_decode_tokens(toks, byte_level=True) == "abccafé\U0001f600\U0001f600中文"
+    # char-level default would keep the raw chars; byte level must not
+    assert "\U0001f600" not in toks
+
+
+def test_special_tokens_are_atomic_and_neutral(spark):
+    """A reserved control string is emitted as ONE verbatim token,
+    never split or merged across, and text around it encodes exactly
+    as it does without the marker."""
+    train = spark.createDataFrame(
+        [Row(doc_id=0, text="low low low lower lowest")]
+    )
+    merges = bpe_learn_merges(train, n_merges=10)
+    plain = spark.createDataFrame([Row(doc_id=1, text="low lowest")])
+    marked = spark.createDataFrame(
+        [Row(doc_id=1, text="low<|endoftext|>lowest")]
+    )
+    p = bpe_encode(plain, merges).collect()[0].tokens
+    m = bpe_encode(
+        marked, merges, special_tokens=["<|endoftext|>"]
+    ).collect()[0].tokens
+    assert m.count("<|endoftext|>") == 1
+    assert [t for t in m if t != "<|endoftext|>"] == p
+    # without reservation the marker's characters leak into words
+    leaked = bpe_encode(marked, merges).collect()[0].tokens
+    assert "<|endoftext|>" not in leaked
+
+
+def test_special_tokens_compose_with_byte_level(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        bpe_decode_tokens,
+    )
+
+    train = spark.createDataFrame([Row(doc_id=0, text="ab ab ab")])
+    merges = bpe_learn_merges(train, n_merges=3, byte_level=True)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="ab <|eot|> café<|eot|>")]
+    )
+    toks = bpe_encode(
+        df, merges, byte_level=True, special_tokens=["<|eot|>"]
+    ).collect()[0].tokens
+    assert toks.count("<|eot|>") == 2
+    # specials are printable ASCII -> identity under the byte map, so
+    # decoding the full stream (specials included) is still exact
+    assert bpe_decode_tokens(toks, byte_level=True) == "ab<|eot|>café<|eot|>"

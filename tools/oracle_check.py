@@ -50,12 +50,18 @@ def frame_fingerprint(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = len(args) != len(sys.argv) - 1
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in args if not os.path.isdir(a))
 
     import duckdb
 
-    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
+    if staged:
+        # Round-staged (not yet registered) specs — see plans/staged.py.
+        from api_kakfa_spark_airflow_s3_athena_spark.plans.staged import STAGED as REGISTRY
+    else:
+        from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
     from api_kakfa_spark_airflow_s3_athena_spark.schemas import TESTDATA_TABLES
     from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
 
