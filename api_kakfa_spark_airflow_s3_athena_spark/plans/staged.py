@@ -374,3 +374,242 @@ def hybrid_search_rrf3(spark, sf_dir):
     return RET.hybrid_rrf3_topk(
         d, e, ["spark", "customer", "slow"], query_vec_id=7, k=10, n_arm=20
     )
+
+
+# =====================================================================
+# Streaming ANN index maintenance (streaming/ann.py)
+# =====================================================================
+
+_ANN_OFFSET = 10_000_000
+
+
+def _stream_ann_delta(emb):
+    corpus = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    plants = corpus.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + _ANN_OFFSET).alias("vec_id"), "embedding"
+    )
+    delta = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(plants)
+    )
+    return corpus, plants, delta
+
+
+def _run_stream_ann(spark, sf_dir, base, epoch_times=None):
+    """Build + persist the IVF-PQ artifacts and base index on the
+    corpus slice, record the build-time drift baseline, stage the
+    delta as a 3-file stream (plants ride the last epoch), and run
+    the maintenance sink to completion (availableNow)."""
+    import os
+
+    from ..operators import similarity as SIM
+    from ..streaming.ann import ann_index_sink
+    from .queries import _stream_partitions, _t as _load
+
+    emb = _load(spark, sf_dir, "embeddings")
+    corpus, plants, _ = _stream_ann_delta(emb)
+    centroids, books, enc = SIM.ivfpq_index(
+        corpus, n_centroids=16, m=8, ksub=16, iters=3
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    SIM.pq_save_books(spark, books, os.path.join(base, "books"))
+    enc.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(base, "index", "epoch=-1")
+    )
+    SIM.pq_quantization_error(corpus, books).write.mode("overwrite").parquet(
+        os.path.join(base, "baseline")
+    )
+    src = os.path.join(base, "src")
+    new = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    epochs = [
+        new.filter(F.col("vec_id") % 15 == 0),
+        new.filter(F.col("vec_id") % 15 == 5),
+        new.filter(F.col("vec_id") % 15 == 10).unionByName(plants),
+    ]
+    for i, e in enumerate(epochs):
+        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = ann_index_sink(
+            stream,
+            centroids_path=os.path.join(base, "centroids"),
+            books_path=os.path.join(base, "books"),
+            index_path=os.path.join(base, "index"),
+            metrics_path=os.path.join(base, "metrics"),
+            checkpoint=os.path.join(base, "ckpt"),
+            available_now=True,
+            epoch_times=epoch_times,
+        )
+        q.awaitTermination()
+
+
+# per-epoch wall seconds of the most recent bench run — promoted to
+# bench.py's marginal-cost convention with the r10 registration
+LAST_STREAM_ANN_EPOCH_SEC: list = []
+
+
+def _stream_ann_bench(spark, sf_dir):
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_ann_bench_")
+    epoch_times: dict = {}
+    _run_stream_ann(spark, sf_dir, base, epoch_times=epoch_times)
+    LAST_STREAM_ANN_EPOCH_SEC.append(
+        [round(epoch_times[k], 3) for k in sorted(epoch_times)]
+    )
+    return spark.read.parquet(os.path.join(base, "index")).select(
+        "vec_id", "cell", "epoch"
+    )
+
+
+@register_staged(
+    "streaming_ann_ingest",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corpus,
+               CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delta_new,
+               CAST(SUM(CASE WHEN vec_id % 7 = 0 AND vec_id % 5 <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_planted,
+               CAST(3 AS BIGINT) AS n_epochs,
+               true AS index_rows_ok,
+               true AS stream_equals_batch_ok,
+               true AS exactly_once_ok,
+               true AS planted_rank1_ok,
+               true AS drift_untripped_ok
+        FROM embeddings
+    """,
+    tags=("streaming", "similarity", "ivf", "pq", "incremental"),
+    bench_fn=_stream_ann_bench,
+)
+def streaming_ann_ingest(spark, sf_dir):
+    """Streaming arm of the ANN index lifecycle (the streaming/dedup +
+    streaming/scoring pattern applied to the IVF-PQ index): the index
+    is built and persisted on the vec_id%5 != 0 corpus slice, and the
+    held-out slice streams in three micro-batches through
+    ``streaming/ann.ann_index_sink`` — each epoch encodes against the
+    RELOADED frozen codebooks, assigns against the RELOADED frozen
+    centroids, writes an epoch-overwrite cell-partitioned directory,
+    and records the per-epoch quantization-drift observable. Contract:
+
+    - index_rows_ok: the stored tree (base + epochs) holds exactly
+      corpus+delta rows;
+    - stream_equals_batch_ok: streamed epochs are (id, cell, codes)-
+      identical to the BATCH delta path (ivfpq_index_append) under the
+      same reloaded artifacts — append-equals-rebuild THROUGH the sink
+      (NULL-safe full join);
+    - exactly_once_ok: no vector indexed in two epochs;
+    - planted_rank1_ok: corpus %7 rows re-ingested at +10M inside the
+      last epoch retrieve their ORIGINAL at rank 1 through ivfpq_topk
+      ON the stored epoch-partitioned tree under nprobe=1 (identical
+      vector => same cell + same codes => tied adist, id tie-break);
+    - drift_untripped_ok: every epoch's PQ reconstruction error stays
+      within 1.5x the build-time baseline (same-distribution data —
+      the pq_index_append drift band, measured per epoch by the sink).
+    Counts cross the engine compare."""
+    import os
+    import tempfile
+
+    from ..operators import similarity as SIM
+    from .queries import _STAGE_CACHE
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus, plants, delta = _stream_ann_delta(emb)
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:stream_ann"
+    base = _STAGE_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_ann_")
+        _run_stream_ann(spark, sf_dir, base)
+        _STAGE_CACHE[key] = base
+    stored = spark.read.parquet(os.path.join(base, "index"))
+    centroids = spark.read.parquet(os.path.join(base, "centroids"))
+    books = SIM.pq_load_books(spark, os.path.join(base, "books"))
+
+    expected = corpus.count() + delta.count()
+    rows_ok = stored.agg(
+        (F.count(F.lit(1)) == F.lit(expected)).alias("index_rows_ok"),
+        (F.count(F.lit(1)) == F.count_distinct("vec_id")).alias("exactly_once_ok"),
+    )
+    batch_rows = SIM.ivfpq_index_append(delta, centroids, books).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("codes").alias("b_codes"),
+    )
+    equiv = (
+        stored.filter("epoch >= 0")
+        .select("vec_id", "cell", "codes")
+        .join(batch_rows, F.col("vec_id") == F.col("b_id"), "full")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("cell").isNotNull()
+                    & F.col("b_cell").isNotNull()
+                    & (F.col("cell") == F.col("b_cell"))
+                    & (F.col("codes") == F.col("b_codes"))
+                ),
+                F.lit(True),
+            ).alias("stream_equals_batch_ok")
+        )
+    )
+    plant_q = delta.filter(F.col("vec_id") >= _ANN_OFFSET).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = SIM.ivfpq_topk(
+        plant_q, centroids, books, stored.select("vec_id", "codes", "cell"),
+        k=2, nprobe=1,
+    )
+    recall = (
+        hits.groupBy("query_id")
+        .agg(
+            F.max(
+                ((F.col("neighbor_id") + _ANN_OFFSET) == F.col("query_id"))
+                & (F.col("rnk") == 1)
+            ).alias("found")
+        )
+        .agg(F.coalesce(F.min("found"), F.lit(False)).alias("planted_rank1_ok"))
+    )
+    baseline = spark.read.parquet(os.path.join(base, "baseline")).select(
+        F.col("mse").alias("mse0")
+    )
+    met = spark.read.parquet(os.path.join(base, "metrics"))
+    drift = (
+        met.crossJoin(F.broadcast(baseline))
+        .agg(
+            F.coalesce(F.min(F.col("mse") <= 1.5 * F.col("mse0")), F.lit(False))
+            .alias("drift_untripped_ok"),
+            F.count_distinct("epoch").alias("n_ep"),
+        )
+    )
+    counts = emb.agg(
+        F.sum((F.col("vec_id") % 5 != 0).cast("long")).alias("n_corpus"),
+        F.sum((F.col("vec_id") % 5 == 0).cast("long")).alias("n_delta_new"),
+        F.sum(
+            ((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 0)).cast("long")
+        ).alias("n_planted"),
+    )
+    return (
+        counts.crossJoin(rows_ok)
+        .crossJoin(equiv)
+        .crossJoin(recall)
+        .crossJoin(drift)
+        .select(
+            "n_corpus",
+            "n_delta_new",
+            "n_planted",
+            F.when(F.col("n_ep") == 3, F.lit(3)).otherwise(F.lit(-1))
+            .cast("long")
+            .alias("n_epochs"),
+            "index_rows_ok",
+            "stream_equals_batch_ok",
+            "exactly_once_ok",
+            "planted_rank1_ok",
+            "drift_untripped_ok",
+        )
+    )
