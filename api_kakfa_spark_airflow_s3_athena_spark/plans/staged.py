@@ -613,3 +613,150 @@ def streaming_ann_ingest(spark, sf_dir):
             "drift_untripped_ok",
         )
     )
+
+
+# =====================================================================
+# Residual IVF-PQ (operators/similarity.ivfpq_residual_*)
+# =====================================================================
+
+def _ivfpq_residual_bench(spark, sf_dir):
+    """Bare residual IVFADC chain: build (cells + residual books +
+    residual codes), answer top-10 for 16 queries at nprobe=4."""
+    from ..operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, books, enc = SIM.ivfpq_residual_index(
+        emb, n_centroids=16, m=8, ksub=16, iters=3
+    )
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_residual_topk(q, centroids, books, enc, k=10, nprobe=4)
+
+
+@register_staged(
+    "ann_cosine_topk_ivfpq_residual",
+    oracle="""
+        SELECT CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_plants,
+               CAST(16 AS BIGINT) AS n_recall_queries,
+               true AS plants_rank1_ok,
+               true AS self_rank1_ok,
+               true AS recall_floor_ok,
+               true AS within_k
+        FROM embeddings
+    """,
+    tags=("similarity", "llm-pipeline", "arrow", "ivf", "pq"),
+    bench_fn=_ivfpq_residual_bench,
+)
+def ann_cosine_topk_ivfpq_residual(spark, sf_dir):
+    """RESIDUAL-encoding IVF-PQ ANN (the full IVFADC of Jegou 2011
+    §IV — codes quantize vec - centroid[cell]; the registered
+    ann_cosine_topk_ivfpq keeps the non-residual variant and documents
+    this trade). Same byte budget, tighter codes where the corpus
+    clusters: measured 2.6x recall@10 over non-residual on clustered
+    vectors at equal storage, a wash on this deliberately near-uniform
+    fixture (NOTES round 9) — the knob is data-dependent and both
+    variants share artifacts discipline. Contract (the ivfpq recipe):
+
+    (a) planted exact duplicates (vec_id%7 re-ingested at +10M)
+        retrieve their ORIGINAL at rank 1 under nprobe=1 — identical
+        vector => same cell => identical residual => identical codes
+        => tied minimum adist, id tie-break;
+    (b) self-retrieval: with self-exclusion off each recall query's
+        rank-1 is itself (measured 48/48 across the three SFs — for
+        residual coding this is empirical, not the plain-PQ theorem,
+        because cross-cell reconstructions are not bounded by the own
+        quantization error);
+    (c) mean recall@10 vs exact brute-force cosine over 16 queries at
+        nprobe=4 >= 0.08 — measured 0.163-0.225 across the three SFs
+        (>= 2x clearance);
+    (d) exactly k rows per query, contiguous ranks.
+    Counts cross the engine compare."""
+    from ..operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    offset = 10_000_000
+    plants = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(plants)
+    centroids, books, enc = SIM.ivfpq_residual_index(
+        corpus, n_centroids=16, m=8, ksub=16, iters=3
+    )
+    enc = enc.cache()
+
+    plant_q = plants.select(F.col("vec_id").alias("query_id"), "embedding")
+    p_hits = SIM.ivfpq_residual_topk(
+        plant_q, centroids, books, enc, k=2, nprobe=1
+    )
+    plants_ok = (
+        p_hits.groupBy("query_id")
+        .agg(
+            F.max(
+                ((F.col("neighbor_id") + offset) == F.col("query_id"))
+                & (F.col("rnk") == 1)
+            ).alias("ok")
+        )
+        .agg(
+            F.coalesce(F.min("ok"), F.lit(False)).alias("plants_rank1_ok"),
+            F.count(F.lit(1)).cast("long").alias("n_plants"),
+        )
+    )
+
+    enc_plain = enc.filter(F.col("vec_id") < offset)
+    qrec = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r10 = SIM.ivfpq_residual_topk(
+        qrec, centroids, books, enc_plain, k=10, nprobe=4
+    ).cache()
+    exact10 = SIM.brute_force_topk(qrec, emb, k=10, exclude_self=False)
+    overlap = (
+        exact10.select("query_id", F.col("neighbor_id").alias("n"))
+        .join(r10.select("query_id", F.col("neighbor_id").alias("n")), ["query_id", "n"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / F.lit(10.0)).alias("recall"))
+    )
+    recall_ok = overlap.agg(
+        (F.avg("recall") >= 0.08).alias("recall_floor_ok"),
+        F.count(F.lit(1)).cast("long").alias("n_recall_queries"),
+    )
+    self_ok = r10.filter(F.col("rnk") == 1).agg(
+        F.coalesce(
+            F.min(F.col("neighbor_id") == F.col("query_id")), F.lit(False)
+        ).alias("self_rank1_ok")
+    )
+    withink = (
+        r10.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.count_distinct("rnk").alias("ndr"),
+            F.max("rnk").alias("mr"),
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    (F.col("nk") == 10) & (F.col("ndr") == 10) & (F.col("mr") == 10)
+                ),
+                F.lit(False),
+            ).alias("within_k")
+        )
+    )
+    out = (
+        plants_ok.crossJoin(recall_ok)
+        .crossJoin(self_ok)
+        .crossJoin(withink)
+        .select(
+            "n_plants",
+            "n_recall_queries",
+            "plants_rank1_ok",
+            "self_rank1_ok",
+            "recall_floor_ok",
+            "within_k",
+        )
+    )
+    row = out.localCheckpoint(eager=True)
+    enc.unpersist()
+    r10.unpersist()
+    return row
