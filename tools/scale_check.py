@@ -74,6 +74,13 @@ HEAVY_OPS = [
     "hybrid_search_rrf",
     "embedding_random_projection",
     "multimodal_frame_sample",
+    # round-10 staged operators (resolved from plans/staged.py until
+    # promotion; documents/embeddings fixtures)
+    "kmv_source_overlap",
+    "heavy_hitters_per_lang",
+    "hybrid_search_rrf3",
+    "ann_cosine_topk_ivfpq_residual",
+    "bpe_byte_level_encode",
 ]
 
 
@@ -447,6 +454,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.staged import STAGED
     from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
 
     spark = local_test_session("scale_check")
@@ -511,7 +519,9 @@ def main() -> None:
         if name in graph_fns:
             fn = graph_fns[name]
         else:
-            spec = REGISTRY[name]
+            # staged (not-yet-registered) specs resolve too, so new
+            # operators get their scale evidence BEFORE promotion
+            spec = REGISTRY.get(name) or STAGED[name]
             fn = spec.bench_fn or spec.fn
         best = None
         for _ in range(args.runs):
