@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "kmv_hash",
     "kmv_sketch",
+    "kmv_merge",
     "kmv_estimate",
     "kmv_set_estimates",
 ]
@@ -124,6 +125,42 @@ def kmv_sketch(
     # local k-smallest sets is exactly the global sketch.
     return partial.groupBy(*gcols).agg(
         F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv_hashes")
+    )
+
+
+def kmv_merge(
+    a: DataFrame,
+    b: DataFrame,
+    join_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Merge two synopsis frames (SAME k) into the synopsis of the
+    union of their underlying value sets — EXACT, not approximate:
+    the k smallest hashes of ``A ∪ B`` are always contained in
+    (k-smallest of A) ∪ (k-smallest of B), so the merged synopsis is
+    identical to sketching the concatenated inputs (test-pinned; the
+    property incremental/streaming maintenance relies on). Groups
+    present on one side pass through unchanged (full-outer join). A
+    kilobyte-per-group operation at any corpus size."""
+    jc = list(join_cols)
+    fa = a.select(*jc, F.col("kmv_hashes").alias("__ha"))
+    fb = b.select(*jc, F.col("kmv_hashes").alias("__hb"))
+    empty = F.array().cast("array<long>")
+    return (
+        fa.join(fb, on=jc, how="full_outer")
+        .select(
+            *jc,
+            F.slice(
+                F.array_sort(
+                    F.array_union(
+                        F.coalesce(F.col("__ha"), empty),
+                        F.coalesce(F.col("__hb"), empty),
+                    )
+                ),
+                1,
+                k,
+            ).alias("kmv_hashes"),
+        )
     )
 
 

@@ -760,3 +760,296 @@ def ann_cosine_topk_ivfpq_residual(spark, sf_dir):
     enc.unpersist()
     r10.unpersist()
     return row
+
+
+# =====================================================================
+# Byte-level BPE with special tokens (operators/tokenizer.py)
+# =====================================================================
+
+def _bpe_byte_bench(spark, sf_dir):
+    from ..operators import tokenizer as TOK
+
+    d = _t(spark, sf_dir, "documents")
+    merges = TOK.bpe_learn_merges(d, n_merges=200, byte_level=True)
+    marked = d.select(
+        "doc_id", F.concat(F.lit("<|doc|> "), F.col("text")).alias("text")
+    )
+    return TOK.bpe_encode(
+        marked, merges, byte_level=True, special_tokens=["<|doc|>"]
+    ).agg(F.sum("n_tokens").alias("total_tokens"))
+
+
+@register_staged(
+    "bpe_byte_level_encode",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(octet_length(encode(
+                   regexp_replace(text, '\\s', '', 'g')))) AS BIGINT)
+                   AS n_nonspace_utf8_bytes,
+               true AS specials_atomic_ok,
+               true AS decode_roundtrip_ok,
+               true AS compressed
+        FROM documents
+    """,
+    tags=("text", "tokenizer", "llm-pipeline", "arrow"),
+    bench_fn=_bpe_byte_bench,
+)
+def bpe_byte_level_encode(spark, sf_dir):
+    """Byte-level BPE with special-token reservation (the GPT-2
+    deployment shape — Radford et al. 2019; extends the registered
+    bpe_tokenizer_encode, whose trainer contract is untouched): train
+    in the closed 256-symbol byte alphabet, inject a ``<|doc|>``
+    control marker into every document, and encode with the marker
+    reserved. Contract:
+
+    (a) specials_atomic_ok: every document's token stream carries the
+        marker EXACTLY once, verbatim — never split to bytes, never
+        merged across;
+    (b) decode_roundtrip_ok: the byte-space token stream (marker
+        excluded) inverts to the whitespace-stripped original for
+        EVERY document — checked entirely JVM-side by ``translate``
+        over the fixed 256-char bijection against the latin-1 view of
+        the text's UTF-8 bytes, so the exactness check costs no
+        Python;
+    (c) the crossing value ``n_nonspace_utf8_bytes`` is derived from
+        TOKEN LENGTHS on the engine side (one byte-space char == one
+        byte) but from ``octet_length`` of the raw text in SQL —
+        equality is the reconstruction property in count form at the
+        BYTE level, which the char-level twin cannot see;
+    (d) compressed: the merge table collapsed something."""
+    from ..operators import tokenizer as TOK
+    from ..operators.tokenizer import byte_unicode_map
+
+    d = _t(spark, sf_dir, "documents")
+    merges = TOK.bpe_learn_merges(d, n_merges=200, byte_level=True)
+    marked = d.select(
+        "doc_id", F.concat(F.lit("<|doc|> "), F.col("text")).alias("text")
+    )
+    enc = TOK.bpe_encode(
+        marked, merges, byte_level=True, special_tokens=["<|doc|>"]
+    )
+    m = byte_unicode_map()
+    src = "".join(m[b] for b in range(256))
+    dst = "".join(chr(b) for b in range(256))
+    body = F.filter("tokens", lambda t: t != F.lit("<|doc|>"))
+    per_doc = enc.join(d.select("doc_id", "text"), "doc_id").select(
+        (F.size("tokens") - F.size(body) == 1).alias("special_once"),
+        F.aggregate(
+            F.transform(body, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("token_bytes"),
+        F.size(body).cast("long").alias("n_body_tokens"),
+        (
+            F.translate(F.concat_ws("", body), src, dst)
+            == F.decode(
+                F.encode(F.regexp_replace("text", r"\s", ""), "utf-8"),
+                "iso-8859-1",
+            )
+        ).alias("rt_ok"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("token_bytes").cast("long").alias("n_nonspace_utf8_bytes"),
+        F.coalesce(F.min("special_once"), F.lit(False)).alias("specials_atomic_ok"),
+        F.coalesce(F.min("rt_ok"), F.lit(False)).alias("decode_roundtrip_ok"),
+        (F.sum("n_body_tokens") < F.sum("token_bytes")).alias("compressed"),
+    )
+
+
+# =====================================================================
+# Streaming distinct-count synopsis (streaming/sketches.py)
+# =====================================================================
+
+def _run_stream_kmv(spark, sf_dir, base, epoch_times=None):
+    """Stage the full corpus's (lang, trigram) unit stream as three
+    epoch files (split by doc_id % 3) and run the synopsis sink to
+    completion."""
+    import os
+
+    from ..streaming.sketches import kmv_sketch_sink
+    from .queries import _stream_partitions
+
+    units = _kmv_stream_units(spark, sf_dir)
+    src = os.path.join(base, "src")
+    for i, r in enumerate((0, 1, 2)):
+        units.filter(F.col("doc_id") % 3 == r).select("lang", "val").coalesce(
+            1
+        ).write.mode("append" if i else "overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("lang string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = kmv_sketch_sink(
+            stream,
+            ["lang"],
+            "val",
+            k=_KMV_K,
+            store_path=os.path.join(base, "store"),
+            checkpoint=os.path.join(base, "ckpt"),
+            available_now=True,
+            epoch_times=epoch_times,
+        )
+        q.awaitTermination()
+
+
+def _kmv_stream_units(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            word_shingles_from_tokens(tokens(F.col("text")), 3)
+        ).alias("val"),
+    )
+
+
+# per-epoch wall seconds of the most recent bench run
+LAST_STREAM_KMV_EPOCH_SEC: list = []
+
+
+def _stream_kmv_bench(spark, sf_dir):
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_kmv_bench_")
+    epoch_times: dict = {}
+    _run_stream_kmv(spark, sf_dir, base, epoch_times=epoch_times)
+    LAST_STREAM_KMV_EPOCH_SEC.append(
+        [round(epoch_times[kk], 3) for kk in sorted(epoch_times)]
+    )
+    return spark.read.parquet(os.path.join(base, "store")).select(
+        "lang", "epoch", F.size("kmv_hashes").alias("n")
+    )
+
+
+@register_staged(
+    "streaming_kmv_distinct",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang,
+                   list_filter(regexp_split_to_array(text,
+                       '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        tri AS (
+            SELECT lang,
+                   unnest(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS val
+            FROM toks
+        ),
+        h AS (
+            SELECT DISTINCT lang,
+                   CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) AS h
+            FROM tri
+        ),
+        r AS (
+            SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+            FROM h
+        ),
+        sk AS (
+            SELECT lang, COUNT(*) AS n_synopsis, MAX(h) AS kth_hash
+            FROM r WHERE rn <= {_KMV_K} GROUP BY lang
+        )
+        SELECT lang,
+               n_synopsis,
+               kth_hash,
+               CASE WHEN n_synopsis < {_KMV_K}
+                    THEN CAST(n_synopsis AS DOUBLE)
+                    ELSE {_KMV_NUM!r} / CAST(kth_hash AS DOUBLE) END
+                   AS est_distinct,
+               true AS stream_equals_batch,
+               true AS estimates_monotone,
+               CAST(3 AS BIGINT) AS n_epochs
+        FROM sk
+    """,
+    tags=("streaming", "sketch", "incremental"),
+    bench_fn=_stream_kmv_bench,
+)
+def streaming_kmv_distinct(spark, sf_dir):
+    """Streaming distinct-count synopsis maintenance (streaming/
+    sketches.py): the corpus's per-language trigram stream ingests in
+    three micro-batches; each epoch folds its batch sketch into the
+    strictly-earlier epoch's stored synopsis (kmv_merge) and
+    overwrites its own epoch directory. Because the KMV merge is
+    EXACT on synopses, the final stored state is bit-identical to a
+    one-shot batch sketch of everything streamed — and therefore to
+    the SQL twin's k-smallest-per-lang over the raw corpus, making
+    (n_synopsis, kth_hash, est_distinct) FULL value-level crossing
+    columns, not constants. Booleans pin:
+
+    - stream_equals_batch: final stored synopsis arrays == batch
+      kmv_sketch of the staged unit stream (exact array equality);
+    - estimates_monotone: per lang, the per-epoch stored estimate
+      series never decreases (synopses only grow) — the
+      cardinality-growth time series the epoch store doubles as."""
+    import os
+    import tempfile
+
+    from ..operators.sketches import kmv_estimate
+    from .queries import _STAGE_CACHE
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:stream_kmv"
+    base = _STAGE_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_kmv_")
+        _run_stream_kmv(spark, sf_dir, base)
+        _STAGE_CACHE[key] = base
+    store = spark.read.parquet(os.path.join(base, "store"))
+    final = store.filter(F.col("epoch") == 2).select("lang", "kmv_hashes")
+    batch = kmv_sketch(
+        _kmv_stream_units(spark, sf_dir), ["lang"], F.col("val"), k=_KMV_K
+    ).select("lang", F.col("kmv_hashes").alias("b_hashes"))
+    eq = (
+        final.join(batch, "lang", "full")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("kmv_hashes").isNotNull()
+                    & F.col("b_hashes").isNotNull()
+                    & (F.col("kmv_hashes") == F.col("b_hashes"))
+                ),
+                F.lit(False),
+            ).alias("stream_equals_batch")
+        )
+    )
+    ests = store.select(
+        "lang", "epoch", kmv_estimate(F.col("kmv_hashes"), _KMV_K).alias("est")
+    )
+    from pyspark.sql import Window as W
+
+    lagged = ests.withColumn(
+        "prev",
+        F.lag("est").over(W.partitionBy("lang").orderBy("epoch")),
+    )
+    mono = lagged.agg(
+        F.coalesce(
+            F.min(F.col("prev").isNull() | (F.col("est") >= F.col("prev"))),
+            F.lit(False),
+        ).alias("estimates_monotone"),
+        F.count_distinct("epoch").alias("n_ep"),
+    )
+    out = final.select(
+        "lang",
+        F.size("kmv_hashes").cast("long").alias("n_synopsis"),
+        F.element_at("kmv_hashes", -1).alias("kth_hash"),
+        kmv_estimate(F.col("kmv_hashes"), _KMV_K).alias("est_distinct"),
+    )
+    return (
+        out.crossJoin(eq)
+        .crossJoin(mono)
+        .select(
+            "lang",
+            "n_synopsis",
+            "kth_hash",
+            "est_distinct",
+            "stream_equals_batch",
+            "estimates_monotone",
+            F.when(F.col("n_ep") == 3, F.lit(3)).otherwise(F.lit(-1))
+            .cast("long")
+            .alias("n_epochs"),
+        )
+    )

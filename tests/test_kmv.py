@@ -112,3 +112,106 @@ def test_null_values_ignored_and_missing_groups_absent(spark):
     rows = kmv_sketch(df, ["grp"], F.col("val"), k=8).collect()
     assert len(rows) == 1 and rows[0].grp == "g1"
     assert rows[0].kmv_hashes == [_py_hash("x")]
+
+
+def test_kmv_merge_equals_sketch_of_concatenation(spark):
+    """kmv_merge is EXACT: merged synopsis == sketching the
+    concatenated inputs, including groups present on one side only."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.sketches import (
+        kmv_merge,
+    )
+
+    k = 16
+    a_rows = [("g1", f"a{i}") for i in range(100)] + [("only_a", "x")]
+    b_rows = [("g1", f"b{i}") for i in range(80)] + [("only_b", "y")]
+    mk = lambda rows: kmv_sketch(
+        spark.createDataFrame(rows, ["grp", "val"]).repartition(3),
+        ["grp"],
+        F.col("val"),
+        k=k,
+    )
+    merged = {
+        r.grp: r.kmv_hashes
+        for r in kmv_merge(mk(a_rows), mk(b_rows), ["grp"], k).collect()
+    }
+    direct = {r.grp: r.kmv_hashes for r in mk(a_rows + b_rows).collect()}
+    assert merged == direct
+    assert set(merged) == {"g1", "only_a", "only_b"}
+
+
+def _run_kmv_stream(spark, base, files, k=16, src=None):
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.sketches import (
+        kmv_sketch_sink,
+    )
+
+    src = src or f"{base}/src"
+    for b, rows in enumerate(files):
+        spark.createDataFrame(rows, ["grp", "val"]).coalesce(1).write.mode(
+            "append" if b else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("grp string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = kmv_sketch_sink(
+        stream,
+        ["grp"],
+        "val",
+        k=k,
+        store_path=f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def test_streaming_synopsis_equals_batch_and_is_monotone(spark, tmp_path):
+    base = str(tmp_path / "run")
+    k = 16
+    files = [
+        [("g1", f"e0-{i}") for i in range(60)],
+        [("g1", f"e1-{i}") for i in range(60)] + [("g2", "solo")],
+        [("g1", f"e0-{i}") for i in range(30)],  # pure-duplicate epoch
+    ]
+    _run_kmv_stream(spark, base, files, k=k)
+    final = {
+        r.grp: r.kmv_hashes
+        for r in spark.read.parquet(f"{base}/store/epoch=2").collect()
+    }
+    batch = {
+        r.grp: r.kmv_hashes
+        for r in kmv_sketch(
+            spark.createDataFrame(sum(files, []), ["grp", "val"]),
+            ["grp"],
+            F.col("val"),
+            k=k,
+        ).collect()
+    }
+    assert final == batch  # streaming == batch, bit-exact arrays
+    # per-epoch time series: synopsis only grows (duplicate-only epoch
+    # leaves it unchanged)
+    store = spark.read.parquet(f"{base}/store")
+    sizes = {
+        (r.epoch): r.n
+        for r in store.filter("grp = 'g1'")
+        .select("epoch", F.size("kmv_hashes").alias("n"))
+        .collect()
+    }
+    assert sizes[0] <= sizes[1] and sizes[1] == sizes[2] == k
+
+
+def test_streaming_synopsis_replay_is_idempotent(spark, tmp_path):
+    base = str(tmp_path / "run")
+    files = [[("g1", f"a{i}") for i in range(40)], [("g1", f"b{i}") for i in range(40)]]
+    _run_kmv_stream(spark, base, files)
+    before = {
+        (r.epoch, r.grp, tuple(r.kmv_hashes))
+        for r in spark.read.parquet(f"{base}/store").collect()
+    }
+    _run_kmv_stream(spark, base, [], src=f"{base}/src")  # restart, no new files
+    after = {
+        (r.epoch, r.grp, tuple(r.kmv_hashes))
+        for r in spark.read.parquet(f"{base}/store").collect()
+    }
+    assert after == before

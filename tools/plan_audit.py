@@ -88,6 +88,15 @@ AUDIT = [
     "bpe_tokenizer_encode",
     "ann_ivfpq_delta_append",
     "embedding_random_projection",
+    # round-10 staged operators (resolved from plans/staged.py until
+    # promotion; streaming_ann_ingest is a foreachBatch pipeline —
+    # its per-epoch batch plan is ivfpq_index_append, audited via
+    # ann_ivfpq_delta_append)
+    "kmv_source_overlap",
+    "heavy_hitters_per_lang",
+    "hybrid_search_rrf3",
+    "ann_cosine_topk_ivfpq_residual",
+    "bpe_byte_level_encode",
 ]
 
 
@@ -96,11 +105,12 @@ def main() -> None:
     names = sys.argv[1:] or AUDIT
 
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.staged import STAGED
     from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
 
     spark = local_test_session("plan-audit")
     for name in names:
-        df = REGISTRY[name].fn(spark, sf_dir)
+        df = (REGISTRY.get(name) or STAGED[name]).fn(spark, sf_dir)
         # materialize so AQE finalizes: the pre-execution adaptive plan
         # carries neither the final join strategies nor codegen spans
         df.collect()
