@@ -65,6 +65,7 @@ __all__ = [
     "kmv_merge",
     "kmv_estimate",
     "kmv_set_estimates",
+    "kmv_pairwise_matrix",
 ]
 
 HASH_BITS = 60
@@ -212,21 +213,61 @@ def kmv_set_estimates(
     jc = list(join_cols)
     fa = a.select(*jc, F.col("kmv_hashes").alias("__ha"))
     fb = b.select(*jc, F.col("kmv_hashes").alias("__hb"))
-    merged = (
-        fa.join(fb, on=jc, how="inner")
-        .withColumn("__L", F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k))
-        .withColumn("k_union", F.size("__L"))
-    )
+    merged = fa.join(fb, on=jc, how="inner")
     return merged.select(
         *jc,
         kmv_estimate(F.col("__ha"), k).alias(f"est{sa}"),
         kmv_estimate(F.col("__hb"), k).alias(f"est{sb}"),
-        F.col("k_union"),
-        F.element_at("__L", -1).alias("union_kth"),
-        kmv_estimate(F.col("__L"), k).alias("est_union"),
-        F.size(F.array_intersect(F.array_intersect("__L", "__ha"), "__hb")).alias("overlap"),
-        (
-            F.size(F.array_intersect(F.array_intersect("__L", "__ha"), "__hb")).cast("double")
-            / F.col("k_union").cast("double")
-        ).alias("jaccard_est"),
+        *_pair_estimate_cols(F.col("__ha"), F.col("__hb"), k),
+    )
+
+
+def _pair_estimate_cols(ha: Column, hb: Column, k: int) -> list:
+    """The Beyer et al. pair arithmetic over two synopsis arrays:
+    ``k_union, union_kth, est_union, overlap, jaccard_est`` — shared
+    by the keyed-join (:func:`kmv_set_estimates`) and all-pairs
+    (:func:`kmv_pairwise_matrix`) shapes."""
+    L = F.slice(F.array_sort(F.array_union(ha, hb)), 1, k)
+    overlap = F.size(F.array_intersect(F.array_intersect(L, ha), hb))
+    return [
+        F.size(L).alias("k_union"),
+        F.element_at(L, -1).alias("union_kth"),
+        kmv_estimate(L, k).alias("est_union"),
+        overlap.alias("overlap"),
+        (overlap.cast("double") / F.size(L).cast("double")).alias("jaccard_est"),
+    ]
+
+
+def kmv_pairwise_matrix(
+    sketches: DataFrame,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """All-pairs overlap matrix over a synopsis frame (one row per
+    group from :func:`kmv_sketch`): for every unordered pair of keys
+    ``(a < b)``, the union / overlap / Jaccard estimates — the
+    mixture-planning and cross-source-contamination view ("which of
+    my N corpus sources duplicate each other, and how much?").
+
+    This is where sketching pays off hardest at 100 TB: the exact
+    answer is N² corpus-sized distinct-joins, while the synopsis
+    matrix joins N kilobyte rows against themselves — C(N,2) pairs of
+    ≤ k-length array arithmetic, independent of corpus size. The
+    self-join is deliberately a non-equi (`a < b`) broadcast
+    nested-loop over the TINY synopsis frame; its cost is C(N,2)
+    rows, and the key count N is the grouping cardinality (sources,
+    languages), not data volume."""
+    a = sketches.select(
+        F.col(key_col).alias("key_a"), F.col("kmv_hashes").alias("__ha")
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"), F.col("kmv_hashes").alias("__hb")
+    )
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    return pairs.select(
+        "key_a",
+        "key_b",
+        kmv_estimate(F.col("__ha"), k).alias("est_a"),
+        kmv_estimate(F.col("__hb"), k).alias("est_b"),
+        *_pair_estimate_cols(F.col("__ha"), F.col("__hb"), k),
     )

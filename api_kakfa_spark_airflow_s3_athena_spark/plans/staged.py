@@ -1053,3 +1053,111 @@ def streaming_kmv_distinct(spark, sf_dir):
             .alias("n_epochs"),
         )
     )
+
+
+# =====================================================================
+# All-pairs source overlap matrix (operators/sketches.kmv_pairwise_matrix)
+# =====================================================================
+
+def _kmv_matrix_bench(spark, sf_dir):
+    from ..operators.sketches import kmv_pairwise_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    units = docs.select(
+        "source",
+        F.explode(
+            word_shingles_from_tokens(tokens(F.col("text")), 3)
+        ).alias("val"),
+    )
+    sk = kmv_sketch(units, ["source"], F.col("val"), k=_KMV_K)
+    return kmv_pairwise_matrix(sk, "source", _KMV_K)
+
+
+@register_staged(
+    "kmv_overlap_matrix",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source,
+                   list_filter(regexp_split_to_array(text,
+                       '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        tri AS (
+            SELECT source,
+                   unnest(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS val
+            FROM toks
+        ),
+        h AS (
+            SELECT DISTINCT source,
+                   CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) AS h
+            FROM tri
+        ),
+        r AS (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM h
+        ),
+        ska AS (SELECT source, h FROM r WHERE rn <= {_KMV_K}),
+        sk AS (SELECT source, COUNT(*) AS n, MAX(h) AS kth
+               FROM ska GROUP BY source),
+        prs AS (
+            SELECT a.source AS key_a, b.source AS key_b
+            FROM sk a JOIN sk b ON a.source < b.source
+        ),
+        dh AS (
+            SELECT DISTINCT p.key_a, p.key_b, s.h
+            FROM prs p
+            JOIN ska s ON s.source = p.key_a OR s.source = p.key_b
+        ),
+        rl AS (
+            SELECT key_a, key_b, h,
+                   row_number() OVER (PARTITION BY key_a, key_b
+                                      ORDER BY h) AS rn
+            FROM dh
+        ),
+        L AS (SELECT key_a, key_b, h FROM rl WHERE rn <= {_KMV_K}),
+        lst AS (SELECT key_a, key_b, COUNT(*) AS k_union, MAX(h) AS union_kth
+                FROM L GROUP BY key_a, key_b),
+        ov AS (
+            SELECT L.key_a, L.key_b, COUNT(*) AS overlap
+            FROM L
+            JOIN ska x ON x.source = L.key_a AND x.h = L.h
+            JOIN ska y ON y.source = L.key_b AND y.h = L.h
+            GROUP BY L.key_a, L.key_b
+        )
+        SELECT p.key_a, p.key_b,
+               CASE WHEN sa.n < {_KMV_K} THEN CAST(sa.n AS DOUBLE)
+                    ELSE {_KMV_NUM!r} / CAST(sa.kth AS DOUBLE) END AS est_a,
+               CASE WHEN sb.n < {_KMV_K} THEN CAST(sb.n AS DOUBLE)
+                    ELSE {_KMV_NUM!r} / CAST(sb.kth AS DOUBLE) END AS est_b,
+               lst.k_union,
+               lst.union_kth,
+               CASE WHEN lst.k_union < {_KMV_K}
+                    THEN CAST(lst.k_union AS DOUBLE)
+                    ELSE {_KMV_NUM!r} / CAST(lst.union_kth AS DOUBLE) END
+                   AS est_union,
+               COALESCE(ov.overlap, 0) AS overlap,
+               CAST(COALESCE(ov.overlap, 0) AS DOUBLE)
+                   / CAST(lst.k_union AS DOUBLE) AS jaccard_est
+        FROM prs p
+        JOIN sk sa ON sa.source = p.key_a
+        JOIN sk sb ON sb.source = p.key_b
+        JOIN lst ON lst.key_a = p.key_a AND lst.key_b = p.key_b
+        LEFT JOIN ov ON ov.key_a = p.key_a AND ov.key_b = p.key_b
+    """,
+    tags=("sketch", "dedup", "contamination", "matrix"),
+    bench_fn=_kmv_matrix_bench,
+)
+def kmv_overlap_matrix(spark, sf_dir):
+    """All-pairs cross-source overlap matrix on KMV synopses: for
+    every unordered pair of the 20 sources, the trigram-set union /
+    overlap / Jaccard estimates — the mixture-planning view ("which
+    sources duplicate each other?") that motivates sketching in the
+    first place: the exact answer is C(20,2)=190 corpus-sized
+    distinct-joins, the synopsis answer is one bounded sketch pass +
+    190 pairs of kilobyte array arithmetic, independent of corpus
+    size. The oracle computes the IDENTICAL matrix in SQL (same
+    hash, same k-smallest, same single-division estimators), so every
+    one of the 190 rows crosses the compare at full value level."""
+    return _kmv_matrix_bench(spark, sf_dir)
