@@ -22,6 +22,7 @@ __all__ = [
     "tokens",
     "token_count",
     "word_shingles",
+    "word_shingles_from_tokens",
     "char_shingles",
     "quality_features",
     "language_scores",

@@ -1154,6 +1154,76 @@ def pq_quantization_error(
     )
 
 
+def _collect_query_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    vec_col: str,
+    nprobe: int,
+    max_queries: int,
+    fn_name: str,
+):
+    """Shared IVFADC query-side scaffold: assign queries to their
+    ``nprobe`` nearest cells and collect probe sets + query vectors in
+    ONE bounded job (q_assigned duplicates the vector per probed cell
+    — at most max_queries * nprobe skinny rows, cheaper than two
+    jobs). Returns ``(sorted qids, {qid: vec}, {qid: [cells]})``.
+
+    Guarded twice: the row-limit pre-check alone undercounts when
+    queries land fewer than nprobe cells (n_centroids < nprobe),
+    letting up to nprobe-fold extra queries through — the collect
+    stays bounded either way, the LUT/loop budget must not (round-9
+    review finding, now enforced for every caller)."""
+    q_assigned = _ivf_assign(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        centroids,
+        "query_id",
+        "q_vec",
+        keep=nprobe,
+    )
+    arows = q_assigned.limit(max_queries * nprobe + 1).collect()
+    if len(arows) > max_queries * nprobe:
+        raise ValueError(f"{fn_name} got > {max_queries} queries")
+    qvecs: dict = {}
+    qcells: dict = {}
+    for r in arows:
+        qvecs[r["query_id"]] = r["q_vec"]
+        qcells.setdefault(r["query_id"], []).append(r["cell"])
+    if len(qcells) > max_queries:
+        raise ValueError(f"{fn_name} got > {max_queries} queries")
+    return sorted(qcells), qvecs, qcells
+
+
+def _empty_adist_frame(encoded_cells: DataFrame, qid_type: str) -> DataFrame:
+    """Typed-empty ``(query_id, neighbor_id, adist, rnk)`` result for
+    an empty query frame."""
+    return (
+        encoded_cells.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("adist"),
+            F.lit(1).alias("rnk"),
+        )
+        .withColumn("query_id", F.lit(None).cast(qid_type))
+        .select("query_id", "neighbor_id", "adist", "rnk")
+        .limit(0)
+    )
+
+
+def _ranked_adist_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Merge per-batch local top-k candidates into the global per-query
+    top-k: one skinny ranked window over adist asc, id tie-break."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adist", "rnk")
+    )
+
+
 def ivfpq_index(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -1243,45 +1313,11 @@ def ivfpq_topk(
     m, ksub, dsub = books.shape
     qid_type = queries.schema[query_id].dataType.simpleString()
     nid_type = encoded_cells.schema["vec_id"].dataType.simpleString()
-    q_assigned = _ivf_assign(
-        queries.select(
-            F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
-        ),
-        centroids,
-        "query_id",
-        "q_vec",
-        keep=nprobe,
+    qids, qvecs, qcells = _collect_query_probes(
+        queries, centroids, query_id, vec_col, nprobe, max_queries, "ivfpq_topk"
     )
-    # one bounded collect carries BOTH the probe sets and the query
-    # vectors (q_assigned duplicates the vector per probed cell — at
-    # most max_queries * nprobe skinny rows, cheaper than two jobs)
-    arows = q_assigned.limit(max_queries * nprobe + 1).collect()
-    if len(arows) > max_queries * nprobe:
-        raise ValueError(f"ivfpq_topk got > {max_queries} queries")
-    qvecs: dict = {}
-    qcells: dict = {}
-    for r in arows:
-        qvecs[r["query_id"]] = r["q_vec"]
-        qcells.setdefault(r["query_id"], []).append(r["cell"])
-    # exact guard: the row-limit pre-check alone undercounts when
-    # queries land fewer than nprobe cells (n_centroids < nprobe),
-    # letting up to nprobe/cells-fold extra queries through — the
-    # collect stays bounded either way, the LUT/loop budget must not
-    # (round-9 review finding)
-    if len(qcells) > max_queries:
-        raise ValueError(f"ivfpq_topk got > {max_queries} queries")
-    qids = sorted(qcells)
     if not qids:
-        return (
-            encoded_cells.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.lit(0.0).alias("adist"),
-                F.lit(1).alias("rnk"),
-            )
-            .withColumn("query_id", F.lit(None).cast(qid_type))
-            .select("query_id", "neighbor_id", "adist", "rnk")
-            .limit(0)
-        )
+        return _empty_adist_frame(encoded_cells, qid_type)
     qmat = np.asarray([qvecs[q] for q in qids], dtype=np.float64)
     probe_sets = [np.asarray(sorted(qcells[q])) for q in qids]
     luts = np.empty((len(qids), m, ksub), dtype=np.float64)
@@ -1324,14 +1360,7 @@ def ivfpq_topk(
             schema=f"query_id {qid_type}, neighbor_id {nid_type}, adist double",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "adist", "rnk")
-    )
+    return _ranked_adist_topk(scored, k)
 
 
 def ivfpq_index_append(
@@ -1506,51 +1535,33 @@ def ivfpq_residual_topk(
     qid_type = queries.schema[query_id].dataType.simpleString()
     nid_type = encoded_cells.schema["vec_id"].dataType.simpleString()
     cent_rows = centroids.collect()  # bounded: n_centroids rows
-    cent = {r["centroid_id"]: np.asarray(r["centroid_vec"], dtype=np.float64) for r in cent_rows}
-    q_assigned = _ivf_assign(
-        queries.select(
-            F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
-        ),
-        centroids,
-        "query_id",
-        "q_vec",
-        keep=nprobe,
+    cent = {
+        r["centroid_id"]: np.asarray(r["centroid_vec"], dtype=np.float64)
+        for r in cent_rows
+    }
+    qids, qvecs, qcells = _collect_query_probes(
+        queries, centroids, query_id, vec_col, nprobe, max_queries,
+        "ivfpq_residual_topk",
     )
-    arows = q_assigned.limit(max_queries * nprobe + 1).collect()
-    if len(arows) > max_queries * nprobe:
-        raise ValueError(f"ivfpq_residual_topk got > {max_queries} queries")
-    qvecs: dict = {}
-    qcells: dict = {}
-    for r in arows:
-        qvecs[r["query_id"]] = r["q_vec"]
-        qcells.setdefault(r["query_id"], []).append(r["cell"])
-    if len(qcells) > max_queries:
-        raise ValueError(f"ivfpq_residual_topk got > {max_queries} queries")
-    qids = sorted(qcells)
     if not qids:
-        return (
-            encoded_cells.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.lit(0.0).alias("adist"),
-                F.lit(1).alias("rnk"),
-            )
-            .withColumn("query_id", F.lit(None).cast(qid_type))
-            .select("query_id", "neighbor_id", "adist", "rnk")
-            .limit(0)
+        return _empty_adist_frame(encoded_cells, qid_type)
+    # per-(query, probed cell) LUTs from the query residual AGAINST
+    # THAT CELL, built as ONE vectorized batch over all (q, cell)
+    # pairs (review finding: the first cut looped per pair per
+    # subspace in Python — |Q|*nprobe*m scalar LUT builds)
+    pair_list = [(qid, c) for qid in qids for c in qcells[qid]]
+    rmat = np.asarray(
+        [np.asarray(qvecs[qid], dtype=np.float64) - cent[c] for qid, c in pair_list]
+    )
+    pair_luts = np.empty((len(pair_list), m, ksub), dtype=np.float64)
+    for j in range(m):
+        sub = rmat[:, j * dsub : (j + 1) * dsub]
+        pair_luts[:, j, :] = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ books[j].T
+            + (books[j] ** 2).sum(axis=1)
         )
-    # per-(query, cell) LUTs from the query's residual against the cell
-    luts: dict = {}
-    for qid in qids:
-        qv = np.asarray(qvecs[qid], dtype=np.float64)
-        for c in qcells[qid]:
-            r = qv - cent[c]
-            lut = np.empty((m, ksub), dtype=np.float64)
-            for j in range(m):
-                sub = r[j * dsub : (j + 1) * dsub]
-                lut[j] = (
-                    (sub * sub).sum() - 2.0 * books[j] @ sub + (books[j] ** 2).sum(axis=1)
-                )
-            luts[(qid, c)] = lut
+    luts = {pair: pair_luts[i] for i, pair in enumerate(pair_list)}
     probed = sorted({c for s in qcells.values() for c in s})
 
     def score(batches):
@@ -1590,11 +1601,4 @@ def ivfpq_residual_topk(
             schema=f"query_id {qid_type}, neighbor_id {nid_type}, adist double",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "adist", "rnk")
-    )
+    return _ranked_adist_topk(scored, k)

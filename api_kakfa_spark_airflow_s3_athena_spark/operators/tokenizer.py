@@ -118,9 +118,13 @@ def bpe_learn_merges(
     word_freq: dict = {}
     for r in rows:
         for w in (r[0] or "").split():
-            if byte_level:
-                w = _to_byte_space(w)
             word_freq[w] = word_freq.get(w, 0) + 1
+    if byte_level:
+        # the byte map is a bijection, so converting the DISTINCT
+        # words preserves frequencies — type-count cost, not
+        # token-count cost (review finding: mapping per occurrence
+        # paid millions of per-token Python calls on the driver)
+        word_freq = {_to_byte_space(w): c for w, c in word_freq.items()}
     return _learn_merges_from_freqs(word_freq, n_merges)
 
 

@@ -255,7 +255,7 @@ _HH_COUNTERS = 700  # bigrams: ~900 distinct per lang, near-uniform, so
 )
 def heavy_hitters_per_lang(spark, sf_dir):
     """Per-language bigram heavy hitters: every word bigram whose
-    in-language frequency exceeds n_lang/500, with exact counts — the
+    in-language frequency exceeds n_lang/700, with exact counts — the
     per-domain/per-language token-head question (stop-list induction,
     boilerplate tracing PER SUBCORPUS) the global heavy_hitter_tokens
     cannot answer. Runs the per-key two-phase Misra-Gries operator
@@ -547,6 +547,11 @@ def streaming_ann_ingest(spark, sf_dir):
         .select("vec_id", "cell", "codes")
         .join(batch_rows, F.col("vec_id") == F.col("b_id"), "full")
         .agg(
+            # default FALSE on an empty compare (review finding: a
+            # vacuously-empty full-outer join must fail the equality
+            # contract loudly, like every sibling check — the delta
+            # slice is non-empty by fixture, so an empty join here
+            # means the sink or the batch path produced nothing)
             F.coalesce(
                 F.min(
                     F.col("cell").isNotNull()
@@ -554,7 +559,7 @@ def streaming_ann_ingest(spark, sf_dir):
                     & (F.col("cell") == F.col("b_cell"))
                     & (F.col("codes") == F.col("b_codes"))
                 ),
-                F.lit(True),
+                F.lit(False),
             ).alias("stream_equals_batch_ok")
         )
     )
