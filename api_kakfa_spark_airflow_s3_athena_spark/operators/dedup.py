@@ -50,6 +50,7 @@ __all__ = [
     "simhash_hamming_pairs",
     "jaccard",
     "embedding_dedup_pairs",
+    "containment_join",
 ]
 
 _HASH_PRIME = 2147483647  # 2^31 - 1; Carter-Wegman universe for MinHash
@@ -1931,3 +1932,118 @@ def contrastive_pairs(
         "neg_jaccard",
     )
     return pos.join(neg, "anchor_id")
+
+
+def containment_join(
+    eval_units: DataFrame,
+    train_units: DataFrame,
+    threshold: float,
+    eval_id: str = "eval_id",
+    train_id: str = "train_id",
+    units_col: str = "units",
+) -> DataFrame:
+    """EXACT asymmetric containment join — for every (eval, train)
+    document pair with ``|A ∩ B| / |A| >= threshold`` (A = the eval
+    doc's unit set, B = the train doc's), emit the pair with its exact
+    containment. This is the per-PAIR decontamination question
+    ("WHICH training document contains this eval document?") that the
+    set-level ``contamination_check`` (overlap vs the union of all
+    training n-grams) cannot answer: a 60%-overlap eval doc may be
+    benign vocabulary reuse spread over thousands of train docs, or
+    one verbatim copy — only the pair join distinguishes them.
+
+    Prefix filtering, containment form (Chaudhuri et al. 2006 /
+    Bayardo et al. 2007 adapted to the asymmetric bound): a pair with
+    overlap ``o >= o_min = ceil(t*|A| - 1e-9)`` must share at least
+    one of A's ``|A| - o_min + 1`` RAREST units (pigeonhole — if none
+    of that prefix is in B, at most ``o_min - 1`` units remain). The
+    global unit order is train-side document frequency ascending
+    (unit tie-break); an eval unit absent from training sorts FIRST
+    (df 0 — maximally selective, and correctly generates zero
+    candidates). Only A's side has a prefix: B is unbounded below, so
+    the train side is pruned by VOCABULARY instead — its unit explode
+    is semi-joined against the (small) eval-prefix unit set BEFORE
+    anything shuffles.
+
+    The float-safety split (the ``prefix_jaccard_join`` discipline):
+    ``o_min`` carries a 1e-9 slack and is used ONLY for candidate
+    completeness (slack can only over-include); the emitted filter is
+    the single IEEE division ``o / |A| >= threshold``, bit-identical
+    across engines, applied to the UNROUNDED value.
+
+    Scale shape: eval sets are small by nature (that is why this
+    direction of decontamination is cheap), so the eval-prefix
+    vocabulary broadcasts; the train unit stream explodes once,
+    collapses against that broadcast before its shuffle, and only
+    postings for eval-prefix units ever move. Verification joins the
+    two bounded unit arrays per surviving candidate. Returns
+    ``(eval_id, train_id, containment)`` — full row-for-row oracle
+    comparable (the registered query's DuckDB twin is the O(n*m)
+    brute force).
+
+    ``units_col`` arrays are de-duplicated defensively; empty eval
+    unit sets are dropped (containment undefined; the SQL twin's
+    ``CASE len = 0`` evaluates to 0 and never passes a positive
+    threshold).
+    """
+    ev = (
+        eval_units.select(
+            F.col(eval_id).alias("__ea"),
+            F.array_distinct(F.col(units_col)).alias("__ua"),
+        )
+        .where(F.size("__ua") > 0)
+    )
+    tr = train_units.select(
+        F.col(train_id).alias("__tb"),
+        F.array_distinct(F.col(units_col)).alias("__ub"),
+    )
+    tr_tok = tr.select(F.col("__tb"), F.explode("__ub").alias("__tok"))
+    census = tr_tok.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    ev_tok = ev.select(
+        "__ea", F.size("__ua").alias("__na"), F.explode("__ua").alias("__tok")
+    )
+    # df per eval unit (absent-from-train => 0 = rarest); the join's
+    # small side is the eval token stream
+    ranked = ev_tok.join(census, "__tok", "left").select(
+        "__ea",
+        "__na",
+        "__tok",
+        F.coalesce(F.col("__df"), F.lit(0)).alias("__df"),
+    )
+    o_min = F.ceil(F.lit(threshold) * F.col("__na") - F.lit(1e-9)).cast("int")
+    prefix_len = F.col("__na") - o_min + 1
+    w = Window.partitionBy("__ea").orderBy(F.col("__df").asc(), F.col("__tok").asc())
+    prefix = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= prefix_len)
+        .select("__ea", "__tok")
+    )
+    # train postings collapse against the eval-prefix vocabulary
+    # BEFORE the candidate shuffle
+    ptoks = prefix.select("__tok").distinct()
+    postings = tr_tok.join(F.broadcast(ptoks), "__tok", "leftsemi")
+    cands = (
+        prefix.join(postings, "__tok")
+        .select("__ea", "__tb")
+        .distinct()
+    )
+    verified = (
+        cands.join(ev, "__ea")
+        .join(tr, "__tb")
+        .select(
+            "__ea",
+            "__tb",
+            (
+                F.size(F.array_intersect("__ua", "__ub")).cast("double")
+                / F.size("__ua").cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    return verified.select(
+        F.col("__ea").alias(eval_id),
+        F.col("__tb").alias(train_id),
+        "containment",
+    )

@@ -1166,3 +1166,69 @@ def kmv_overlap_matrix(spark, sf_dir):
     hash, same k-smallest, same single-division estimators), so every
     one of the 190 rows crosses the compare at full value level."""
     return _kmv_matrix_bench(spark, sf_dir)
+
+
+# =====================================================================
+# Exact per-pair decontamination (operators/dedup.containment_join)
+# =====================================================================
+
+@register_staged(
+    "containment_decontamination",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(text,
+                       '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+            FROM toks
+        ),
+        ev AS (SELECT doc_id, g FROM tri WHERE source = 'src0'),
+        tr AS (SELECT doc_id, g FROM tri WHERE source <> 'src0')
+        SELECT eval_id, train_id, containment
+        FROM (
+            SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+                   CAST(len(list_intersect(e.g, t.g)) AS DOUBLE)
+                       / len(e.g) AS containment
+            FROM ev e, tr t
+            WHERE len(e.g) > 0
+        )
+        WHERE containment >= 0.7
+    """,
+    tags=("dedup", "contamination", "exact", "llm-pipeline"),
+)
+def containment_decontamination(spark, sf_dir):
+    """Exact per-PAIR decontamination (operators/dedup.
+    containment_join): every (eval, train) document pair where >= 70%
+    of the eval doc's trigram set is contained in ONE training doc —
+    the "which training document contains this eval document"
+    question the set-level contamination_check cannot answer. The
+    engine runs prefix filtering in containment form (eval-side
+    prefix over the train-df-ascending unit order with the slacked
+    o_min bound; train postings collapse against the broadcast
+    eval-prefix vocabulary before any shuffle); the oracle is the
+    full O(|eval| x |train|) brute force, so the compare is
+    row-for-row — a single lost candidate fails the hash. Driver
+    corpus carries real cross-source plants: 7/2/27 qualifying pairs
+    at sf0.001/0.01/0.1."""
+    from ..operators.dedup import containment_join
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            word_shingles_from_tokens(tokens(F.col("text")), 3)
+        ).alias("units"),
+    )
+    ev = tri.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_id"), "units"
+    )
+    tr = tri.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "units"
+    )
+    return containment_join(ev, tr, threshold=0.7)

@@ -81,6 +81,7 @@ HEAVY_OPS = [
     "hybrid_search_rrf3",
     "ann_cosine_topk_ivfpq_residual",
     "bpe_byte_level_encode",
+    "containment_decontamination",
 ]
 
 
