@@ -332,3 +332,99 @@ def bpe_load_merges(spark, path: str) -> List[Tuple[str, str]]:
     return [
         (r.left, r.right) for r in sorted(rows, key=lambda r: r.priority)
     ]
+
+
+def bpe_vocab(
+    merges: Sequence[Tuple[str, str]],
+    special_tokens: Sequence[str] = (),
+) -> List[str]:
+    """The deterministic id table for a BYTE-LEVEL merge table: token
+    string at position i has id i. Layout: special tokens first (their
+    ids stay stable as the merge table grows across retrains — the
+    property downstream configs depend on), then the 256 base byte
+    symbols in byte order, then merged symbols in merge-priority
+    order. Because the byte alphabet is CLOSED, this vocabulary is
+    complete — every token :func:`bpe_encode` can emit under
+    ``byte_level=True`` (with the same specials) has an id, so there
+    is no unknown-token id at any corpus scale. Char-level tables are
+    NOT supported: their base alphabet is data-dependent (chars seen
+    in training), so no finite id table covers unseen input."""
+    m = byte_unicode_map()
+    base = [m[b] for b in range(256)]
+    fused = [a + b for a, b in merges]
+    out = list(special_tokens) + base + fused
+    if len(set(out)) != len(out):
+        raise ValueError("special tokens collide with vocabulary symbols")
+    return out
+
+
+def bpe_encode_ids(
+    corpus: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    special_tokens: Sequence[str] = (),
+) -> DataFrame:
+    """Model-ready encoding: byte-level :func:`bpe_encode` emitting
+    INTEGER ids under the :func:`bpe_vocab` table — the shape a
+    training pipeline actually ships (token strings are a debugging
+    view; packing, attention masks and loss all consume ids). Same
+    one-Arrow-pass shape with the per-batch distinct-word cache; the
+    token->id map is a plain dict lookup appended to the cached
+    per-word encode, so the id lookup is paid once per distinct word
+    per batch, like the encode itself.
+
+    Returns ``(id, token_ids array<int>, n_tokens)``. Exact
+    invertibility: ``vocab[i]`` for each id reconstructs the token
+    stream, and :func:`bpe_decode_tokens` on that stream restores the
+    whitespace-stripped text (test-pinned)."""
+    import pandas as pd
+
+    vocab = bpe_vocab(merges, special_tokens)
+    tok_id = {t: i for i, t in enumerate(vocab)}
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    specials = [s for s in special_tokens if s]
+    spec_re = (
+        re.compile("(" + "|".join(re.escape(s) for s in specials) + ")")
+        if specials
+        else None
+    )
+    spec_ids = {s: tok_id[s] for s in specials}
+
+    def enc(batches):
+        cache: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_ids = []
+            for text in pdf["__text"]:
+                ids: List[int] = []
+                text = text or ""
+                segments = spec_re.split(text) if spec_re else (text,)
+                for seg in segments:
+                    sid = spec_ids.get(seg)
+                    if sid is not None:
+                        ids.append(sid)
+                        continue
+                    for w in seg.split():
+                        got = cache.get(w)
+                        if got is None:
+                            got = [
+                                tok_id[t]
+                                for t in _encode_word(_to_byte_space(w), ranks)
+                            ]
+                            cache[w] = got
+                        ids.extend(got)
+                out_ids.append(ids)
+            yield pd.DataFrame({"id": pdf["__id"], "token_ids": out_ids})
+
+    return (
+        corpus.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .mapInPandas(enc, schema=f"id {id_type}, token_ids array<int>")
+        .select(
+            F.col("id").alias(id_col),
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+    )

@@ -230,3 +230,54 @@ def test_special_tokens_compose_with_byte_level(spark):
     # specials are printable ASCII -> identity under the byte map, so
     # decoding the full stream (specials included) is still exact
     assert bpe_decode_tokens(toks, byte_level=True) == "ab<|eot|>café<|eot|>"
+
+
+def test_bpe_vocab_layout_and_closure():
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        bpe_vocab,
+        byte_unicode_map,
+    )
+
+    merges = [("a", "b"), ("ab", "c")]
+    v = bpe_vocab(merges, special_tokens=["<|eot|>"])
+    assert v[0] == "<|eot|>"                     # specials first, stable ids
+    assert v[1:257] == [byte_unicode_map()[b] for b in range(256)]
+    assert v[257:] == ["ab", "abc"]              # merge-priority order
+    assert len(set(v)) == len(v) == 259
+    # a special colliding with a symbol is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_vocab(merges, special_tokens=["ab"])
+
+
+def test_bpe_encode_ids_roundtrips_and_matches_string_encode(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        bpe_decode_tokens,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    train = spark.createDataFrame([Row(doc_id=0, text="low low low lower lowest")])
+    merges = bpe_learn_merges(train, n_merges=10, byte_level=True)
+    vocab = bpe_vocab(merges, special_tokens=["<|doc|>"])
+    target = spark.createDataFrame(
+        [Row(doc_id=1, text="<|doc|>low café lowest\U0001f600")]
+    )
+    ids = bpe_encode_ids(
+        target, merges, special_tokens=["<|doc|>"]
+    ).collect()[0]
+    assert all(0 <= i < len(vocab) for i in ids.token_ids)
+    assert ids.n_tokens == len(ids.token_ids)
+    toks = [vocab[i] for i in ids.token_ids]
+    assert toks[0] == "<|doc|>"
+    # ids -> tokens -> text: exact reconstruction incl. unseen unicode
+    assert (
+        bpe_decode_tokens(toks, byte_level=True)
+        == "<|doc|>lowcafélowest\U0001f600"
+    )
+    # ids are exactly the string encode mapped through the vocab
+    str_toks = bpe_encode(
+        target, merges, byte_level=True, special_tokens=["<|doc|>"]
+    ).collect()[0].tokens
+    assert toks == str_toks
