@@ -215,3 +215,21 @@ def test_streaming_synopsis_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(f"{base}/store").collect()
     }
     assert after == before
+
+
+def test_sketch_multi_column_groups(spark):
+    """Multi-column grouping (the staged queries group by (lang,
+    unit)): per-(g1,g2) synopses match the Python reference and keys
+    never bleed across groups."""
+    rows = [("a", "x", f"t{i}") for i in range(40)] + [
+        ("a", "y", f"t{i}") for i in range(5)
+    ] + [("b", "x", "t0")]
+    df = spark.createDataFrame(rows, ["g1", "g2", "val"]).repartition(5)
+    got = {
+        (r.g1, r.g2): r.kmv_hashes
+        for r in kmv_sketch(df, ["g1", "g2"], F.col("val"), k=8).collect()
+    }
+    assert set(got) == {("a", "x"), ("a", "y"), ("b", "x")}
+    assert got[("a", "x")] == sorted(_py_hash(f"t{i}") for i in range(40))[:8]
+    assert got[("a", "y")] == sorted(_py_hash(f"t{i}") for i in range(5))
+    assert got[("b", "x")] == [_py_hash("t0")]
