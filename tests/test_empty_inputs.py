@@ -259,3 +259,77 @@ def test_round9_ops_on_empty_inputs(spark, empty_docs, empty_vecs):
 
     with _pytest.raises(ValueError, match="empty"):
         random_projection(empty_vecs)
+
+
+def test_staged_round10_ops_on_empty_inputs(spark, empty_docs):
+    """Session-3 staged operators: KMV sketching/merging/estimating,
+    per-key heavy hitters, containment join, prior/RRF arms, and the
+    byte-level tokenizer must all return empty, correctly-schemaed
+    results on empty inputs (or on one empty side)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.dedup import (
+        containment_join,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.frequency import (
+        heavy_hitters_by_key,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.retrieval import (
+        prior_topk,
+        rrf_fuse,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.sketches import (
+        kmv_merge,
+        kmv_pairwise_matrix,
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_encode_ids,
+    )
+
+    empty_units = spark.createDataFrame(
+        [], "k string, unit string"
+    )
+    # KMV: empty corpus -> empty synopsis frame; merge/set-ops with an
+    # empty side keep the non-empty side / return no pairs
+    sk_e = kmv_sketch(empty_units, ["k"], F.col("unit"), k=8)
+    assert sk_e.count() == 0
+    assert sk_e.columns == ["k", "kmv_hashes"]
+    one = kmv_sketch(
+        spark.createDataFrame([("g", "v")], ["k", "unit"]), ["k"], F.col("unit"), k=8
+    )
+    assert kmv_set_estimates(one, sk_e, ["k"], 8).count() == 0  # inner join
+    merged = kmv_merge(one, sk_e, ["k"], 8).collect()
+    assert len(merged) == 1 and len(merged[0].kmv_hashes) == 1
+    assert kmv_pairwise_matrix(sk_e, "k", 8).count() == 0
+    assert kmv_pairwise_matrix(one, "k", 8).count() == 0  # 1 key, no pair
+
+    # per-key heavy hitters on an empty unit stream
+    hh = heavy_hitters_by_key(empty_units, ["k"], "unit", num_counters=5)
+    assert hh.count() == 0
+    assert hh.columns == ["k", "unit", "freq", "n_units"]
+
+    # containment join: either side empty -> no pairs
+    eu = spark.createDataFrame([], "eval_id long, units array<string>")
+    tu = spark.createDataFrame(
+        [(1, ["a", "b"])], "train_id long, units array<string>"
+    )
+    assert containment_join(eu, tu, 0.5).count() == 0
+    assert containment_join(
+        tu.withColumnRenamed("train_id", "eval_id"), eu.withColumnRenamed("eval_id", "train_id"), 0.5
+    ).count() == 0
+
+    # prior arm / fusion over empty docs and an empty arm
+    empty_nchars = empty_docs.withColumn("n_chars", F.lit(1))
+    assert prior_topk(empty_nchars, F.col("n_chars"), 5).count() == 0
+    arm = spark.createDataFrame([(1, 1)], "id long, rnk int")
+    none = spark.createDataFrame([], "id long, rnk int")
+    fused = rrf_fuse({"a": arm, "b": none}, k=5, id_col="doc_id").collect()
+    assert len(fused) == 1 and fused[0].in_a and not fused[0].in_b
+
+    # byte-level tokenizer on an empty corpus (zero Arrow batches)
+    assert bpe_encode(empty_docs, [("a", "b")], byte_level=True).count() == 0
+    assert bpe_encode_ids(empty_docs, [("a", "b")]).count() == 0

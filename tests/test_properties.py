@@ -548,3 +548,54 @@ def test_contrastive_triplet_invariants(spark, docs):
         assert r.pos_jaccard >= 0.9
         assert 0.5 <= r.neg_jaccard < 0.9
         assert r.pos_jaccard >= r.neg_jaccard
+
+
+@SLOW
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["g1", "g2", "g3"]),
+                st.integers(min_value=0, max_value=200),
+            ),
+            min_size=0,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_kmv_partial_pass_equals_brute_force_k_smallest(batches, k):
+    """The mapInPandas partial's carry-state logic (operators/
+    sketches._partial_kmin), driven directly as a pandas generator:
+    for ANY batch sequence, the emitted rows per group are exactly the
+    k smallest DISTINCT hashes seen across all batches — duplicate
+    re-arrivals, group interleaving, and empty batches included."""
+    import pandas as pd
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.sketches import (
+        _partial_kmin,
+    )
+
+    gen = _partial_kmin(["g"], k)
+    pdfs = (
+        pd.DataFrame(b, columns=["g", "__h"]) if b else pd.DataFrame(
+            {"g": pd.Series(dtype=object), "__h": pd.Series(dtype="int64")}
+        )
+        for b in batches
+    )
+    out = list(gen(pdfs))
+    got = {}
+    if out:
+        res = pd.concat(out, ignore_index=True)
+        got = {
+            g: sorted(grp["__h"].tolist())
+            for g, grp in res.groupby("g")
+        }
+    want = {}
+    for b in batches:
+        for g, h in b:
+            want.setdefault(g, set()).add(h)
+    want = {g: sorted(v)[:k] for g, v in want.items() if v}
+    assert got == want
