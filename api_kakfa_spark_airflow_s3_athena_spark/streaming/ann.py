@@ -46,9 +46,13 @@ from __future__ import annotations
 import posixpath
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    _ivf_assign,
+    _ivf_residuals,
     ivfpq_index_append,
+    ivfpq_residual_index_append,
     pq_load_books,
     pq_quantization_error,
 )
@@ -69,23 +73,42 @@ def ann_index_batch(
     metrics_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Append one micro-batch to the stored index: encode + assign
     against the RELOADED frozen artifacts, write the epoch's
     cell-partitioned overwrite directory, and record the epoch's
-    quantization-drift observable."""
+    quantization-drift observable.
+
+    ``residual=True`` maintains an :func:`~..operators.similarity.
+    ivfpq_residual_index` artifact instead: the delta path subtracts
+    the assigned frozen centroid before encoding, and the drift
+    metric measures reconstruction error in RESIDUAL space (the space
+    the codebooks were trained in — raw-space error would compare
+    against the wrong baseline)."""
     spark = batch.sparkSession
     centroids = spark.read.parquet(centroids_path)
     books = pq_load_books(spark, books_path)
-    rows = ivfpq_index_append(
-        batch, centroids, books, corpus_id=id_col, vec_col=vec_col
-    )
+    append = ivfpq_residual_index_append if residual else ivfpq_index_append
+    rows = append(batch, centroids, books, corpus_id=id_col, vec_col=vec_col)
     rows.write.mode("overwrite").partitionBy("cell").parquet(
         _epoch_dir(index_path, epoch_id)
     )
-    pq_quantization_error(batch, books, vec_col=vec_col).write.mode(
-        "overwrite"
-    ).parquet(_epoch_dir(metrics_path, epoch_id))
+    if residual:
+        cells = _ivf_assign(
+            batch.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+            ),
+            centroids,
+            "vec_id",
+            "c_vec",
+            keep=1,
+        )
+        err_input = _ivf_residuals(cells, centroids, "vec_id", "c_vec")
+        err = pq_quantization_error(err_input, books, vec_col="__resid")
+    else:
+        err = pq_quantization_error(batch, books, vec_col=vec_col)
+    err.write.mode("overwrite").parquet(_epoch_dir(metrics_path, epoch_id))
 
 
 def ann_index_sink(
@@ -97,6 +120,7 @@ def ann_index_sink(
     checkpoint: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
     available_now: bool = False,
     epoch_times: dict | None = None,
 ):
@@ -122,6 +146,7 @@ def ann_index_sink(
             metrics_path,
             id_col=id_col,
             vec_col=vec_col,
+            residual=residual,
         )
         if epoch_times is not None:
             epoch_times[epoch_id] = _time.time() - t0

@@ -165,3 +165,66 @@ def test_cell_pruning_survives_epoch_layout(spark, tmp_path):
     plan = stored.filter(F.col("cell").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan
+
+
+def test_residual_sink_equals_batch_residual_append(spark, tmp_path):
+    """residual=True maintains the residual-encoded index through the
+    same sink: streamed epochs must be (id, cell, codes)-identical to
+    the batch residual delta path under the same frozen artifacts,
+    and the drift metric must be measured in RESIDUAL space (finite,
+    one row per epoch)."""
+    base = str(tmp_path / "run")
+    corpus = _vecs(spark, range(0, 40))
+    centroids, books, enc = SIM.ivfpq_residual_index(
+        corpus, n_centroids=4, m=4, ksub=4, iters=2
+    )
+    centroids.write.mode("overwrite").parquet(f"{base}/centroids")
+    SIM.pq_save_books(spark, books, f"{base}/books")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{base}/index/epoch=-1"
+    )
+    deltas = [range(40, 52), range(52, 64)]
+    src = f"{base}/s/src"
+    for b, ids in enumerate(deltas):
+        _vecs(spark, ids).coalesce(1).write.mode(
+            "append" if b else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ann_index_sink(
+        stream,
+        centroids_path=f"{base}/centroids",
+        books_path=f"{base}/books",
+        index_path=f"{base}/index",
+        metrics_path=f"{base}/metrics",
+        checkpoint=f"{base}/s/ckpt",
+        residual=True,
+        available_now=True,
+    )
+    q.awaitTermination()
+    stored = spark.read.parquet(f"{base}/index")
+    cstored = spark.read.parquet(f"{base}/centroids")
+    bstored = SIM.pq_load_books(spark, f"{base}/books")
+    want = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in SIM.ivfpq_residual_index_append(
+            _vecs(spark, range(40, 64)), cstored, bstored
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in stored.filter("epoch >= 0").collect()
+    }
+    assert got == want
+    met = spark.read.parquet(f"{base}/metrics").collect()
+    assert {r.epoch: r.n_vectors for r in met} == {0: 12, 1: 12}
+    assert all(r.mse >= 0.0 for r in met)
+    # residual-space mse under codebooks TRAINED on residuals must be
+    # far below raw-space mse under the same books (wrong space)
+    raw = SIM.pq_quantization_error(
+        _vecs(spark, range(40, 64)), bstored
+    ).collect()[0].mse
+    assert max(r.mse for r in met) < raw
