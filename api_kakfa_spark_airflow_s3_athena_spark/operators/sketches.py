@@ -66,6 +66,7 @@ __all__ = [
     "kmv_estimate",
     "kmv_set_estimates",
     "kmv_pairwise_matrix",
+    "kmv_containment_screen",
 ]
 
 HASH_BITS = 60
@@ -236,6 +237,93 @@ def _pair_estimate_cols(ha: Column, hb: Column, k: int) -> list:
         overlap.alias("overlap"),
         (overlap.cast("double") / F.size(L).cast("double")).alias("jaccard_est"),
     ]
+
+
+def kmv_containment_screen(
+    eval_units: DataFrame,
+    synopses: DataFrame,
+    eval_id_col: str,
+    value_col: Column,
+    key_col: str,
+    k: int,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Containment SCREEN at synopsis cost (the decontamination
+    direction of Beyer et al. 2007 §5): estimate, for every
+    (eval document, corpus key) pair, what fraction of the document's
+    unit set is contained in that key's full unit set — reading ONLY
+    the key's KMV synopsis, never its corpus.
+
+    Estimator: a key's synopsis is its k smallest distinct unit
+    hashes, i.e. a uniform hash-space sample of the key's set below
+    its k-th smallest hash. For an eval unit with ``h <= kth(key)``,
+    membership in the key's SET is decidable from the synopsis alone
+    (if the unit were in the set, its hash would be among the k
+    smallest). So over the document's units that land in the sampled
+    region, ``found / in_region`` is an unbiased estimate of the true
+    containment ``|A ∩ B| / |A|``. An UNSATURATED synopsis (< k
+    hashes) is the key's complete hashed set, making the estimate
+    exact. The screen decision is pure integer arithmetic
+    (``den·found >= num·in_region``) — bit-stable across engines by
+    construction, so an oracle can replicate the surviving-pair set
+    row for row.
+
+    A pair with ``in_region = 0`` (no eval unit in the sampled
+    region) carries no evidence and PASSES the screen — a screen must
+    fail open, never silently drop a candidate it knows nothing
+    about; the exact phase the caller runs on survivors settles it.
+
+    ``eval_units`` carries one row per (eval doc, unit) occurrence;
+    units are hashed and deduplicated here (NULL units dropped — SQL
+    distinct semantics, matching :func:`kmv_sketch`). Returns one row
+    per (eval_id, key) for eval docs with >= 1 non-null unit:
+    ``eval_id, key, n_eval_units, n_in_region, n_found, screen_est
+    (null when n_in_region = 0), screen_pass``.
+
+    Scale shape: the synopsis frame is keys × kilobytes (broadcast);
+    the screen is one narrow pass over the EVAL side only — eval sets
+    are small by nature (the same asymmetry ``dedup.containment_join``
+    exploits), and the corpus is never touched. The exact phase then
+    pays corpus cost only for surviving pairs.
+    """
+    hashed = (
+        eval_units.select(
+            F.col(eval_id_col).alias("eval_id"),
+            kmv_hash(value_col).alias("__h"),
+        )
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
+    syn = synopses.select(
+        F.col(key_col).alias("key"),
+        F.col("kmv_hashes"),
+        (F.size("kmv_hashes") == k).alias("__saturated"),
+        F.element_at("kmv_hashes", -1).alias("__kth"),
+    )
+    joined = hashed.crossJoin(F.broadcast(syn))
+    in_region = ~F.col("__saturated") | (F.col("__h") <= F.col("__kth"))
+    found = in_region & F.array_contains(F.col("kmv_hashes"), F.col("__h"))
+    per_pair = joined.groupBy("eval_id", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_units"),
+        F.sum(in_region.cast("long")).cast("long").alias("n_in_region"),
+        F.sum(found.cast("long")).cast("long").alias("n_found"),
+    )
+    passes = (F.col("n_in_region") == 0) | (
+        F.col("n_found") * threshold_den >= F.col("n_in_region") * threshold_num
+    )
+    return per_pair.select(
+        "eval_id",
+        "key",
+        "n_eval_units",
+        "n_in_region",
+        "n_found",
+        F.when(
+            F.col("n_in_region") > 0,
+            F.col("n_found").cast("double") / F.col("n_in_region").cast("double"),
+        ).alias("screen_est"),
+        passes.alias("screen_pass"),
+    )
 
 
 def kmv_pairwise_matrix(

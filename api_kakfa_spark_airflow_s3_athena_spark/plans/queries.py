@@ -12470,6 +12470,255 @@ def containment_decontamination(spark, sf_dir):
     return containment_join(ev, tr, threshold=0.7)
 
 
+# =====================================================================
+# KMV containment screen -> exact verify (two-phase decontamination)
+# =====================================================================
+
+_KCS_K = 1024  # per-source synopsis size: at k=256 the hash-sampled
+# region catches ~1 unit of a 30-unit eval doc at sf0.1 (|B| ~ 10k) —
+# pure noise; k=1024 samples ~3-4 units, enough for the 4/5 integer
+# rule to reject the ~0.38-containment bulk while the synopsis stays
+# kilobytes. Thresholds as exact integers (4/5 = 0.8): the screen
+# decision is integer arithmetic, bit-stable across engines.
+_KCS_NUM, _KCS_DEN = 4, 5
+
+
+def _kcs_frames(spark, sf_dir):
+    from ..operators.sketches import kmv_containment_screen, kmv_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(tokens(F.col("text")), 3))
+        ).alias("val"),
+    )
+    ev = tri.where(F.col("source") == "src0")
+    tr = tri.where(F.col("source") != "src0")
+    syn = kmv_sketch(tr, ["source"], F.col("val"), k=_KCS_K)
+    screen = kmv_containment_screen(
+        ev, syn, "doc_id", F.col("val"), "source", _KCS_K,
+        threshold_num=_KCS_NUM, threshold_den=_KCS_DEN,
+    )
+    evh = ev.select("doc_id", kmv_hash(F.col("val")).alias("h")).distinct()
+    trh_raw = tr.select("source", kmv_hash(F.col("val")).alias("h"))
+    return screen, evh, trh_raw
+
+
+def _kcs_exact(screen_rows, evh, trh_raw, keep_keys=None):
+    """Exact per-pair containment for the pairs in ``screen_rows``:
+    train postings collapse against the BROADCAST eval vocabulary
+    before their distinct shuffle (the ``containment_join``
+    discipline — eval sets are small by nature), optionally also
+    against the surviving key set, so the exact phase pays corpus
+    cost only where the screen kept a question open."""
+    ev_vocab = evh.select("h").distinct()
+    trh = trh_raw.join(F.broadcast(ev_vocab), "h", "leftsemi")
+    if keep_keys is not None:
+        trh = trh.join(F.broadcast(keep_keys), "source", "leftsemi")
+    trh = trh.distinct()
+    inter = (
+        evh.join(trh, "h")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    out = screen_rows.join(
+        inter,
+        (screen_rows["eval_id"] == inter["doc_id"])
+        & (screen_rows["key"] == inter["source"]),
+        "left",
+    ).select(
+        screen_rows["eval_id"],
+        screen_rows["key"].alias("source"),
+        "n_eval_units",
+        "n_in_region",
+        "n_found",
+        "screen_est",
+        F.coalesce(F.col("n_inter"), F.lit(0).cast("long")).alias("n_inter"),
+    )
+    return out.withColumn(
+        "exact_containment",
+        F.col("n_inter").cast("double") / F.col("n_eval_units").cast("double"),
+    ).withColumn(
+        "is_hit",
+        F.col("n_inter") * _KCS_DEN >= F.col("n_eval_units") * _KCS_NUM,
+    )
+
+
+def _kcs_bench(spark, sf_dir):
+    """Bare production shape: synopsis screen over every (eval doc,
+    source) pair, exact containment ONLY for screen survivors — the
+    corpus-cost pass never sees a screened-out pair."""
+    screen, evh, trh_raw = _kcs_frames(spark, sf_dir)
+    surv = screen.filter("screen_pass")
+    keep = surv.select(F.col("key").alias("source")).distinct()
+    return _kcs_exact(surv, evh, trh_raw, keep_keys=keep).drop("n_inter")
+
+
+@register(
+    "kmv_containment_screen",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(text,
+                       '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS val
+            FROM toks
+        ),
+        evh AS (
+            SELECT DISTINCT doc_id,
+                   CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) AS h
+            FROM tri WHERE source = 'src0'
+        ),
+        trh AS (
+            SELECT DISTINCT source,
+                   CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) AS h
+            FROM tri WHERE source <> 'src0'
+        ),
+        rk AS (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM trh
+        ),
+        ska AS (SELECT source, h FROM rk WHERE rn <= {_KCS_K}),
+        skmeta AS (SELECT source, count(*) AS n, max(h) AS kth
+                   FROM ska GROUP BY source),
+        crossed AS (
+            SELECT e.doc_id, m.source,
+                   (m.n < {_KCS_K} OR e.h <= m.kth) AS in_region,
+                   ((m.n < {_KCS_K} OR e.h <= m.kth)
+                    AND s.h IS NOT NULL) AS found
+            FROM evh e
+            CROSS JOIN skmeta m
+            LEFT JOIN ska s ON s.source = m.source AND s.h = e.h
+        ),
+        screen AS (
+            SELECT doc_id, source,
+                   CAST(count(*) AS BIGINT) AS n_eval_units,
+                   CAST(count(*) FILTER (in_region) AS BIGINT) AS n_in_region,
+                   CAST(count(*) FILTER (found) AS BIGINT) AS n_found
+            FROM crossed GROUP BY 1, 2
+        ),
+        surv AS (
+            SELECT * FROM screen
+            WHERE n_in_region = 0
+               OR n_found * {_KCS_DEN} >= n_in_region * {_KCS_NUM}
+        ),
+        inter AS (
+            SELECT e.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_inter
+            FROM evh e JOIN trh t ON t.h = e.h
+            GROUP BY 1, 2
+        ),
+        exact_all AS (
+            SELECT s.doc_id, s.source, s.n_eval_units,
+                   COALESCE(i.n_inter, 0) AS n_inter
+            FROM screen s
+            LEFT JOIN inter i
+              ON i.doc_id = s.doc_id AND i.source = s.source
+        ),
+        hits AS (
+            SELECT doc_id, source FROM exact_all
+            WHERE n_inter * {_KCS_DEN} >= n_eval_units * {_KCS_NUM}
+        ),
+        calib AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+                   CAST(count(*) FILTER (sv.doc_id IS NOT NULL) AS BIGINT)
+                       AS n_caught_pairs
+            FROM hits hh
+            LEFT JOIN surv sv
+              ON sv.doc_id = hh.doc_id AND sv.source = hh.source
+        )
+        SELECT v.doc_id AS eval_id, v.source,
+               v.n_eval_units, v.n_in_region, v.n_found,
+               CASE WHEN v.n_in_region > 0
+                    THEN CAST(v.n_found AS DOUBLE)
+                         / CAST(v.n_in_region AS DOUBLE) END AS screen_est,
+               CAST(x.n_inter AS DOUBLE) / CAST(x.n_eval_units AS DOUBLE)
+                   AS exact_containment,
+               x.n_inter * {_KCS_DEN} >= x.n_eval_units * {_KCS_NUM} AS is_hit,
+               c.n_true_pairs,
+               c.n_caught_pairs
+        FROM surv v
+        JOIN exact_all x ON x.doc_id = v.doc_id AND x.source = v.source
+        CROSS JOIN calib c
+    """,
+    tags=("sketch", "contamination", "dedup", "two-phase", "llm-pipeline"),
+    bench_fn=_kcs_bench,
+)
+def kmv_containment_screen_query(spark, sf_dir):
+    """Two-phase decontamination at synopsis cost (VERDICT r09 next
+    #7): phase 1 SCREENS every (src0 eval doc, train source) pair for
+    trigram-set containment using only the sources' KMV synopses
+    (``operators/sketches.kmv_containment_screen`` — membership below
+    a synopsis's k-th hash is decidable from the synopsis alone, so
+    ``found/in_region`` estimates |A∩B|/|A| without touching the
+    corpus); phase 2 computes EXACT containment only where the screen
+    kept the question open (pass = integer rule ``5·found >=
+    4·in_region``, or no-evidence fail-open). Complements the exact
+    per-pair ``containment_decontamination``: that answers doc-in-DOC
+    with full corpus cost, this answers doc-in-SOURCE with corpus
+    cost only on survivors.
+
+    Both engines compute the identical screen (same md5-60bit hash,
+    same k-smallest, same integer decision), so the surviving-pair
+    row set crosses the compare exactly. Calibration columns ride
+    along per the ``kmv_source_overlap`` convention: ``n_true_pairs``
+    (exact >= 0.8 pairs over ALL pairs) and ``n_caught_pairs`` (those
+    surviving the screen) make screen recall visible in the artifact;
+    ``bench_fn`` times the bare two-phase path, where the exact pass
+    is restricted to survivors.
+
+    Scale: synopses are 19 kilobyte-rows broadcast against the (small
+    by nature) eval side; the calibration-free production path reads
+    the train corpus once, collapsed against the broadcast eval
+    vocabulary before any shuffle."""
+    screen, evh, trh_raw = _kcs_frames(spark, sf_dir)
+    exact_all = _kcs_exact(screen, evh, trh_raw)
+    surv = exact_all.filter(
+        (F.col("n_in_region") == 0)
+        | (F.col("n_found") * _KCS_DEN >= F.col("n_in_region") * _KCS_NUM)
+    )
+    hits = exact_all.filter("is_hit").select("eval_id", "source")
+    surv_pairs = surv.select("eval_id", "source")
+    calib = (
+        hits.alias("hh")
+        .join(
+            surv_pairs.alias("sv"),
+            (F.col("hh.eval_id") == F.col("sv.eval_id"))
+            & (F.col("hh.source") == F.col("sv.source")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            # coalesce: SUM over zero rows is NULL, the oracle's
+            # filtered COUNT is 0 — an empty truth set must agree
+            F.coalesce(
+                F.sum(F.col("sv.eval_id").isNotNull().cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_caught_pairs"),
+        )
+    )
+    return surv.drop("n_inter").crossJoin(F.broadcast(calib)).select(
+        "eval_id",
+        "source",
+        "n_eval_units",
+        "n_in_region",
+        "n_found",
+        "screen_est",
+        "exact_containment",
+        "is_hit",
+        "n_true_pairs",
+        "n_caught_pairs",
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #
