@@ -175,6 +175,12 @@ HEADLINE = HEADLINE_R01 + [
     "ann_cosine_topk_ivfpq_residual",
     "bpe_byte_level_encode",
     "containment_decontamination",
+    # round-10 fresh slots: the two-phase containment screen (bench_fn
+    # = screen + exact-on-survivors, no calibration pass) and the
+    # streaming MG heavy-hitter sink (3-epoch pipeline total with
+    # per-epoch marginals, the streaming-dedup convention)
+    "kmv_containment_screen",
+    "streaming_heavy_hitters",
 ]
 
 # The current round's additions — kept in the final fitted stdout line
@@ -352,6 +358,7 @@ def main() -> None:
         LAST_STREAM_ANN_EPOCH_SEC,
         LAST_STREAM_DEDUP_EPOCH_SEC,
         LAST_STREAM_GATE_EPOCH_SEC,
+        LAST_STREAM_HH_EPOCH_SEC,
         LAST_STREAM_KMV_EPOCH_SEC,
     )
 
@@ -396,6 +403,7 @@ def main() -> None:
         "streaming_gate_epoch_marginal_sec": LAST_STREAM_GATE_EPOCH_SEC,
         "streaming_ann_epoch_marginal_sec": LAST_STREAM_ANN_EPOCH_SEC,
         "streaming_kmv_epoch_marginal_sec": LAST_STREAM_KMV_EPOCH_SEC,
+        "streaming_hh_epoch_marginal_sec": LAST_STREAM_HH_EPOCH_SEC,
     }
     full = {**summary, "query_runs": query_runs,
             "escalation_runs": escalation_runs}
