@@ -48,6 +48,7 @@ __all__ = [
     "ivfpq_residual_index",
     "ivfpq_residual_topk",
     "ivfpq_residual_index_append",
+    "residual_quantization_error",
 ]
 
 
@@ -1152,6 +1153,32 @@ def pq_quantization_error(
             (F.sum("sq") / F.sum("n")).alias("mse"),
         )
     )
+
+
+def residual_quantization_error(
+    batch: DataFrame,
+    centroids: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RESIDUAL-space drift observable for a residual index
+    (:func:`ivfpq_residual_index`): assign the batch to the frozen
+    centroids, subtract the assigned centroid, and measure
+    :func:`pq_quantization_error` on the residuals — the space the
+    codebooks were trained in; raw-space error would compare against
+    the wrong baseline. One row ``(n_vectors, mse)``. Shared by the
+    streaming residual sink's per-epoch metric and the baseline the
+    registered contracts band against."""
+    cells = _ivf_assign(
+        batch.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+        centroids,
+        "vec_id",
+        "c_vec",
+        keep=1,
+    )
+    resid = _ivf_residuals(cells, centroids, "vec_id", "c_vec")
+    return pq_quantization_error(resid, books, vec_col="__resid")
 
 
 def _collect_query_probes(

@@ -12905,6 +12905,228 @@ def streaming_heavy_hitters(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Streaming RESIDUAL IVF-PQ index maintenance (streaming/ann.py,
+# residual=True — the generalized sink from round 9, now registered)
+# =====================================================================
+
+def _run_stream_ann_res(spark, sf_dir, base, epoch_times=None):
+    """Residual twin of ``_run_stream_ann``: build + persist the
+    RESIDUAL IVF-PQ artifacts and base index on the corpus slice,
+    record the residual-space drift baseline, stage the delta as a
+    3-file stream, and run the maintenance sink with
+    ``residual=True`` to completion (availableNow)."""
+    import os
+
+    from ..operators import similarity as SIM
+    from ..streaming.ann import ann_index_sink
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus, plants, _ = _stream_ann_delta(emb)
+    centroids, books, enc = SIM.ivfpq_residual_index(
+        corpus, n_centroids=16, m=8, ksub=16, iters=3
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    SIM.pq_save_books(spark, books, os.path.join(base, "books"))
+    enc.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(base, "index", "epoch=-1")
+    )
+    SIM.residual_quantization_error(corpus, centroids, books).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "baseline"))
+    src = os.path.join(base, "src")
+    new = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    epochs = [
+        new.filter(F.col("vec_id") % 15 == 0),
+        new.filter(F.col("vec_id") % 15 == 5),
+        new.filter(F.col("vec_id") % 15 == 10).unionByName(plants),
+    ]
+    for i, e in enumerate(epochs):
+        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = ann_index_sink(
+            stream,
+            centroids_path=os.path.join(base, "centroids"),
+            books_path=os.path.join(base, "books"),
+            index_path=os.path.join(base, "index"),
+            metrics_path=os.path.join(base, "metrics"),
+            checkpoint=os.path.join(base, "ckpt"),
+            residual=True,
+            available_now=True,
+            epoch_times=epoch_times,
+        )
+        q.awaitTermination()
+
+
+# per-epoch wall seconds of the most recent bench run
+LAST_STREAM_ANN_RES_EPOCH_SEC: list = []
+
+
+def _stream_ann_res_bench(spark, sf_dir):
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_ann_res_bench_")
+    epoch_times: dict = {}
+    _run_stream_ann_res(spark, sf_dir, base, epoch_times=epoch_times)
+    LAST_STREAM_ANN_RES_EPOCH_SEC.append(
+        [round(epoch_times[kk], 3) for kk in sorted(epoch_times)]
+    )
+    return spark.read.parquet(os.path.join(base, "index")).select(
+        "vec_id", "cell", "epoch"
+    )
+
+
+@register(
+    "streaming_ann_residual_ingest",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corpus,
+               CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delta_new,
+               CAST(SUM(CASE WHEN vec_id % 7 = 0 AND vec_id % 5 <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_planted,
+               CAST(3 AS BIGINT) AS n_epochs,
+               true AS index_rows_ok,
+               true AS stream_equals_batch_ok,
+               true AS exactly_once_ok,
+               true AS planted_rank1_ok,
+               true AS drift_untripped_ok
+        FROM embeddings
+    """,
+    tags=("streaming", "similarity", "ivf", "pq", "residual", "incremental"),
+    bench_fn=_stream_ann_res_bench,
+)
+def streaming_ann_residual_ingest(spark, sf_dir):
+    """Streaming maintenance of the RESIDUAL IVF-PQ index (VERDICT r09
+    next #6): same lifecycle as ``streaming_ann_ingest`` — frozen
+    artifacts reloaded per epoch, epoch-overwrite cell-partitioned
+    output, per-epoch drift metric — but the sink runs
+    ``residual=True``: each batch is assigned to the frozen centroids,
+    the assigned centroid subtracted, and the RESIDUAL encoded against
+    the frozen books (``ivfpq_residual_index_append``); the drift
+    observable is measured in residual space, the space the codebooks
+    were trained in. Contract (the streaming_ann_ingest recipe):
+
+    - index_rows_ok / exactly_once_ok: stored tree holds exactly
+      corpus+delta rows, no vector indexed twice;
+    - stream_equals_batch_ok: streamed epochs are (id, cell, codes)-
+      identical to the batch residual delta path under the same
+      reloaded artifacts (NULL-safe full join, empty-compare fails);
+    - planted_rank1_ok: corpus %7 rows re-ingested at +10M in the
+      last epoch retrieve their ORIGINAL at rank 1 through
+      ivfpq_residual_topk on the stored tree at nprobe=1 — identical
+      vector => same cell => identical residual => identical codes =>
+      tied adist, id tie-break;
+    - drift_untripped_ok: every epoch's RESIDUAL-space reconstruction
+      error within 1.5x the build-time residual baseline.
+    Counts cross the engine compare."""
+    import os
+    import tempfile
+
+    from ..operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus, plants, delta = _stream_ann_delta(emb)
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:stream_ann_res"
+    base = _STAGE_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_ann_res_")
+        _run_stream_ann_res(spark, sf_dir, base)
+        _STAGE_CACHE[key] = base
+    stored = spark.read.parquet(os.path.join(base, "index"))
+    centroids = spark.read.parquet(os.path.join(base, "centroids"))
+    books = SIM.pq_load_books(spark, os.path.join(base, "books"))
+
+    expected = corpus.count() + delta.count()
+    rows_ok = stored.agg(
+        (F.count(F.lit(1)) == F.lit(expected)).alias("index_rows_ok"),
+        (F.count(F.lit(1)) == F.count_distinct("vec_id")).alias("exactly_once_ok"),
+    )
+    batch_rows = SIM.ivfpq_residual_index_append(delta, centroids, books).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("codes").alias("b_codes"),
+    )
+    equiv = (
+        stored.filter("epoch >= 0")
+        .select("vec_id", "cell", "codes")
+        .join(batch_rows, F.col("vec_id") == F.col("b_id"), "full")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("cell").isNotNull()
+                    & F.col("b_cell").isNotNull()
+                    & (F.col("cell") == F.col("b_cell"))
+                    & (F.col("codes") == F.col("b_codes"))
+                ),
+                F.lit(False),
+            ).alias("stream_equals_batch_ok")
+        )
+    )
+    plant_q = delta.filter(F.col("vec_id") >= _ANN_OFFSET).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = SIM.ivfpq_residual_topk(
+        plant_q, centroids, books, stored.select("vec_id", "codes", "cell"),
+        k=2, nprobe=1,
+    )
+    recall = (
+        hits.groupBy("query_id")
+        .agg(
+            F.max(
+                ((F.col("neighbor_id") + _ANN_OFFSET) == F.col("query_id"))
+                & (F.col("rnk") == 1)
+            ).alias("found")
+        )
+        .agg(F.coalesce(F.min("found"), F.lit(False)).alias("planted_rank1_ok"))
+    )
+    baseline = spark.read.parquet(os.path.join(base, "baseline")).select(
+        F.col("mse").alias("mse0")
+    )
+    met = spark.read.parquet(os.path.join(base, "metrics"))
+    drift = (
+        met.crossJoin(F.broadcast(baseline))
+        .agg(
+            F.coalesce(F.min(F.col("mse") <= 1.5 * F.col("mse0")), F.lit(False))
+            .alias("drift_untripped_ok"),
+            F.count_distinct("epoch").alias("n_ep"),
+        )
+    )
+    counts = emb.agg(
+        F.sum((F.col("vec_id") % 5 != 0).cast("long")).alias("n_corpus"),
+        F.sum((F.col("vec_id") % 5 == 0).cast("long")).alias("n_delta_new"),
+        F.sum(
+            ((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 0)).cast("long")
+        ).alias("n_planted"),
+    )
+    return (
+        counts.crossJoin(rows_ok)
+        .crossJoin(equiv)
+        .crossJoin(recall)
+        .crossJoin(drift)
+        .select(
+            "n_corpus",
+            "n_delta_new",
+            "n_planted",
+            F.when(F.col("n_ep") == 3, F.lit(3)).otherwise(F.lit(-1))
+            .cast("long")
+            .alias("n_epochs"),
+            "index_rows_ok",
+            "stream_equals_batch_ok",
+            "exactly_once_ok",
+            "planted_rank1_ok",
+            "drift_untripped_ok",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Verification-priority ordering
 #

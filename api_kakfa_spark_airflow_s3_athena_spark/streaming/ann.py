@@ -49,12 +49,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
-    _ivf_assign,
-    _ivf_residuals,
     ivfpq_index_append,
     ivfpq_residual_index_append,
     pq_load_books,
     pq_quantization_error,
+    residual_quantization_error,
 )
 
 __all__ = ["ann_index_batch", "ann_index_sink"]
@@ -95,17 +94,9 @@ def ann_index_batch(
         _epoch_dir(index_path, epoch_id)
     )
     if residual:
-        cells = _ivf_assign(
-            batch.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-            ),
-            centroids,
-            "vec_id",
-            "c_vec",
-            keep=1,
+        err = residual_quantization_error(
+            batch, centroids, books, id_col=id_col, vec_col=vec_col
         )
-        err_input = _ivf_residuals(cells, centroids, "vec_id", "c_vec")
-        err = pq_quantization_error(err_input, books, vec_col="__resid")
     else:
         err = pq_quantization_error(batch, books, vec_col=vec_col)
     err.write.mode("overwrite").parquet(_epoch_dir(metrics_path, epoch_id))

@@ -181,6 +181,9 @@ HEADLINE = HEADLINE_R01 + [
     # per-epoch marginals, the streaming-dedup convention)
     "kmv_containment_screen",
     "streaming_heavy_hitters",
+    # round-10 fresh slot: residual IVF-PQ streaming maintenance
+    # (3-epoch pipeline total; per-epoch marginals reported)
+    "streaming_ann_residual_ingest",
 ]
 
 # The current round's additions — kept in the final fitted stdout line
@@ -356,6 +359,7 @@ def main() -> None:
 
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
         LAST_STREAM_ANN_EPOCH_SEC,
+        LAST_STREAM_ANN_RES_EPOCH_SEC,
         LAST_STREAM_DEDUP_EPOCH_SEC,
         LAST_STREAM_GATE_EPOCH_SEC,
         LAST_STREAM_HH_EPOCH_SEC,
@@ -404,6 +408,7 @@ def main() -> None:
         "streaming_ann_epoch_marginal_sec": LAST_STREAM_ANN_EPOCH_SEC,
         "streaming_kmv_epoch_marginal_sec": LAST_STREAM_KMV_EPOCH_SEC,
         "streaming_hh_epoch_marginal_sec": LAST_STREAM_HH_EPOCH_SEC,
+        "streaming_ann_res_epoch_marginal_sec": LAST_STREAM_ANN_RES_EPOCH_SEC,
     }
     full = {**summary, "query_runs": query_runs,
             "escalation_runs": escalation_runs}
