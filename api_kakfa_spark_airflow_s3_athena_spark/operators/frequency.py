@@ -38,7 +38,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["heavy_hitters", "heavy_hitters_by_key"]
+__all__ = [
+    "heavy_hitters",
+    "heavy_hitters_by_key",
+    "cms_bucket",
+    "count_min_counters",
+    "cms_merge",
+    "cms_lookup",
+]
 
 
 # The ONE tokenization, used by all three sides of the contract:
@@ -234,4 +241,92 @@ def heavy_hitters(
         counted.crossJoin(F.broadcast(totals))
         .filter(F.col("freq") * num_counters > F.col("n_tokens"))
         .select("token", "freq")
+    )
+
+
+# =====================================================================
+# Count-min sketch: fixed-size frequency counters (Cormode &
+# Muthukrishnan, J. Algorithms 2005 — public literature)
+# =====================================================================
+#
+# The Misra-Gries path above answers "which items are frequent";
+# count-min answers the complementary point query — "how often does
+# THIS item occur" — in d·w counters TOTAL, independent of the
+# distinct-item domain. Guarantees: estimates never undercount
+# (est ≥ true), and overcount ≤ e·N/w with probability ≥ 1 − e^(−d)
+# per query. The sketch is LINEAR (counters of A ∪ B = counters(A) +
+# counters(B) cell-wise), which makes the streaming arm exact-merge
+# trivial and distributed construction a plain partial-aggregating
+# groupBy: the (row, bucket) domain is bounded by d·w, so map-side
+# combine collapses every partition to ≤ d·w rows before the exchange
+# — at 100 TB the shuffle stays a few thousand rows while an exact
+# token histogram shuffles the unbounded distinct domain.
+#
+# Determinism/oracle-ability: bucket = 60-bit md5 of "j:" + unit,
+# mod width — the repo's engine-identical hash (sketches.kmv_hash
+# recipe), so a DuckDB twin builds the IDENTICAL counter table and
+# the IDENTICAL estimates; the error bound becomes a falsifiable
+# value-level contract instead of a probabilistic claim.
+
+
+def cms_bucket(unit, row: int, width: int):
+    """Row-j bucket of a unit: 60-bit md5 prefix of ``"j:" || unit``
+    (independent hash per row via the salt), mod width. Bit-identical
+    in Spark and DuckDB (see sketches.kmv_hash)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), unit.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def count_min_counters(
+    units: DataFrame, unit_col: str, width: int, depth: int
+) -> DataFrame:
+    """Build the d×w counter table over a unit stream (one row per
+    occurrence): ``(row, bucket, cnt)``. One posexplode of the d
+    per-unit buckets + one bounded-domain groupBy — partial aggregation
+    collapses each partition to ≤ d·w rows before the exchange."""
+    buckets = F.array(
+        *[cms_bucket(F.col(unit_col), j, width) for j in range(depth)]
+    )
+    return (
+        units.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two counter tables — EXACT: count-min is a
+    linear sketch, so ``merge(counters(A), counters(B)) ==
+    counters(A ⊎ B)`` (multiset union), the property the streaming
+    epoch-fold relies on. A ≤ d·w-row operation at any corpus size."""
+    return (
+        a.select("row", "bucket", "cnt")
+        .unionByName(b.select("row", "bucket", "cnt"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    counters: DataFrame, queries: DataFrame, unit_col: str, width: int, depth: int
+) -> DataFrame:
+    """Point-query estimates: for each query unit, the MIN over the d
+    rows of its counter cells. The counter table (≤ d·w rows) is
+    broadcast; the query side never shuffles. Returns the input
+    columns plus ``cms_est``."""
+    qcols = queries.columns
+    withb = queries.select(
+        *qcols,
+        F.posexplode(
+            F.array(*[cms_bucket(F.col(unit_col), j, width) for j in range(depth)])
+        ).alias("row", "bucket"),
+    )
+    joined = withb.join(F.broadcast(counters), ["row", "bucket"], "left")
+    return (
+        joined.groupBy(*qcols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
     )

@@ -1,0 +1,250 @@
+"""Distributed quantile estimation: deterministic hash-sampled rank
+quantiles with an exact-rank verification contract, and robust
+(median/MAD) per-group statistics.
+
+Driver-mandated training-pipeline extension (SURVEY.md §2f family):
+percentile monitoring — latency/quality/value distributions per key —
+is the dashboard primitive every corpus pipeline needs, and the naive
+form (full sort per group, or ``percentile()`` over the raw stream)
+shuffles the ENTIRE value column. Two scale disciplines live here:
+
+* **Hash-sampled quantiles** (:func:`sampled_quantiles`): estimate
+  rank quantiles from a Bernoulli sample drawn by a deterministic
+  md5 coin on the row id (the repo's engine-reproducibility recipe —
+  ``weighted_sample_aes`` / ``deterministic_sample`` use the same
+  trick). The sample is a SCAN-LEVEL FILTER: at 100 TB the exchange
+  carries only the p-fraction, and the per-group sort that ranks the
+  sample touches p·n rows instead of n. Classical guarantee
+  (Hoeffding on the empirical CDF): with sample size s per group, the
+  estimated q-quantile's true rank is within ``eps`` of q with
+  probability ≥ 1 − 2e^(−2·s·eps²) — the contract column makes that
+  bound FALSIFIABLE per group by computing the estimate's exact rank
+  interval against the full data (one conditional aggregate, no sort).
+
+* **Discrete (type-1) quantiles** everywhere: the estimate is an
+  ELEMENT of the data (rank ``max(1, ceil(q·n))`` under
+  ``(value, id)`` order), never an interpolation — integer rank
+  arithmetic and element selection are bit-identical across engines,
+  where interpolated quantiles (Spark ``percentile`` vs DuckDB
+  ``quantile_cont``) differ in FP association. The same rule at both
+  the sample and full-data level keeps every emitted value exactly
+  representable input data.
+
+* **Robust stats** (:func:`robust_stats`): per-group median, MAD
+  (median absolute deviation) and outlier counts under the
+  ``|x − med| > c·MAD`` rule — the heavy-tail-safe alternative to
+  mean/stddev z-scores (``event_value_anomalies``). Exact two-pass
+  form here (two per-group sorts of the value column); the 100 TB
+  path swaps each sort for :func:`sampled_quantiles` — same rule,
+  sample-sized exchanges (cross-ref in the staged query docstring).
+
+Mergeability: a Bernoulli hash sample is trivially mergeable — the
+sample of a union is the union of samples (same coin, same
+threshold) — which is what the streaming arm
+(``streaming/sketches.sample_sink``) relies on: per-epoch sample
+union IS the batch sample of everything streamed, bit-exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_coin",
+    "bernoulli_sample",
+    "discrete_quantiles",
+    "sampled_quantiles",
+    "quantile_rank_check",
+    "robust_stats",
+]
+
+COIN_BITS = 20
+COIN_SPAN = 1 << COIN_BITS  # 1048576
+
+
+def hash_coin(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform coin on [0, 2^20): the first 5 hex chars
+    of ``md5(id || salt)`` — bit-identical in Spark
+    (``conv(substr(md5(x),1,5),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(x),1,5) AS BIGINT)``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 5),
+        16,
+        10,
+    ).cast("long")
+
+
+def bernoulli_sample(
+    df: DataFrame, id_col: Column, salt: str, rate_num: int, rate_den: int = COIN_SPAN
+) -> DataFrame:
+    """Keep rows whose coin < rate_num/rate_den — a deterministic
+    Bernoulli sample that is run/retry/engine-stable and MERGEABLE
+    (sample(A ∪ B) = sample(A) ∪ sample(B)). The predicate is a plain
+    scan filter: no shuffle, no state, prunes before any exchange."""
+    threshold = (rate_num * COIN_SPAN) // rate_den
+    return df.where(hash_coin(id_col, salt) < threshold)
+
+
+def discrete_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    qs: Sequence[float],
+) -> DataFrame:
+    """Per-group type-1 (discrete) quantiles: the element at rank
+    ``max(1, ceil(q·n))`` under ``(value, id)`` order, one row per
+    (group, q). One per-group sort (window row_number + count), then a
+    broadcast join against the tiny q-list — the quantile value is
+    always an actual data element, so no interpolation arithmetic can
+    diverge between engines."""
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(F.col(value_col), F.col(id_col))
+    ranked = df.select(*gcols, value_col, id_col).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*gcols)))
+    qrows = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n")).cast("int"))
+    return (
+        ranked.crossJoin(F.broadcast(qrows))
+        .where(F.col("__rn") == target)
+        .select(
+            *gcols,
+            "q",
+            F.col(value_col).alias("value"),
+            F.col("__n").cast("long").alias("n"),
+        )
+    )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    qs: Sequence[float],
+    rate_num: int,
+    salt: str = ":qs",
+) -> DataFrame:
+    """Quantile ESTIMATES from the deterministic Bernoulli sample:
+    :func:`discrete_quantiles` over :func:`bernoulli_sample`. Output
+    per (group, q): ``est_value`` (an element of the sample),
+    ``sample_n``. The only sorted/shuffled rows are the sample's."""
+    sample = bernoulli_sample(df, F.col(id_col), salt, rate_num)
+    out = discrete_quantiles(sample, group_cols, value_col, id_col, qs)
+    return out.select(
+        *group_cols, "q", F.col("value").alias("est_value"),
+        F.col("n").alias("sample_n"),
+    )
+
+
+def quantile_rank_check(
+    estimates: DataFrame,
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    eps: float,
+) -> DataFrame:
+    """Exact-rank verification of quantile estimates WITHOUT sorting
+    the full data: join the (tiny, broadcast) estimate rows to the
+    full frame on the group key and count, per (group, q),
+    ``n_lt = #{x < est}`` and ``n_le = #{x ≤ est}`` in one conditional
+    aggregate. The estimate's true rank occupies ``[n_lt+1, n_le]``
+    (the tie interval); the check passes iff that interval intersects
+    ``[(q−eps)·n, (q+eps)·n]``.
+
+    The verification costs ONE scan + one group-sized exchange per
+    call — this is the production pattern for auditing a sketch
+    against ground truth on a sampled day, not something run on every
+    query."""
+    gcols = list(group_cols)
+    est = estimates.select(
+        *gcols, "q", "est_value", "sample_n"
+    )
+    joined = df.select(*gcols, value_col).join(
+        F.broadcast(est), on=gcols, how="inner"
+    )
+    per = joined.groupBy(*gcols, "q", "est_value", "sample_n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        F.sum((F.col(value_col) < F.col("est_value")).cast("long"))
+        .cast("long")
+        .alias("n_lt"),
+        F.sum((F.col(value_col) <= F.col("est_value")).cast("long"))
+        .cast("long")
+        .alias("n_le"),
+    )
+    lo_bound = (F.col("q") - F.lit(eps)) * F.col("n_full")
+    hi_bound = (F.col("q") + F.lit(eps)) * F.col("n_full")
+    ok = ((F.col("n_lt") + F.lit(1)).cast("double") <= hi_bound) & (
+        F.col("n_le").cast("double") >= lo_bound
+    )
+    return per.select(
+        *gcols,
+        "q",
+        "est_value",
+        "sample_n",
+        "n_full",
+        "n_lt",
+        "n_le",
+        ok.alias("rank_err_ok"),
+    )
+
+
+def robust_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    c: float = 3.0,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Per-group robust location/spread: discrete median, MAD (the
+    discrete median of ``|x − med|``, deviation ties broken by id),
+    and the count/rate of outliers under ``|x − med| > c·scale·MAD``
+    (1.4826 makes MAD consistent for a normal σ — public constant).
+
+    Exact two-pass form: one per-group sort for the median, one for
+    the MAD (the deviation rank), one final aggregate. The outlier
+    rule's arithmetic is subtraction + one multiply of
+    engine-identical inputs, deterministic per the float recipe."""
+    gcols = list(group_cols)
+    med = discrete_quantiles(df, gcols, value_col, id_col, [0.5]).select(
+        *gcols, F.col("value").alias("median"),
+    )
+    with_med = df.select(*gcols, value_col, id_col).join(
+        F.broadcast(med), on=gcols, how="inner"
+    )
+    dev = with_med.select(
+        *gcols,
+        id_col,
+        F.abs(F.col(value_col) - F.col("median")).alias("__dev"),
+    )
+    mad = discrete_quantiles(dev, gcols, "__dev", id_col, [0.5]).select(
+        *gcols, F.col("value").alias("mad"),
+    )
+    cutoff = F.lit(float(c) * float(scale)) * F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), on=gcols, how="inner")
+        .groupBy(*gcols, "median", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.abs(F.col(value_col) - F.col("median")) > cutoff).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            *gcols,
+            "n",
+            "median",
+            "mad",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_rate"),
+        )
+    )

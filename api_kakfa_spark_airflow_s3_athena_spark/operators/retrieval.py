@@ -285,3 +285,68 @@ def hybrid_rrf_topk(
     top = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+# =====================================================================
+# Positional inverted index + phrase search
+# =====================================================================
+
+
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The classic IR index structure as a DataFrame: one row per
+    token OCCURRENCE with its 1-based position — ``(doc_id, token,
+    pos)``. posexplode is a narrow op (no shuffle); persisted/bucketed
+    by token at scale, the postings table answers boolean, phrase and
+    proximity queries with key-wise joins only. Positions let phrase
+    queries verify ADJACENCY, which a bag-of-words postings list
+    cannot."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TX.tokens(F.col(text_col))).alias("pos0", "token"),
+    ).select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))
+
+
+def phrase_occurrences(
+    postings: DataFrame, phrase_terms: Sequence[str]
+) -> DataFrame:
+    """All occurrences of an n-term phrase via positional adjacency
+    joins: occurrences of term_i at position p survive iff term_{i+1}
+    occurs at p+1 in the same doc. The driving side is the FIRST
+    term's postings filtered at the scan; each join is an equi-join on
+    (doc_id, pos+i) — key-wise shuffles on postings slices of the
+    individual terms only, never the corpus. Rarest-first ordering of
+    the join chain is the classic optimization; with AQE the
+    broadcast/shuffle choice per step is runtime-sized.
+
+    Returns ``(doc_id, pos)`` of each phrase start."""
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    cur = postings.where(F.col("token") == phrase_terms[0]).select(
+        "doc_id", F.col("pos").alias("pos")
+    )
+    for i, term in enumerate(phrase_terms[1:], start=1):
+        nxt = postings.where(F.col("token") == term).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, ["doc_id", "pos"], "inner")
+    return cur
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents containing the exact phrase, with occurrence counts:
+    ``(doc_id, n_occurrences)``. Composition of
+    :func:`positional_postings` + :func:`phrase_occurrences` + one
+    per-doc count."""
+    hits = phrase_occurrences(
+        positional_postings(docs, text_col, id_col), phrase_terms
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )

@@ -67,6 +67,9 @@ __all__ = [
     "kmv_set_estimates",
     "kmv_pairwise_matrix",
     "kmv_containment_screen",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 HASH_BITS = 60
@@ -358,4 +361,122 @@ def kmv_pairwise_matrix(
         kmv_estimate(F.col("__ha"), k).alias("est_a"),
         kmv_estimate(F.col("__hb"), k).alias("est_b"),
         *_pair_estimate_cols(F.col("__ha"), F.col("__hb"), k),
+    )
+
+
+# =====================================================================
+# HyperLogLog: fixed-register distinct counting (Flajolet, Fusy,
+# Gandouet, Meunier, AofA 2007 — public literature)
+# =====================================================================
+#
+# The KMV synopsis above is the repo's set-operation sketch (union /
+# intersection / containment need the hash VALUES). HLL is the
+# complementary fixed-memory point: m = 2^p registers per group —
+# 256 single-byte ranks at p=8 — REGARDLESS of k-scale accuracy
+# targets, mergeable by element-wise MAX (so union across corpus
+# shards / streaming epochs is one bounded groupBy-max), at standard
+# error 1.04/√m. Where KMV's synopsis is k·8 bytes and supports set
+# algebra, HLL is the cheapest possible union-only cardinality
+# monitor: the exchange for a distinct-count over any corpus size is
+# ≤ m rows per group, map-side combined (the (group, register) domain
+# is bounded), and register rows are (int, int) pairs.
+#
+# Determinism/oracle-ability: registers derive from the same 60-bit
+# md5 hash as KMV — idx = top p bits, rho = leading-zero rank of the
+# remaining 60-p bits via integer bin-length arithmetic, harmonic sum
+# as an EXACT BIGINT (Σ 2^(Q+1-rho) — FP summation of mixed-magnitude
+# powers of two is order-dependent and engine-divergent; integer
+# summation is not). The one division and the log of the
+# linear-counting branch follow the NOTES float recipe (single ops of
+# identical inputs + 4 dp rounding).
+
+
+HLL_P = 8  # m = 256 registers
+HLL_M = 1 << HLL_P
+_HLL_Q = HASH_BITS - HLL_P  # value bits per register (52 at p=8)
+# alpha_m for m >= 128 (Flajolet et al. §4); the SCALED numerator
+# alpha·m²·2^(Q+1) is computed HERE once and embedded as the same
+# literal in engine code and oracle SQL, so the estimate is a single
+# division of bit-identical operands in both engines.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_SCALED_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (_HLL_Q + 1))
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: Column,
+) -> DataFrame:
+    """Per-group HLL register table ``(group…, idx, rho)`` — only HIT
+    registers appear (missing idx ⇒ rho 0). idx = top p bits of the
+    60-bit hash; rho = position of the highest set bit of the
+    remaining Q bits counted from the MSB (1-based), Q+1 when they are
+    all zero — pure integer arithmetic (``bin``-length), engine-
+    identical. One bounded-domain groupBy-max: ≤ m rows per group
+    enter the exchange at any corpus size."""
+    gcols = list(group_cols)
+    h = kmv_hash(value_col)
+    rest = h.bitwiseAND(F.lit((1 << _HLL_Q) - 1))
+    rho = F.when(rest == 0, F.lit(_HLL_Q + 1)).otherwise(
+        F.lit(_HLL_Q + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(
+            *gcols,
+            F.shiftright(h, _HLL_Q).cast("int").alias("idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .where(F.col("idx").isNotNull())
+        .groupBy(*gcols, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(parts: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Union of register tables whose finer grouping is being folded
+    away (shard/source/epoch → group): element-wise register MAX —
+    EXACT: max-of-max per (group, idx) is the register table of the
+    unioned value sets, the linearity the streaming/sharded arms rely
+    on. Bounded: ≤ m rows per group."""
+    gcols = list(group_cols)
+    return parts.groupBy(*gcols, "idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    Emits the exact-integer components plus the estimate:
+
+    * ``n_hit`` — registers with at least one value,
+    * ``harmonic_scaled`` — Σ 2^(Q+1−rho) over all m registers
+      (missing ⇒ rho 0 ⇒ 2^(Q+1)) as an exact BIGINT (max m·2^53 <
+      2^63),
+    * ``est_distinct`` — round(raw, 4) where raw = αm²·2^(Q+1) /
+      harmonic_scaled (one IEEE division of engine-identical
+      operands), replaced by the linear-counting branch
+      m·ln(m/V) when raw ≤ 2.5m and V = m − n_hit > 0 (Flajolet
+      et al. §4 small-range correction; ln rounds within the 4 dp
+      recipe)."""
+    gcols = list(group_cols)
+    per = regs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_Q + 1} - rho)"))
+        .cast("long")
+        .alias("hit_scaled"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_hit")
+    harmonic = (
+        F.col("hit_scaled")
+        + zeros * F.lit(1 << (_HLL_Q + 1)).cast("long")
+    ).cast("long")
+    raw = F.lit(HLL_SCALED_NUM) / harmonic.cast("double")
+    lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), lin
+    ).otherwise(raw)
+    return per.select(
+        *gcols,
+        "n_hit",
+        harmonic.alias("harmonic_scaled"),
+        F.round(est, 4).alias("est_distinct"),
     )

@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 from ..operators.sketches import kmv_merge, kmv_sketch
 
-__all__ = ["kmv_sketch_batch", "kmv_sketch_sink"]
+__all__ = [
+    "kmv_sketch_batch",
+    "kmv_sketch_sink",
+    "cms_sketch_batch",
+    "cms_sketch_sink",
+]
 
 
 def _epoch_dir(base: str, epoch_id) -> str:
@@ -89,6 +94,77 @@ def kmv_sketch_sink(
         kmv_sketch_batch(
             batch, epoch_id, group_cols, value_col, k, store_path
         )
+        if epoch_times is not None:
+            epoch_times[epoch_id] = _time.time() - t0
+
+    writer = (
+        df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# =====================================================================
+# Streaming count-min maintenance (operators/frequency.py CMS)
+# =====================================================================
+#
+# Count-min is a LINEAR sketch — counters(A ⊎ B) = counters(A) +
+# counters(B) cell-wise — so the epoch fold is the same exact-merge
+# story as KMV above, with addition instead of k-smallest union: the
+# final stored counter table is bit-identical to a one-shot batch
+# sketch of everything streamed. State is ≤ d·w cells forever; each
+# micro-batch pays one bounded-domain groupBy over the BATCH plus a
+# ≤ d·w-row merge join. The stored epochs double as a traffic time
+# series (cell deltas between epochs = per-epoch frequency mass).
+
+
+def cms_sketch_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    unit_col: str,
+    width: int,
+    depth: int,
+    store_path: str,
+) -> None:
+    """Fold one micro-batch into the running counter table: sketch the
+    batch, cell-wise add the strictly-earlier epoch's stored counters,
+    overwrite this epoch's directory (idempotent replay — the
+    streaming/dedup.py epoch discipline)."""
+    from ..operators.frequency import cms_merge, count_min_counters
+    from .upsert import target_exists
+
+    spark = batch.sparkSession
+    sk = count_min_counters(batch, unit_col, width, depth)
+    prev_dir = _epoch_dir(store_path, epoch_id - 1)
+    if target_exists(spark, prev_dir):
+        merged = cms_merge(spark.read.parquet(prev_dir), sk)
+    else:
+        merged = sk
+    merged.write.mode("overwrite").parquet(_epoch_dir(store_path, epoch_id))
+
+
+def cms_sketch_sink(
+    df: DataFrame,
+    unit_col: str,
+    width: int,
+    depth: int,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    epoch_times: dict | None = None,
+):
+    """Start the counter-maintenance sink over a streaming DataFrame.
+    Returns the StreamingQuery; ``epoch_times`` collects per-epoch
+    wall seconds (the marginal-cost convention)."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
+        cms_sketch_batch(batch, epoch_id, unit_col, width, depth, store_path)
         if epoch_times is not None:
             epoch_times[epoch_id] = _time.time() - t0
 

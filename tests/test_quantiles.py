@@ -1,0 +1,120 @@
+"""Sampled-quantile and robust-stats contracts: the discrete rank rule
+against a Python reference, sample mergeability (the streaming
+property), rank-check falsifiability, and partition invariance."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+    bernoulli_sample,
+    discrete_quantiles,
+    quantile_rank_check,
+    robust_stats,
+    sampled_quantiles,
+)
+
+
+def _coin(i, salt=":s") -> int:
+    return int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:5], 16)
+
+
+def _frame(spark, values, parts=4):
+    return spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(values)],
+        ["grp", "id", "value"],
+    ).repartition(parts)
+
+
+def _ref_discrete(values, q):
+    s = sorted(values)
+    return s[max(1, math.ceil(q * len(s))) - 1]
+
+
+def test_discrete_quantiles_match_python_reference(spark):
+    values = [((i * 37) % 101) * 0.5 for i in range(101)]
+    got = {
+        r.q: r.value
+        for r in discrete_quantiles(
+            _frame(spark, values), ["grp"], "value", "id", [0.25, 0.5, 0.9, 1.0]
+        ).collect()
+    }
+    for q in (0.25, 0.5, 0.9, 1.0):
+        assert got[q] == _ref_discrete(values, q), q
+
+
+def test_discrete_quantiles_partition_invariant(spark):
+    values = [float((i * 13) % 47) for i in range(200)]
+    results = []
+    for parts in (1, 9):
+        rows = discrete_quantiles(
+            _frame(spark, values, parts=parts), ["grp"], "value", "id", [0.5, 0.99]
+        ).collect()
+        results.append({(r.q): (r.value, r.n) for r in rows})
+    assert results[0] == results[1]
+
+
+def test_bernoulli_sample_matches_reference_and_merges(spark):
+    """The sample is the deterministic coin filter — and therefore
+    mergeable: sample(A ∪ B) == sample(A) ∪ sample(B)."""
+    ids = list(range(500))
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {
+        r.id
+        for r in bernoulli_sample(df, F.col("id"), ":s", 131072).collect()
+    }
+    expected = {i for i in ids if _coin(i) < 131072}
+    assert got == expected
+    a = {i for i in ids[:250] if _coin(i) < 131072}
+    b = {i for i in ids[250:] if _coin(i) < 131072}
+    assert got == a | b
+
+
+def test_rank_check_accepts_good_and_rejects_bad_estimates(spark):
+    values = [float(i) for i in range(1000)]
+    df = _frame(spark, values, parts=6)
+    est = sampled_quantiles(df, ["grp"], "value", "id", [0.5], rate_num=262144)
+    ok = quantile_rank_check(est, df, ["grp"], "value", eps=0.10).collect()[0]
+    assert ok.rank_err_ok, (ok.n_lt, ok.n_le, ok.n_full)
+    # a deliberately wrong estimate (the max) must FAIL the q=0.5 check
+    bad = spark.createDataFrame(
+        [("g", 0.5, 999.0, 1)], ["grp", "q", "est_value", "sample_n"]
+    )
+    bad_row = quantile_rank_check(bad, df, ["grp"], "value", eps=0.10).collect()[0]
+    assert not bad_row.rank_err_ok
+
+
+def test_rank_check_tie_interval_semantics(spark):
+    """Heavy ties: the true-rank INTERVAL [n_lt+1, n_le] must be used —
+    a point-rank check would wrongly reject a constant column."""
+    df = _frame(spark, [5.0] * 100, parts=3)
+    est = spark.createDataFrame(
+        [("g", 0.5, 5.0, 10)], ["grp", "q", "est_value", "sample_n"]
+    )
+    row = quantile_rank_check(est, df, ["grp"], "value", eps=0.01).collect()[0]
+    assert row.n_lt == 0 and row.n_le == 100 and row.rank_err_ok
+
+
+def test_robust_stats_matches_python_reference(spark):
+    values = [1.0, 2.0, 2.0, 3.0, 4.0, 100.0]  # one gross outlier
+    rows = robust_stats(
+        _frame(spark, values, parts=2), ["grp"], "value", "id"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    med = _ref_discrete(values, 0.5)
+    mad = _ref_discrete([abs(v - med) for v in values], 0.5)
+    assert r.median == med and r.mad == mad
+    n_out = sum(1 for v in values if abs(v - med) > 3.0 * 1.4826 * mad)
+    assert r.n_outliers == n_out == 1 and r.n == 6
+
+
+def test_robust_stats_zero_mad_degenerate(spark):
+    """Constant group: MAD 0 ⇒ every unequal value is an outlier, equal
+    values are not (strict >)."""
+    rows = robust_stats(
+        _frame(spark, [7.0] * 50, parts=2), ["grp"], "value", "id"
+    ).collect()[0]
+    assert rows.mad == 0.0 and rows.n_outliers == 0
