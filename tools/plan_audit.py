@@ -88,15 +88,25 @@ AUDIT = [
     "bpe_tokenizer_encode",
     "ann_ivfpq_delta_append",
     "embedding_random_projection",
-    # round-10 staged operators (resolved from plans/staged.py until
-    # promotion; streaming_ann_ingest is a foreachBatch pipeline —
-    # its per-epoch batch plan is ivfpq_index_append, audited via
-    # ann_ivfpq_delta_append)
+    # registered in round 10 (formerly staged; streaming_ann_ingest is
+    # a foreachBatch pipeline — its per-epoch batch plan is
+    # ivfpq_index_append, audited via ann_ivfpq_delta_append)
     "kmv_source_overlap",
     "heavy_hitters_per_lang",
     "hybrid_search_rrf3",
     "ann_cosine_topk_ivfpq_residual",
     "bpe_byte_level_encode",
+    # round-11 staged operators (resolved from plans/staged.py until
+    # promotion; streaming_countmin's per-epoch batch plan is
+    # count_min_counters + cms_merge, audited via countmin_trigram_freq)
+    "quantile_sketch_events",
+    "robust_stats_value",
+    "countmin_trigram_freq",
+    "hll_distinct_trigrams",
+    "ngram_novelty_scores",
+    "ann_sq8_rerank",
+    "bloom_semijoin_orders",
+    "phrase_top_bigram",
 ]
 
 

@@ -74,14 +74,24 @@ HEAVY_OPS = [
     "hybrid_search_rrf",
     "embedding_random_projection",
     "multimodal_frame_sample",
-    # round-10 staged operators (resolved from plans/staged.py until
-    # promotion; documents/embeddings fixtures)
+    # registered in round 10 (formerly staged; documents/embeddings
+    # fixtures)
     "kmv_source_overlap",
     "heavy_hitters_per_lang",
     "hybrid_search_rrf3",
     "ann_cosine_topk_ivfpq_residual",
     "bpe_byte_level_encode",
     "containment_decontamination",
+    # round-11 staged operators (resolved from plans/staged.py until
+    # promotion; documents/embeddings fixtures — the events-based
+    # staged ops (quantile_sketch_events, robust_stats_value) have no
+    # scale fixture here: their scale argument is structural, the
+    # sample filter/sort touches p·n rows)
+    "countmin_trigram_freq",
+    "hll_distinct_trigrams",
+    "ngram_novelty_scores",
+    "phrase_top_bigram",
+    "ann_sq8_rerank",
 ]
 
 
