@@ -960,3 +960,322 @@ def streaming_countmin(spark, sf_dir):
             .alias("n_epochs"),
         )
     )
+
+
+# =====================================================================
+# Streaming HyperLogLog maintenance (streaming/sketches.hll_sketch_sink)
+# =====================================================================
+
+def _run_stream_hll(spark, sf_dir, base, epoch_times=None):
+    """Stage the (lang, trigram) unit stream as three epoch files and
+    run the register sink to completion (the streaming_kmv recipe)."""
+    from ..streaming.sketches import hll_sketch_sink
+
+    units = _tri_units(spark, sf_dir)
+    src = os.path.join(base, "src")
+    for i, r in enumerate((0, 1, 2)):
+        units.filter(F.col("doc_id") % 3 == r).select("lang", "val").coalesce(
+            1
+        ).write.mode("append" if i else "overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("lang string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = hll_sketch_sink(
+            stream,
+            ["lang"],
+            "val",
+            store_path=os.path.join(base, "store"),
+            checkpoint=os.path.join(base, "ckpt"),
+            available_now=True,
+            epoch_times=epoch_times,
+        )
+        q.awaitTermination()
+
+
+LAST_STREAM_HLL_EPOCH_SEC: list = []
+
+
+def _stream_hll_bench(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="stream_hll_bench_")
+    epoch_times: dict = {}
+    _run_stream_hll(spark, sf_dir, base, epoch_times=epoch_times)
+    LAST_STREAM_HLL_EPOCH_SEC.append(
+        [round(epoch_times[kk], 3) for kk in sorted(epoch_times)]
+    )
+    return spark.read.parquet(os.path.join(base, "store"))
+
+
+@register_staged(
+    "streaming_hll_distinct",
+    oracle=f"""
+        WITH {_TRI_SQL},
+        h AS (
+            SELECT DISTINCT lang,
+                   CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h
+            FROM tri
+        ),
+        regs AS (
+            SELECT lang, h >> 52 AS idx,
+                   max(CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0
+                            THEN 53
+                            ELSE 53 - length(bin(h & ((CAST(1 AS BIGINT) << 52) - 1)))
+                       END) AS rho
+            FROM h GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_hit,
+                   CAST(sum(CAST(1 AS BIGINT) << (53 - rho))
+                        + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 53)
+                        AS BIGINT) AS harmonic_scaled
+            FROM regs GROUP BY 1
+        ),
+        est AS (
+            SELECT lang, n_hit, harmonic_scaled,
+                   CAST({HLL_SCALED_NUM!r} AS DOUBLE)
+                       / CAST(harmonic_scaled AS DOUBLE) AS raw,
+                   CAST({HLL_M} - n_hit AS DOUBLE) AS zeros
+            FROM agg
+        )
+        SELECT lang, n_hit, harmonic_scaled,
+               round(CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0
+                          THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+                          ELSE raw END, 4) AS est_distinct,
+               true AS stream_equals_batch,
+               CAST(3 AS BIGINT) AS n_epochs
+        FROM est
+    """,
+    tags=("streaming", "sketch", "incremental"),
+    bench_fn=_stream_hll_bench,
+)
+def streaming_hll_distinct(spark, sf_dir):
+    """Streaming HLL register maintenance (streaming/sketches.
+    hll_sketch_sink): the per-language trigram stream ingests in three
+    micro-batches; each epoch max-merges its batch registers into the
+    strictly-earlier store. Register max-merge is exact, so the final
+    stored table is bit-identical to a one-shot hll_registers over
+    everything streamed — ``stream_equals_batch`` pins (lang, idx,
+    rho) equality engine-side, and (n_hit, harmonic_scaled,
+    est_distinct) are full crossing values against the SQL twin's
+    replicated register arithmetic. State ≤ 256 rows per lang forever.
+    Completes the sketch-family symmetry: KMV (set algebra), CMS
+    (point frequency), HLL (cheapest union-only cardinality) each
+    have a batch operator AND an exact-merge streaming arm."""
+    from ..operators.sketches import hll_registers
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:stream_hll"
+    base = _STAGE_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_hll_")
+        _run_stream_hll(spark, sf_dir, base)
+        _STAGE_CACHE[key] = base
+    final = spark.read.parquet(os.path.join(base, "store", "epoch=2"))
+    batch = hll_registers(_tri_units(spark, sf_dir), ["lang"], F.col("val"))
+    eq = (
+        final.withColumnRenamed("rho", "s_rho")
+        .join(
+            batch.withColumnRenamed("rho", "b_rho"), ["lang", "idx"], "full"
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("s_rho").isNotNull()
+                    & F.col("b_rho").isNotNull()
+                    & (F.col("s_rho") == F.col("b_rho"))
+                ),
+                F.lit(False),
+            ).alias("stream_equals_batch")
+        )
+    )
+    n_ep = (
+        spark.read.option("basePath", os.path.join(base, "store"))
+        .parquet(os.path.join(base, "store"))
+        .agg(F.count_distinct("epoch").alias("n_ep"))
+    )
+    est = hll_estimate(final, ["lang"])
+    return (
+        est.crossJoin(eq)
+        .crossJoin(n_ep)
+        .select(
+            "lang",
+            "n_hit",
+            "harmonic_scaled",
+            "est_distinct",
+            "stream_equals_batch",
+            F.when(F.col("n_ep") == 3, F.lit(3))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("n_epochs"),
+        )
+    )
+
+
+# =====================================================================
+# Adaptive-threshold streaming sample (bounded-state uniform sample)
+# =====================================================================
+
+_AS_CAP = 64
+
+
+def _run_stream_adaptive(spark, sf_dir, base, epoch_times=None):
+    """Stage the (doc_id, lang) row stream as three epoch files and
+    run the bounded-sample sink to completion."""
+    from ..streaming.sketches import adaptive_sample_sink
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    src = os.path.join(base, "src")
+    for i, r in enumerate((0, 1, 2)):
+        d.filter(F.col("doc_id") % 3 == r).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = adaptive_sample_sink(
+            stream,
+            "doc_id",
+            ["doc_id", "lang"],
+            cap=_AS_CAP,
+            store_path=os.path.join(base, "store"),
+            checkpoint=os.path.join(base, "ckpt"),
+            available_now=True,
+            epoch_times=epoch_times,
+        )
+        q.awaitTermination()
+
+
+LAST_STREAM_AS_EPOCH_SEC: list = []
+
+
+def _stream_adaptive_bench(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="stream_as_bench_")
+    epoch_times: dict = {}
+    _run_stream_adaptive(spark, sf_dir, base, epoch_times=epoch_times)
+    LAST_STREAM_AS_EPOCH_SEC.append(
+        [round(epoch_times[kk], 3) for kk in sorted(epoch_times)]
+    )
+    return spark.read.parquet(os.path.join(base, "store"))
+
+
+@register_staged(
+    "streaming_adaptive_sample",
+    oracle=f"""
+        WITH coins AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':as'),
+                        1, 5) AS BIGINT) AS c
+            FROM documents
+        ),
+        js AS (SELECT unnest(range(0, 21)) AS j),
+        sizes AS (
+            SELECT j.j,
+                   (SELECT count(*) FROM coins WHERE c < (1048576 >> j.j)) AS n
+            FROM js j
+        ),
+        jf AS (
+            SELECT CAST(min(j) AS BIGINT) AS jf FROM sizes WHERE n <= {_AS_CAP}
+        ),
+        samp AS (
+            SELECT coins.lang FROM coins, jf WHERE c < (1048576 >> jf)
+        ),
+        ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_exact
+               FROM documents GROUP BY 1)
+        SELECT s.lang,
+               CAST(count(*) AS BIGINT) AS n_sample,
+               jf.jf AS threshold_exp,
+               CAST(count(*) * (CAST(1 AS BIGINT) << jf.jf) AS BIGINT)
+                   AS est_docs,
+               x.n_docs_exact,
+               true AS stream_equals_batch,
+               true AS bounded_ok,
+               jf.jf > 0 AS threshold_tightened,
+               CAST(3 AS BIGINT) AS n_epochs
+        FROM samp s CROSS JOIN jf JOIN ex x ON s.lang = x.lang
+        GROUP BY 1, 3, 5
+    """,
+    tags=("streaming", "sampling", "incremental"),
+    bench_fn=_stream_adaptive_bench,
+)
+def streaming_adaptive_sample(spark, sf_dir):
+    """Bounded-state uniform sampling over a stream (streaming/
+    sketches.adaptive_sample_sink — the Gibbons-Matias backing-sample
+    / theta-family scheme): the stored sample is {rows: coin <
+    2^20 >> j} with j tightened whenever the store exceeds cap=64, so
+    state is ≤ cap rows FOREVER while a plain Bernoulli sample grows
+    with the stream. The scheme's algebraic identity — stored state ==
+    batch filter of the FULL stream at the final threshold, and the
+    streaming-final threshold == the batch-computed smallest fitting
+    threshold — makes every output column a crossing value:
+    per-language sample counts, the threshold exponent, and the
+    integer inverse-probability estimate ``n_sample · 2^j`` against
+    the exact per-language count. ``threshold_tightened`` proves the
+    adaptive branch actually ran at every SF (j ≥ 3 at 500 docs)."""
+    from ..operators.quantiles import COIN_SPAN, hash_coin
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:stream_as"
+    base = _STAGE_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_as_")
+        _run_stream_adaptive(spark, sf_dir, base)
+        _STAGE_CACHE[key] = base
+    store = spark.read.parquet(os.path.join(base, "store", "epoch=2"))
+    d = _t(spark, sf_dir, "documents")
+    # batch twin at the STORED threshold: stored rows == coin-filtered
+    # full stream, exactly
+    jrow = store.agg(F.max("j").alias("j"), F.count(F.lit(1)).alias("n_tot"))
+    batch = (
+        d.select("doc_id", hash_coin(F.col("doc_id"), ":as").alias("c"))
+        .crossJoin(F.broadcast(jrow.select("j")))
+        # SQL shiftright accepts a column bit count (the DataFrame-API
+        # binding takes a literal int only)
+        .where(F.col("c") < F.expr(f"shiftright({COIN_SPAN}, CAST(j AS INT))"))
+        .select("doc_id")
+    )
+    eq = (
+        store.select("doc_id")
+        .withColumn("s", F.lit(1))
+        .join(batch.withColumn("b", F.lit(1)), "doc_id", "full")
+        .agg(
+            F.coalesce(
+                F.min(F.col("s").isNotNull() & F.col("b").isNotNull()),
+                F.lit(False),
+            ).alias("stream_equals_batch")
+        )
+    )
+    n_ep = (
+        spark.read.option("basePath", os.path.join(base, "store"))
+        .parquet(os.path.join(base, "store"))
+        .agg(F.count_distinct("epoch").alias("n_ep"))
+    )
+    ex = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs_exact"))
+    per = store.groupBy("lang", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample")
+    )
+    return (
+        per.join(ex, "lang")
+        .crossJoin(F.broadcast(jrow.select(F.col("n_tot"))))
+        .crossJoin(eq)
+        .crossJoin(n_ep)
+        .select(
+            "lang",
+            "n_sample",
+            F.col("j").cast("long").alias("threshold_exp"),
+            F.expr("shiftleft(CAST(n_sample AS BIGINT), CAST(j AS INT))")
+            .cast("long")
+            .alias("est_docs"),
+            "n_docs_exact",
+            "stream_equals_batch",
+            (F.col("n_tot") <= F.lit(_AS_CAP)).alias("bounded_ok"),
+            (F.col("j") > 0).alias("threshold_tightened"),
+            F.when(F.col("n_ep") == 3, F.lit(3))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("n_epochs"),
+        )
+    )

@@ -41,6 +41,10 @@ __all__ = [
     "kmv_sketch_sink",
     "cms_sketch_batch",
     "cms_sketch_sink",
+    "hll_sketch_batch",
+    "hll_sketch_sink",
+    "adaptive_sample_batch",
+    "adaptive_sample_sink",
 ]
 
 
@@ -165,6 +169,183 @@ def cms_sketch_sink(
 
         t0 = _time.time()
         cms_sketch_batch(batch, epoch_id, unit_col, width, depth, store_path)
+        if epoch_times is not None:
+            epoch_times[epoch_id] = _time.time() - t0
+
+    writer = (
+        df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# =====================================================================
+# Streaming HyperLogLog maintenance (operators/sketches.hll_*)
+# =====================================================================
+#
+# The third sketch family on the same epoch discipline: HLL registers
+# merge by element-wise MAX (hll_merge), so the epoch fold is exact —
+# the stored register table after epoch e IS hll_registers of
+# everything streamed through e, bit-equal. State: ≤ m rows per group
+# forever; per epoch one bounded-domain groupBy-max over the batch
+# plus a ≤ m-row merge.
+
+
+def hll_sketch_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    group_cols: Sequence[str],
+    value_col: str,
+    store_path: str,
+) -> None:
+    """Fold one micro-batch into the running register table."""
+    from ..operators.sketches import hll_merge, hll_registers
+    from .upsert import target_exists
+
+    spark = batch.sparkSession
+    regs = hll_registers(batch, group_cols, F.col(value_col))
+    prev_dir = _epoch_dir(store_path, epoch_id - 1)
+    if target_exists(spark, prev_dir):
+        merged = hll_merge(
+            spark.read.parquet(prev_dir).unionByName(regs), group_cols
+        )
+    else:
+        merged = regs
+    merged.write.mode("overwrite").parquet(_epoch_dir(store_path, epoch_id))
+
+
+def hll_sketch_sink(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    epoch_times: dict | None = None,
+):
+    """Start the register-maintenance sink; returns the
+    StreamingQuery."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
+        hll_sketch_batch(batch, epoch_id, group_cols, value_col, store_path)
+        if epoch_times is not None:
+            epoch_times[epoch_id] = _time.time() - t0
+
+    writer = (
+        df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# =====================================================================
+# Adaptive-threshold streaming sample (bounded-state uniform sample)
+# =====================================================================
+#
+# A Bernoulli hash sample is mergeable but its state grows with the
+# stream (p·n rows). The adaptive form keeps it BOUNDED: maintain a
+# threshold exponent j and the row set {coin < 2^20 >> j}; whenever
+# the stored sample exceeds ``cap``, tighten j until it fits (each
+# tightening keeps exactly the rows under the new, smaller threshold
+# — a deterministic subsample of the sample). This is the classic
+# adaptive/theta-sketch sampling scheme (Gibbons & Matias SIGMOD
+# 1998's "backing sample"; the theta family in Dasgupta et al. 2016).
+#
+# The property that makes it oracle-able: the stored state after any
+# prefix is EXACTLY ``filter(stream_so_far, coin < T_final)`` — a row
+# below the final threshold was admitted on arrival (its coin is
+# below every earlier, larger threshold) and survives every
+# tightening; a row above it was rejected or culled. And the
+# streaming-final j equals the batch-computed smallest j whose
+# full-stream sample fits cap, because a j the stream rejected had
+# prefix count > cap ⇒ full count > cap (counts grow with the
+# stream). So streaming state == batch state, bit-for-bit, and the
+# inverse-probability estimate n_sample · 2^j is integer arithmetic
+# both engines replicate.
+
+
+def adaptive_sample_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    id_col: str,
+    keep_cols: Sequence[str],
+    cap: int,
+    store_path: str,
+    salt: str = ":as",
+    max_exp: int = 20,
+) -> None:
+    """Fold one micro-batch into the bounded sample store. Stored
+    columns: ``keep_cols…, __coin, j`` (j constant per epoch = the
+    current threshold exponent)."""
+    from ..operators.quantiles import COIN_SPAN, hash_coin
+    from .upsert import target_exists
+
+    spark = batch.sparkSession
+    prev_dir = _epoch_dir(store_path, epoch_id - 1)
+    kcols = list(keep_cols)
+    if target_exists(spark, prev_dir):
+        prev = spark.read.parquet(prev_dir)
+        j_prev = prev.agg(F.max("j")).collect()[0][0]  # 1-row bounded collect
+        prev_rows = prev.select(*kcols, "__coin")
+    else:
+        j_prev = 0
+        prev_rows = None
+    coined = batch.select(
+        *kcols, hash_coin(F.col(id_col), salt).alias("__coin")
+    ).where(F.col("__coin") < F.lit(COIN_SPAN >> j_prev))
+    combined = (
+        coined if prev_rows is None else prev_rows.unionByName(coined)
+    ).localCheckpoint(eager=True)
+    # one aggregation computes the sample size at every candidate
+    # tightening level; the driver picks the smallest fitting j
+    sizes = combined.agg(
+        *[
+            F.sum((F.col("__coin") < F.lit(COIN_SPAN >> j)).cast("long")).alias(
+                f"n{j}"
+            )
+            for j in range(j_prev, max_exp + 1)
+        ]
+    ).collect()[0]
+    j = next(
+        (jj for jj in range(j_prev, max_exp + 1) if (sizes[jj - j_prev] or 0) <= cap),
+        max_exp,
+    )
+    out = combined.where(F.col("__coin") < F.lit(COIN_SPAN >> j)).withColumn(
+        "j", F.lit(j)
+    )
+    out.write.mode("overwrite").parquet(_epoch_dir(store_path, epoch_id))
+
+
+def adaptive_sample_sink(
+    df: DataFrame,
+    id_col: str,
+    keep_cols: Sequence[str],
+    cap: int,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    epoch_times: dict | None = None,
+    salt: str = ":as",
+):
+    """Start the bounded-sample maintenance sink; returns the
+    StreamingQuery."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
+        adaptive_sample_batch(
+            batch, epoch_id, id_col, keep_cols, cap, store_path, salt=salt
+        )
         if epoch_times is not None:
             epoch_times[epoch_id] = _time.time() - t0
 

@@ -126,3 +126,62 @@ def test_duplicates_do_not_move_registers(spark):
     assert {(r.idx, r.rho) for r in once.collect()} == {
         (r.idx, r.rho) for r in dup.collect()
     }
+
+
+def _run_hll_stream(spark, base, files):
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.sketches import (
+        hll_sketch_sink,
+    )
+
+    src = f"{base}/src"
+    for b, rows in enumerate(files):
+        spark.createDataFrame(rows, ["grp", "val"]).coalesce(1).write.mode(
+            "append" if b else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("grp string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = hll_sketch_sink(
+        stream,
+        ["grp"],
+        "val",
+        store_path=f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def test_streaming_registers_equal_batch(spark, tmp_path):
+    base = str(tmp_path / "run")
+    files = [
+        [("g1", f"a{i}") for i in range(200)],
+        [("g1", f"b{i}") for i in range(150)] + [("g2", "solo")],
+        [("g1", f"a{i}") for i in range(80)],  # duplicate-only slice
+    ]
+    _run_hll_stream(spark, base, files)
+    final = {
+        (r.grp, r.idx): r.rho
+        for r in spark.read.parquet(f"{base}/store/epoch=2").collect()
+    }
+    direct = {
+        (r.grp, r.idx): r.rho
+        for r in hll_registers(
+            spark.createDataFrame(sum(files, []), ["grp", "val"]),
+            ["grp"],
+            F.col("val"),
+        ).collect()
+    }
+    assert final == direct
+    # register mass is monotone across epochs (max-merge only grows)
+    store = spark.read.parquet(f"{base}/store")
+    mass = {
+        r.epoch: r.m
+        for r in store.filter("grp = 'g1'")
+        .groupBy("epoch")
+        .agg(F.sum("rho").alias("m"))
+        .collect()
+    }
+    assert mass[0] <= mass[1] == mass[2]
