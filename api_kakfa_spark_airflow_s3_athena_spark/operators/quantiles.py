@@ -59,6 +59,7 @@ __all__ = [
     "sampled_quantiles",
     "quantile_rank_check",
     "robust_stats",
+    "weighted_discrete_quantiles",
 ]
 
 COIN_BITS = 20
@@ -246,5 +247,63 @@ def robust_stats(
             "mad",
             "n_outliers",
             F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_rate"),
+        )
+    )
+
+
+def weighted_discrete_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+    qs: Sequence[tuple],
+) -> DataFrame:
+    """Per-group WEIGHTED discrete quantiles with all-integer rank
+    arithmetic: the q-quantile is the value at the first row (under
+    ``(value, id)`` order) whose cumulative weight reaches q of the
+    group's total — i.e. the smallest v such that
+    ``weight{x ≤ v} ≥ q·W``.
+
+    ``qs`` are exact rationals as ``(num, den)`` pairs — the reach
+    test is ``cum·den ≥ num·W``, integer multiplication on integer
+    weights, so there is NO floating-point anywhere in the selection
+    (the unweighted :func:`discrete_quantiles` needs one FP
+    ceil(q·n); the weighted form dodges even that). Zero/negative
+    weights are dropped (they cannot move a weighted rank and would
+    make the cumulative sum non-strict).
+
+    One per-group sort (window cumulative sum), one broadcast join
+    against the tiny q-list, one min-aggregate. The 100 TB shape is
+    the same as the unweighted path: swap the full sort for the
+    hash-sampled variant when the exchange matters (sampling rows
+    proportionally to weight — A-ES keys — gives the weighted
+    analogue)."""
+    gcols = list(group_cols)
+    pos = df.select(*gcols, value_col, id_col, F.col(weight_col).cast("long").alias("__w")).where(
+        F.col("__w") > 0
+    )
+    w_ord = Window.partitionBy(*gcols).orderBy(F.col(value_col), F.col(id_col))
+    cum = pos.withColumn("__cum", F.sum("__w").over(w_ord)).withColumn(
+        "__tot", F.sum("__w").over(Window.partitionBy(*gcols))
+    )
+    qrows = df.sparkSession.createDataFrame(
+        [(int(n), int(d)) for n, d in qs], "q_num long, q_den long"
+    )
+    reach = cum.crossJoin(F.broadcast(qrows)).where(
+        F.col("__cum") * F.col("q_den") >= F.col("q_num") * F.col("__tot")
+    )
+    first = reach.groupBy(*gcols, "q_num", "q_den").agg(
+        F.min("__cum").alias("__mcum")
+    )
+    return (
+        reach.join(first, [*gcols, "q_num", "q_den"])
+        .where(F.col("__cum") == F.col("__mcum"))
+        .select(
+            *gcols,
+            "q_num",
+            "q_den",
+            F.col(value_col).alias("value"),
+            F.col("__tot").alias("total_weight"),
         )
     )

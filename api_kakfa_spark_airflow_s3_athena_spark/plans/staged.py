@@ -1,10 +1,12 @@
 """Staging area for not-yet-registered round queries.
 
-Round-11 batch (9 entries, built during round 10 under the 12-new-
-per-round rotation cap — the same discipline that staged the round-9
-batch): distribution sketches (sampled quantiles with an exact-rank
-contract, robust median/MAD stats, count-min point queries + its
-streaming arm, HyperLogLog cardinality), retrieval/search additions
+Round-11 batch (12 entries — exactly the 12-new-per-round rotation
+cap, built during round 10; the same discipline that staged the
+round-9 batch): distribution sketches (sampled quantiles with an
+exact-rank contract, weighted all-integer quantiles, robust
+median/MAD stats, count-min point queries, HyperLogLog cardinality),
+three exact-merge streaming sketch arms (count-min add, HLL max,
+adaptive bounded-state sampling), retrieval/search additions
 (positional phrase search, SQ8 quantized-rerank ANN), bloom-filter
 join pruning, and per-document n-gram novelty.
 
@@ -1278,4 +1280,77 @@ def streaming_adaptive_sample(spark, sf_dir):
             .cast("long")
             .alias("n_epochs"),
         )
+    )
+
+
+# =====================================================================
+# Weighted discrete quantiles (operators/quantiles.weighted_discrete_quantiles)
+# =====================================================================
+
+@register_staged(
+    "weighted_quantiles_doclen",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(list_filter(regexp_split_to_array(text,
+                       '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS n_tok
+            FROM documents
+        ),
+        pos AS (SELECT * FROM toks WHERE n_tok > 0),
+        cum AS (
+            SELECT lang, doc_id, n_tok,
+                   sum(n_tok) OVER (PARTITION BY lang
+                                    ORDER BY n_tok, doc_id) AS cum,
+                   sum(n_tok) OVER (PARTITION BY lang) AS tot
+            FROM pos
+        ),
+        qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (9, 10)) t(q_num, q_den)),
+        reach AS (
+            SELECT c.lang, c.n_tok, c.cum, c.tot, q.q_num, q.q_den
+            FROM cum c CROSS JOIN qs q
+            WHERE c.cum * q.q_den >= q.q_num * c.tot
+        ),
+        first AS (
+            SELECT lang, q_num, q_den, min(cum) AS mcum
+            FROM reach GROUP BY 1, 2, 3
+        )
+        SELECT r.lang,
+               CAST(r.q_num AS BIGINT) AS q_num,
+               CAST(r.q_den AS BIGINT) AS q_den,
+               CAST(r.n_tok AS BIGINT) AS value,
+               CAST(r.tot AS BIGINT) AS total_weight
+        FROM reach r
+        JOIN first f ON r.lang = f.lang AND r.q_num = f.q_num
+                    AND r.q_den = f.q_den AND r.cum = f.mcum
+    """,
+    tags=("quantiles", "weighted"),
+)
+def weighted_quantiles_doclen(spark, sf_dir):
+    """TOKEN-MASS-weighted document-length quantiles per language
+    (operators/quantiles.weighted_discrete_quantiles): "how long is
+    the document the median TOKEN lives in" — the packing/truncation
+    planning stat a plain per-doc median gets wrong (long docs hold
+    most of the mass). The rank rule is ALL-integer: quantiles are
+    exact rationals (num, den) and the reach test ``cum·den ≥ num·W``
+    is integer multiplication on integer weights — no FP exists
+    anywhere in the selection, the strongest oracle form available.
+    One per-group running-sum window over (length, id) order."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    from ..operators.quantiles import weighted_discrete_quantiles
+
+    out = weighted_discrete_quantiles(
+        toks, ["lang"], "n_tok", "n_tok", "doc_id",
+        [(1, 4), (1, 2), (9, 10)],
+    )
+    return out.select(
+        "lang",
+        "q_num",
+        "q_den",
+        F.col("value").cast("long").alias("value"),
+        F.col("total_weight").cast("long").alias("total_weight"),
     )

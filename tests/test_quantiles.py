@@ -118,3 +118,52 @@ def test_robust_stats_zero_mad_degenerate(spark):
         _frame(spark, [7.0] * 50, parts=2), ["grp"], "value", "id"
     ).collect()[0]
     assert rows.mad == 0.0 and rows.n_outliers == 0
+
+
+def _ref_weighted(pairs, num, den):
+    """pairs = [(value, weight, id)]; smallest v with cumweight*den >= num*W."""
+    s = sorted(pairs, key=lambda p: (p[0], p[2]))
+    W = sum(p[1] for p in s)
+    cum = 0
+    for v, w, _ in s:
+        cum += w
+        if cum * den >= num * W:
+            return v
+    return s[-1][0]
+
+
+def test_weighted_quantiles_match_python_reference(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        weighted_discrete_quantiles,
+    )
+
+    pairs = [(((i * 31) % 23), (i % 7) + 1, i) for i in range(150)]
+    df = spark.createDataFrame(
+        [("g", v, w, i) for v, w, i in pairs], ["grp", "v", "w", "id"]
+    ).repartition(5)
+    got = {
+        (r.q_num, r.q_den): (r.value, r.total_weight)
+        for r in weighted_discrete_quantiles(
+            df, ["grp"], "v", "w", "id", [(1, 4), (1, 2), (9, 10)]
+        ).collect()
+    }
+    W = sum(w for _, w, _ in pairs)
+    for num, den in ((1, 4), (1, 2), (9, 10)):
+        assert got[(num, den)] == (_ref_weighted(pairs, num, den), W)
+
+
+def test_weighted_quantiles_drop_nonpositive_weights_and_heavy_row_dominates(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        weighted_discrete_quantiles,
+    )
+
+    rows = [("g", 1, 1, 0), ("g", 5, 100, 1), ("g", 9, 1, 2), ("g", 7, 0, 3)]
+    df = spark.createDataFrame(rows, ["grp", "v", "w", "id"])
+    got = {
+        (r.q_num, r.q_den): r.value
+        for r in weighted_discrete_quantiles(
+            df, ["grp"], "v", "w", "id", [(1, 2), (9, 10)]
+        ).collect()
+    }
+    # the weight-100 row holds ranks 2..101 of 102: both quantiles hit it
+    assert got[(1, 2)] == 5 and got[(9, 10)] == 5

@@ -107,6 +107,7 @@ AUDIT = [
     "ann_sq8_rerank",
     "bloom_semijoin_orders",
     "phrase_top_bigram",
+    "weighted_quantiles_doclen",
 ]
 
 
