@@ -333,3 +333,105 @@ def test_staged_round10_ops_on_empty_inputs(spark, empty_docs):
     # byte-level tokenizer on an empty corpus (zero Arrow batches)
     assert bpe_encode(empty_docs, [("a", "b")], byte_level=True).count() == 0
     assert bpe_encode_ids(empty_docs, [("a", "b")]).count() == 0
+
+
+# ---- round-11 staged operator families ------------------------------
+
+
+def test_quantile_family_on_empty_input(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        discrete_quantiles,
+        quantile_rank_check,
+        robust_stats,
+        sampled_quantiles,
+        weighted_discrete_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "grp string, id long, value double")
+    assert discrete_quantiles(empty, ["grp"], "value", "id", [0.5]).count() == 0
+    est = sampled_quantiles(empty, ["grp"], "value", "id", [0.5], rate_num=524288)
+    assert est.count() == 0
+    # empty estimates against non-empty data (and vice versa): no rows
+    data = spark.createDataFrame([("g", 1, 2.0)], ["grp", "id", "value"])
+    assert quantile_rank_check(est, data, ["grp"], "value", 0.1).count() == 0
+    assert robust_stats(empty, ["grp"], "value", "id").count() == 0
+    emptyw = spark.createDataFrame([], "grp string, v long, w long, id long")
+    assert (
+        weighted_discrete_quantiles(emptyw, ["grp"], "v", "w", "id", [(1, 2)]).count()
+        == 0
+    )
+
+
+def test_cms_family_on_empty_input(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.frequency import (
+        cms_lookup,
+        cms_merge,
+        count_min_counters,
+    )
+
+    empty = spark.createDataFrame([], "unit string")
+    counters = count_min_counters(empty, "unit", 16, 3)
+    assert counters.count() == 0
+    assert cms_merge(counters, counters).count() == 0
+    # lookups against an empty sketch estimate 0 (coalesce path)
+    q = spark.createDataFrame([("x",)], ["unit"])
+    assert cms_lookup(counters, q, "unit", 16, 3).collect()[0].cms_est == 0
+    # empty query set against a non-empty sketch
+    full = count_min_counters(
+        spark.createDataFrame([("a",)], ["unit"]), "unit", 16, 3
+    )
+    assert cms_lookup(full, empty, "unit", 16, 3).count() == 0
+
+
+def test_hll_family_on_empty_input(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "grp string, val string")
+    regs = hll_registers(empty, ["grp"], F.col("val"))
+    assert regs.count() == 0
+    assert hll_merge(regs, ["grp"]).count() == 0
+    assert hll_estimate(regs, ["grp"]).count() == 0
+
+
+def test_bloom_on_empty_sides(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.bloom import (
+        bloom_bits,
+        bloom_candidates,
+    )
+
+    empty = spark.createDataFrame([], "key long")
+    fact = spark.createDataFrame([(1,), (2,)], ["key"])
+    # empty dim: filter has no set bits, everything pruned
+    bits = bloom_bits(empty, "key", m=64, n_hashes=2)
+    assert bits.count() == 0
+    assert bloom_candidates(fact, "key", bits, m=64, n_hashes=2).count() == 0
+    # empty fact against a non-empty filter
+    full_bits = bloom_bits(fact, "key", m=64, n_hashes=2)
+    assert bloom_candidates(empty, "key", full_bits, m=64, n_hashes=2).count() == 0
+
+
+def test_phrase_and_sq8_on_empty_input(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.retrieval import (
+        phrase_search,
+        positional_postings,
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        sq8_quantize,
+        sq8_rerank_topk,
+    )
+    from pyspark.sql import functions as F
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert positional_postings(empty_docs).count() == 0
+    assert phrase_search(empty_docs, ["a", "b"]).count() == 0
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sq8_quantize(empty_vecs, "embedding").count() == 0
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert sq8_rerank_topk(q, empty_vecs, k=3).count() == 0
