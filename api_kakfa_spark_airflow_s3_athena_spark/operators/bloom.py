@@ -35,13 +35,11 @@ __all__ = ["bloom_position", "bloom_bits", "bloom_candidates"]
 
 def bloom_position(key: Column, row: int, m: int) -> Column:
     """Bit position of ``key`` under hash row ``j`` (salted md5, mod
-    m) — bit-identical in Spark and DuckDB."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{row}:"), key.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return F.pmod(h, F.lit(m)).cast("int")
+    m) — bit-identical in Spark and DuckDB (the shared
+    sketches.salted_hash60 layout)."""
+    from .sketches import salted_hash60
+
+    return F.pmod(salted_hash60(key, f"{row}:"), F.lit(m)).cast("int")
 
 
 def bloom_bits(dim: DataFrame, key_col: str, m: int, n_hashes: int) -> DataFrame:

@@ -272,13 +272,10 @@ def heavy_hitters(
 def cms_bucket(unit, row: int, width: int):
     """Row-j bucket of a unit: 60-bit md5 prefix of ``"j:" || unit``
     (independent hash per row via the salt), mod width. Bit-identical
-    in Spark and DuckDB (see sketches.kmv_hash)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{row}:"), unit.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return F.pmod(h, F.lit(width)).cast("int")
+    in Spark and DuckDB (the shared sketches.salted_hash60 layout)."""
+    from .sketches import salted_hash60
+
+    return F.pmod(salted_hash60(unit, f"{row}:"), F.lit(width)).cast("int")
 
 
 def count_min_counters(
@@ -317,16 +314,32 @@ def cms_lookup(
     """Point-query estimates: for each query unit, the MIN over the d
     rows of its counter cells. The counter table (≤ d·w rows) is
     broadcast; the query side never shuffles. Returns the input
-    columns plus ``cms_est``."""
-    qcols = queries.columns
-    withb = queries.select(
-        *qcols,
+    columns plus ``cms_est``.
+
+    Estimates are computed once per DISTINCT unit and joined back, so
+    duplicate query rows keep their multiplicity and pre-existing
+    query columns (even ones named ``row``/``bucket``/``cnt``) pass
+    through untouched."""
+    units = queries.select(F.col(unit_col).alias("__unit")).distinct()
+    withb = units.select(
+        "__unit",
         F.posexplode(
-            F.array(*[cms_bucket(F.col(unit_col), j, width) for j in range(depth)])
-        ).alias("row", "bucket"),
+            F.array(*[cms_bucket(F.col("__unit"), j, width) for j in range(depth)])
+        ).alias("__row", "__bucket"),
     )
-    joined = withb.join(F.broadcast(counters), ["row", "bucket"], "left")
-    return (
-        joined.groupBy(*qcols)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    cells = counters.select(
+        F.col("row").alias("__row"),
+        F.col("bucket").alias("__bucket"),
+        F.col("cnt").alias("__cnt"),
     )
+    joined = withb.join(F.broadcast(cells), ["__row", "__bucket"], "left")
+    per_unit = joined.groupBy("__unit").agg(
+        F.min(F.coalesce(F.col("__cnt"), F.lit(0))).cast("long").alias("cms_est")
+    )
+    out = queries.join(
+        F.broadcast(per_unit), queries[unit_col] == per_unit["__unit"], "left"
+    )
+    # NULL units never match any cell — estimate 0, as before
+    return out.withColumn(
+        "cms_est", F.coalesce(F.col("cms_est"), F.lit(0)).cast("long")
+    ).drop("__unit")

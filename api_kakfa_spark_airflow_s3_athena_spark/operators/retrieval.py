@@ -301,7 +301,14 @@ def positional_postings(
     by token at scale, the postings table answers boolean, phrase and
     proximity queries with key-wise joins only. Positions let phrase
     queries verify ADJACENCY, which a bag-of-words postings list
-    cannot."""
+    cannot.
+
+    Tokens are kept CASE-SENSITIVE — deliberately matching the
+    trigram/KMV/heavy-hitter unit tokenization (``TX.tokens`` raw)
+    rather than the BM25 scorer's lowercased terms: phrase search is
+    an exact-surface-form operator (the dedup/decontamination use),
+    so "Quick brown" and "quick brown" are distinct phrases here.
+    Wrap ``F.lower(text)`` upstream for case-folded search."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(TX.tokens(F.col(text_col))).alias("pos0", "token"),

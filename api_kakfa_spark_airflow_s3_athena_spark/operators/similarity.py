@@ -1726,26 +1726,34 @@ def sq8_rerank_topk(
         F.col("sq8_codes").alias("c_codes"),
         F.col("sq8_scale").alias("c_scale"),
     )
-    joined = c.join(F.broadcast(q))
+    joined = c.join(F.broadcast(q.select("query_id", "q_codes")))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    # phase-1 exchange carries ONLY (query_id, neighbor_id, akey) — the
+    # float vectors stay at the scan; the window ranks skinny rows and
+    # the ≤ candidates·|Q| survivors re-fetch their vectors by id
     phase1 = joined.select(
         "query_id",
         "neighbor_id",
-        "q_vec",
-        "c_vec",
         (_int_dot(F.col("q_codes"), F.col("c_codes")).cast("double")
          * F.col("c_scale")).alias("akey"),
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("akey").desc(), F.col("neighbor_id")
     )
-    cands = phase1.withColumn("crank", F.row_number().over(w1)).filter(
-        F.col("crank") <= candidates
+    cands = (
+        phase1.withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= candidates)
+        .select("query_id", "neighbor_id")
     )
-    rescored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+    rescored = (
+        c.select("neighbor_id", "c_vec")
+        .join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
     )
     return _ranked_topk(rescored, "query_id", k)

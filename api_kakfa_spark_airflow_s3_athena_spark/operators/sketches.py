@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "kmv_hash",
+    "salted_hash60",
     "kmv_sketch",
     "kmv_merge",
     "kmv_estimate",
@@ -80,6 +81,20 @@ def kmv_hash(value: Column) -> Column:
     """60-bit md5 prefix as a non-negative long — the one hash both
     engines compute bit-identically (see module docstring)."""
     return F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def salted_hash60(value: Column, salt: str) -> Column:
+    """The SALTED form of :func:`kmv_hash` — 60-bit md5 prefix of
+    ``salt || value`` — shared by every sketch that needs a family of
+    independent hash functions (count-min rows, bloom hash rows).
+    ONE definition so the engine-identical bit layout
+    (``CAST('0x'||substr(md5(salt||x),1,15) AS BIGINT)`` in DuckDB)
+    can never drift between sketch families."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), value.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
 
 
 def _partial_kmin(group_cols: Sequence[str], k: int):

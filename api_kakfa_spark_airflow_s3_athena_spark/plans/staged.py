@@ -824,6 +824,46 @@ def phrase_top_bigram(spark, sf_dir):
 # Streaming count-min maintenance (streaming/sketches.cms_sketch_sink)
 # =====================================================================
 
+def _read_store(spark, base):
+    """Partition-discovered read of an epoch store: epochs arrive as a
+    column, so a run that produced an unexpected epoch count degrades
+    into the queries' falsifiable ``n_epochs != 3`` marker instead of
+    a PATH_NOT_FOUND error on a hard-coded epoch directory."""
+    path = os.path.join(base, "store")
+    return spark.read.option("basePath", path).parquet(path)
+
+
+def _final_epoch(store):
+    """Rows of the latest epoch (the live state)."""
+    return store.join(
+        F.broadcast(store.agg(F.max("epoch").alias("epoch"))), "epoch"
+    ).drop("epoch")
+
+
+def _n_epochs_col(store):
+    """1-row frame: distinct epoch count (the n_epochs contract)."""
+    return store.agg(F.count_distinct("epoch").alias("n_ep"))
+
+
+def _tables_equal(a, b, keys, val, out_col):
+    """1-row frame: TRUE iff frames a and b are identical as
+    (keys -> val) tables — NULL-safe full-outer compare, empty ⇒
+    FALSE (a vacuous equality must fail loudly, the review-finding
+    class the streaming_ann contract fixed in round 9)."""
+    fa = a.select(*keys, F.col(val).alias("__va"))
+    fb = b.select(*keys, F.col(val).alias("__vb"))
+    return fa.join(fb, list(keys), "full").agg(
+        F.coalesce(
+            F.min(
+                F.col("__va").isNotNull()
+                & F.col("__vb").isNotNull()
+                & (F.col("__va") == F.col("__vb"))
+            ),
+            F.lit(False),
+        ).alias(out_col)
+    )
+
+
 def _run_stream_cms(spark, sf_dir, base, epoch_times=None):
     """Stage the corpus trigram stream as three epoch files (split by
     doc_id % 3 — the streaming_kmv staging recipe) and run the counter
@@ -918,28 +958,12 @@ def streaming_countmin(spark, sf_dir):
         base = tempfile.mkdtemp(prefix="stream_cms_")
         _run_stream_cms(spark, sf_dir, base)
         _STAGE_CACHE[key] = base
-    final = spark.read.parquet(os.path.join(base, "store", "epoch=2"))
+    store = _read_store(spark, base)
+    final = _final_epoch(store)
     units = _tri_units(spark, sf_dir).select(F.col("val").alias("unit"))
     batch = FQ.count_min_counters(units, "unit", width=_CMS_W, depth=_CMS_D)
-    eq = (
-        final.withColumnRenamed("cnt", "s_cnt")
-        .join(batch.withColumnRenamed("cnt", "b_cnt"), ["row", "bucket"], "full")
-        .agg(
-            F.coalesce(
-                F.min(
-                    F.col("s_cnt").isNotNull()
-                    & F.col("b_cnt").isNotNull()
-                    & (F.col("s_cnt") == F.col("b_cnt"))
-                ),
-                F.lit(False),
-            ).alias("stream_equals_batch")
-        )
-    )
-    n_ep = (
-        spark.read.option("basePath", os.path.join(base, "store"))
-        .parquet(os.path.join(base, "store"))
-        .agg(F.count_distinct("epoch").alias("n_ep"))
-    )
+    eq = _tables_equal(final, batch, ["row", "bucket"], "cnt", "stream_equals_batch")
+    n_ep = _n_epochs_col(store)
     top = (
         units.groupBy("unit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
@@ -1074,29 +1098,11 @@ def streaming_hll_distinct(spark, sf_dir):
         base = tempfile.mkdtemp(prefix="stream_hll_")
         _run_stream_hll(spark, sf_dir, base)
         _STAGE_CACHE[key] = base
-    final = spark.read.parquet(os.path.join(base, "store", "epoch=2"))
+    store = _read_store(spark, base)
+    final = _final_epoch(store)
     batch = hll_registers(_tri_units(spark, sf_dir), ["lang"], F.col("val"))
-    eq = (
-        final.withColumnRenamed("rho", "s_rho")
-        .join(
-            batch.withColumnRenamed("rho", "b_rho"), ["lang", "idx"], "full"
-        )
-        .agg(
-            F.coalesce(
-                F.min(
-                    F.col("s_rho").isNotNull()
-                    & F.col("b_rho").isNotNull()
-                    & (F.col("s_rho") == F.col("b_rho"))
-                ),
-                F.lit(False),
-            ).alias("stream_equals_batch")
-        )
-    )
-    n_ep = (
-        spark.read.option("basePath", os.path.join(base, "store"))
-        .parquet(os.path.join(base, "store"))
-        .agg(F.count_distinct("epoch").alias("n_ep"))
-    )
+    eq = _tables_equal(final, batch, ["lang", "idx"], "rho", "stream_equals_batch")
+    n_ep = _n_epochs_col(store)
     est = hll_estimate(final, ["lang"])
     return (
         est.crossJoin(eq)
@@ -1226,7 +1232,7 @@ def streaming_adaptive_sample(spark, sf_dir):
         base = tempfile.mkdtemp(prefix="stream_as_")
         _run_stream_adaptive(spark, sf_dir, base)
         _STAGE_CACHE[key] = base
-    store = spark.read.parquet(os.path.join(base, "store", "epoch=2"))
+    store = _final_epoch(_read_store(spark, base))
     d = _t(spark, sf_dir, "documents")
     # batch twin at the STORED threshold: stored rows == coin-filtered
     # full stream, exactly
@@ -1250,11 +1256,7 @@ def streaming_adaptive_sample(spark, sf_dir):
             ).alias("stream_equals_batch")
         )
     )
-    n_ep = (
-        spark.read.option("basePath", os.path.join(base, "store"))
-        .parquet(os.path.join(base, "store"))
-        .agg(F.count_distinct("epoch").alias("n_ep"))
-    )
+    n_ep = _n_epochs_col(_read_store(spark, base))
     ex = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs_exact"))
     per = store.groupBy("lang", "j").agg(
         F.count(F.lit(1)).cast("long").alias("n_sample")

@@ -292,9 +292,13 @@ def adaptive_sample_batch(
     spark = batch.sparkSession
     prev_dir = _epoch_dir(store_path, epoch_id - 1)
     kcols = list(keep_cols)
+    if id_col not in kcols:
+        raise ValueError("id_col must be one of keep_cols (dedup key)")
     if target_exists(spark, prev_dir):
         prev = spark.read.parquet(prev_dir)
-        j_prev = prev.agg(F.max("j")).collect()[0][0]  # 1-row bounded collect
+        # max over an EMPTY prior store is NULL — an empty epoch is a
+        # valid state (empty first batch), not a reason to crash
+        j_prev = prev.agg(F.max("j")).collect()[0][0] or 0  # 1-row collect
         prev_rows = prev.select(*kcols, "__coin")
     else:
         j_prev = 0
@@ -302,9 +306,14 @@ def adaptive_sample_batch(
     coined = batch.select(
         *kcols, hash_coin(F.col(id_col), salt).alias("__coin")
     ).where(F.col("__coin") < F.lit(COIN_SPAN >> j_prev))
+    # dedupe on the id: an at-least-once source re-delivering rows must
+    # not double-count them into the size counts (the batch identity is
+    # over the stream's ID SET — the pure-Python model uses sets too)
     combined = (
-        coined if prev_rows is None else prev_rows.unionByName(coined)
-    ).localCheckpoint(eager=True)
+        (coined if prev_rows is None else prev_rows.unionByName(coined))
+        .dropDuplicates([id_col])
+        .localCheckpoint(eager=True)
+    )
     # one aggregation computes the sample size at every candidate
     # tightening level; the driver picks the smallest fitting j
     sizes = combined.agg(

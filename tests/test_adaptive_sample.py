@@ -21,7 +21,7 @@ def _run(spark, base, files, cap):
 
     src = f"{base}/src"
     for b, ids in enumerate(files):
-        spark.createDataFrame([(i,) for i in ids], ["doc_id"]).coalesce(
+        spark.createDataFrame([(i,) for i in ids], "doc_id long").coalesce(
             1
         ).write.mode("append" if b else "overwrite").parquet(src)
     stream = (
@@ -126,3 +126,32 @@ def test_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(f"{base}/store").collect()
     }
     assert before == after
+
+
+def test_redelivered_ids_do_not_overtighten(spark, tmp_path):
+    """An at-least-once source re-delivering an epoch's rows must not
+    double-count them: the size counts are over the ID SET, so a
+    duplicate epoch leaves the threshold where the distinct stream
+    puts it (the set-model identity the pure-Python property test
+    pins)."""
+    base = str(tmp_path / "run")
+    ids = list(range(0, 40))
+    kept0 = {i for i in ids if _coin(i) < COIN_SPAN}  # j=0 keeps all
+    assert len(kept0) == 40
+    # epoch 1 re-delivers epoch 0 verbatim; cap 64 > 40 distinct
+    _run(spark, base, [ids, ids], cap=64)
+    rows = spark.read.parquet(f"{base}/store/epoch=1").collect()
+    assert all(r.j == 0 for r in rows), "duplicates over-tightened j"
+    assert sorted(r.doc_id for r in rows) == ids
+
+
+def test_empty_first_batch_then_data(spark, tmp_path):
+    """An empty first micro-batch writes an empty epoch store; the
+    next epoch must read it without crashing (NULL max(j) → 0)."""
+    base = str(tmp_path / "run")
+    _run(spark, base, [[], list(range(100))], cap=16)
+    rows = spark.read.parquet(f"{base}/store/epoch=1").collect()
+    assert 0 < len(rows) <= 16
+    j = rows[0].j
+    expected = {i for i in range(100) if _coin(i) < (COIN_SPAN >> j)}
+    assert {r.doc_id for r in rows} == expected
