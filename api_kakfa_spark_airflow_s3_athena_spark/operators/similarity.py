@@ -51,6 +51,8 @@ __all__ = [
     "residual_quantization_error",
     "sq8_quantize",
     "sq8_rerank_topk",
+    "ivf_sq8_index",
+    "ivf_sq8_topk",
 ]
 
 
@@ -1748,6 +1750,110 @@ def sq8_rerank_topk(
     )
     rescored = (
         c.select("neighbor_id", "c_vec")
+        .join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
+    )
+    return _ranked_topk(rescored, "query_id", k)
+
+
+def ivf_sq8_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+):
+    """The composed IVF-SQ8 artifact pair ``(centroids, code_index)``
+    — the FAISS ``IVF,SQ8`` shape: the corpus keyed by its
+    nearest-centroid ``cell`` with per-vector int8 codes instead of
+    floats. ``code_index`` rows are ``(cell, neighbor_id, sq8_codes,
+    sq8_scale)`` — ~1/4 the bytes of the float cell index, written
+    ``partitionBy("cell")`` once so queries scan only probed cells
+    via partition pruning AND read quarter-width rows inside them:
+    the two scan levers (prune cells, shrink bytes) compose."""
+    centroids, cell_index = ivf_index(
+        corpus, n_centroids, corpus_id, vec_col, seed
+    )
+    coded = sq8_quantize(cell_index, "c_vec").select(
+        "cell", "neighbor_id", "sq8_codes", "sq8_scale"
+    )
+    return centroids, coded
+
+
+def ivf_sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    candidates: int = 50,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    max_queries: int = 10_000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-SQ8 search: probe each query's ``nprobe`` nearest cells,
+    rank the probed cells' int8 codes by the quantized dot product
+    (skinny (query, neighbor, key) rows only — the
+    :func:`sq8_rerank_topk` phase-1 discipline), exact-rerank the
+    ``candidates`` survivors against the float corpus by id.
+
+    Cost at 100 TB: cells pruned at the scan (nprobe/n_centroids of
+    the corpus), int8 bytes inside them (1/4 width), exact floats
+    touched only for candidates·|Q| rows. With nprobe ≥ n_centroids
+    and candidates ≥ |corpus| this is row-identical to
+    :func:`sq8_rerank_topk` with full coverage (test-pinned)."""
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"ivf_sq8_topk got > {max_queries} queries; bound the query set"
+        )
+    centroids, codes = ivf_sq8_index(
+        corpus, n_centroids, corpus_id, vec_col, seed
+    )
+    q = sq8_quantize(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col)),
+        vec_col,
+    ).select(
+        "query_id",
+        F.col(vec_col).alias("q_vec"),
+        F.col("sq8_codes").alias("q_codes"),
+    )
+    probes = _ivf_assign(
+        q.select("query_id", "q_vec"), centroids, "query_id", "q_vec",
+        keep=nprobe,
+    ).select("query_id", "cell")
+    # probed cells only: the (query, cell) pairs broadcast against the
+    # code index — a literal IN-filter on a partitionBy("cell") store
+    # (the ivfpq static-pruning recipe) when the index is persisted
+    scored = codes.join(
+        F.broadcast(probes.join(q.select("query_id", "q_codes"), "query_id")),
+        "cell",
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    phase1 = scored.select(
+        "query_id",
+        "neighbor_id",
+        (_int_dot(F.col("q_codes"), F.col("sq8_codes")).cast("double")
+         * F.col("sq8_scale")).alias("akey"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("akey").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        phase1.withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= candidates)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
         .join(F.broadcast(cands), "neighbor_id")
         .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
         .select(
