@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_position", "bloom_bits", "bloom_candidates"]
+__all__ = ["bloom_position", "bloom_bits", "bloom_candidates", "bloom_merge"]
 
 
 def bloom_position(key: Column, row: int, m: int) -> Column:
@@ -68,3 +68,12 @@ def bloom_candidates(
             "leftsemi",
         )
     return out.drop("__bit")
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two filters over the same (m, k) layout — EXACT:
+    a bloom filter is the bit-OR of its insertions, so the distinct
+    union of two sparse bit-position sets IS the filter of the
+    unioned key sets (the linearity the streaming epoch-fold relies
+    on). A ≤ m-row operation at any key count."""
+    return a.select("bit").unionByName(b.select("bit")).distinct()

@@ -45,6 +45,8 @@ __all__ = [
     "hll_sketch_sink",
     "adaptive_sample_batch",
     "adaptive_sample_sink",
+    "bloom_sink_batch",
+    "bloom_sink",
 ]
 
 
@@ -355,6 +357,71 @@ def adaptive_sample_sink(
         adaptive_sample_batch(
             batch, epoch_id, id_col, keep_cols, cap, store_path, salt=salt
         )
+        if epoch_times is not None:
+            epoch_times[epoch_id] = _time.time() - t0
+
+    writer = (
+        df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# =====================================================================
+# Streaming bloom-filter maintenance (operators/bloom)
+# =====================================================================
+#
+# The fourth exact-merge family: a bloom filter is the bit-OR of its
+# insertions, so the epoch fold is a ≤ m-row distinct union
+# (bloom_merge) — stored bits after epoch e ARE bloom_bits of every
+# key streamed through e, bit-for-bit. The streaming use: keep a
+# filter over an ever-growing key dimension (seen URLs, ingested doc
+# digests, contaminated n-grams) that any batch job can broadcast to
+# prune a scan — membership state in m bits forever.
+
+
+def bloom_sink_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    key_col: str,
+    m: int,
+    n_hashes: int,
+    store_path: str,
+) -> None:
+    """Fold one micro-batch into the running filter."""
+    from ..operators.bloom import bloom_bits, bloom_merge
+    from .upsert import target_exists
+
+    spark = batch.sparkSession
+    bits = bloom_bits(batch, key_col, m, n_hashes)
+    prev_dir = _epoch_dir(store_path, epoch_id - 1)
+    if target_exists(spark, prev_dir):
+        merged = bloom_merge(spark.read.parquet(prev_dir), bits)
+    else:
+        merged = bits
+    merged.write.mode("overwrite").parquet(_epoch_dir(store_path, epoch_id))
+
+
+def bloom_sink(
+    df: DataFrame,
+    key_col: str,
+    m: int,
+    n_hashes: int,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    epoch_times: dict | None = None,
+):
+    """Start the filter-maintenance sink; returns the StreamingQuery."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
+        bloom_sink_batch(batch, epoch_id, key_col, m, n_hashes, store_path)
         if epoch_times is not None:
             epoch_times[epoch_id] = _time.time() - t0
 

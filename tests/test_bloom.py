@@ -78,3 +78,67 @@ def test_candidates_preserve_fact_columns_and_rows(spark):
         "key",
         "payload",
     }
+
+
+def test_bloom_merge_equals_bits_of_union(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.bloom import bloom_merge
+
+    a_keys = list(range(0, 50))
+    b_keys = list(range(30, 90))
+    mk = lambda keys: bloom_bits(
+        spark.createDataFrame([(k,) for k in keys], ["key"]), "key", m=512, n_hashes=3
+    )
+    merged = {r.bit for r in bloom_merge(mk(a_keys), mk(b_keys)).collect()}
+    direct = {r.bit for r in mk(a_keys + b_keys).collect()}
+    assert merged == direct == _ref_bits(set(a_keys) | set(b_keys), 512, 3)
+
+
+def _run_bloom_stream(spark, base, files, m=512, k=3):
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.sketches import bloom_sink
+
+    src = f"{base}/src"
+    for b, keys in enumerate(files):
+        spark.createDataFrame([(x,) for x in keys], "key long").coalesce(
+            1
+        ).write.mode("append" if b else "overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = bloom_sink(
+        stream,
+        "key",
+        m=m,
+        n_hashes=k,
+        store_path=f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def test_streaming_filter_equals_batch_and_prunes(spark, tmp_path):
+    base = str(tmp_path / "run")
+    files = [list(range(0, 40)), list(range(40, 80)), list(range(0, 20))]
+    _run_bloom_stream(spark, base, files)
+    final = {
+        r.bit for r in spark.read.parquet(f"{base}/store/epoch=2").collect()
+    }
+    all_keys = {x for f in files for x in f}
+    assert final == _ref_bits(all_keys, 512, 3)
+    # bits only grow across epochs (insert-only structure)
+    store = spark.read.parquet(f"{base}/store")
+    sizes = {
+        r.epoch: r.n
+        for r in store.groupBy("epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes[0] <= sizes[1] and sizes[1] == sizes[2]
+    # the streamed filter prunes a batch scan with zero false negatives
+    fact = spark.createDataFrame([(x,) for x in range(120)], ["key"])
+    bits_df = spark.read.parquet(f"{base}/store/epoch=2")
+    cand = {
+        r.key
+        for r in bloom_candidates(fact, "key", bits_df, m=512, n_hashes=3).collect()
+    }
+    assert all_keys <= cand
