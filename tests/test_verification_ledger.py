@@ -217,3 +217,42 @@ def test_registry_tally_matches_readme():
     assert int(m.group(2)) == n_oracled, (
         f"README.md says {m.group(2)} oracled, REGISTRY has {n_oracled}"
     )
+
+
+def test_overdue_high_risk_rows_jump_the_rotation_queue():
+    """The risk-tiered rotation policy (PARITY.md, decided round 11):
+    an athena/streaming-tagged green that would be >= 3 rounds stale at
+    the upcoming round is re-prioritized ahead of even-staler
+    pure-relational rows; fresh high-risk rows keep their place."""
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
+        _HIGH_RISK_MAX_AGE,
+        _HIGH_RISK_TAGS,
+    )
+
+    high_risk = [
+        s.name for s in REGISTRY.values() if _HIGH_RISK_TAGS & set(s.tags)
+    ]
+    plain = [
+        s.name for s in REGISTRY.values() if not (_HIGH_RISK_TAGS & set(s.tags))
+    ]
+    assert high_risk and plain
+    hr_stale, hr_fresh = high_risk[0], high_risk[1]
+    oldest_plain = plain[0]
+    max_round = 10
+    ledger = {
+        n: {"ok": True, "round": max_round, "rows_only": False}
+        for n in list(REGISTRY)
+    }
+    # a plain row one round STALER than the overdue high-risk row
+    ledger[oldest_plain] = {"ok": True, "round": 5, "rows_only": False}
+    ledger[hr_stale] = {
+        "ok": True,
+        "round": max_round + 1 - _HIGH_RISK_MAX_AGE,
+        "rows_only": False,
+    }
+    ledger[hr_fresh] = {"ok": True, "round": max_round, "rows_only": False}
+    order = [s.name for s in _ordered_specs(ledger)]
+    # overdue high-risk precedes the (staler) plain row ...
+    assert order.index(hr_stale) < order.index(oldest_plain)
+    # ... but a fresh high-risk row does NOT jump ahead of it
+    assert order.index(oldest_plain) < order.index(hr_fresh)
