@@ -60,14 +60,20 @@ def bloom_candidates(
     positions set). k chained broadcast semi-joins — scan-pipelined,
     shuffle-free; supersets the true match set (no false negatives:
     a real match's bits were all inserted)."""
+    # Collision-checked scratch name (the cms_lookup discipline): a
+    # caller's own "__bit" column must survive the membership test
+    # untouched, so probe for a free name instead of clobbering.
+    tmp = "__bloom_bit"
+    while tmp in fact.columns:
+        tmp += "_"
     out = fact
     for j in range(n_hashes):
-        out = out.withColumn("__bit", bloom_position(F.col(key_col), j, m)).join(
-            F.broadcast(bits.withColumnRenamed("bit", "__bit")),
-            "__bit",
+        out = out.withColumn(tmp, bloom_position(F.col(key_col), j, m)).join(
+            F.broadcast(bits.withColumnRenamed("bit", tmp)),
+            tmp,
             "leftsemi",
         )
-    return out.drop("__bit")
+    return out.drop(tmp)
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -1676,6 +1676,25 @@ def _int_dot(a, b):
     )
 
 
+def _l2_normalized(df: DataFrame, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with its L2-normalized image (zero vectors
+    pass through unchanged). Used by the SQ8 searches' ``normalize``
+    path so the quantized dot product becomes ∝ cosine."""
+    v = F.col(vec_col)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return df.withColumn(
+        vec_col,
+        F.when(nrm > 0, F.transform(v, lambda x: x.cast("double") / nrm))
+        .otherwise(F.transform(v, lambda x: x.cast("double"))),
+    )
+
+
 def sq8_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1686,6 +1705,7 @@ def sq8_rerank_topk(
     vec_col: str = "embedding",
     max_queries: int = 10_000,
     exclude_self: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """Two-phase exact-rerank search: phase 1 ranks the corpus by the
     QUANTIZED dot product (integer codes; scan reads 1/4 the bytes and
@@ -1699,17 +1719,36 @@ def sq8_rerank_topk(
     engine-identical operands (the NOTES float recipe: one IEEE op is
     bit-stable, chains are not). Ties break on neighbor id.
 
+    Recall caveat (NOT just int8 rounding): the phase-1 key is a raw
+    inner product while the final score is cosine, so with the default
+    ``normalize=False`` the candidate set assumes NEAR-UNIFORM vector
+    norms — on a corpus with heterogeneous norms a high-cosine but
+    small-norm neighbor can be excluded from the candidates. Pass
+    ``normalize=True`` to L2-normalize both sides before quantization
+    (dot ∝ cosine; the inversions-only-between-near-equal-scores bound
+    then holds unconditionally), at the cost of a float normalization
+    chain ahead of quantization — fine for engine use, but the
+    registered oracle twin pins the default path precisely because
+    that chain is not bit-reproducible across engines. Either way the
+    registry entry carries a MEASURED recall contract against the
+    exact brute force rather than a claim.
+
     Scale shape: corpus never shuffles in phase 1 (queries broadcast,
     per-partition scoring, skinny candidate rows out); phase 2 touches
-    ``candidates × |Q|`` rows. Recall is near-1 because int8 rank
-    inversions only occur between near-equal scores (reconstruction
-    error ≤ scale/2 per coordinate) — and the staged registry entry
-    carries a measured recall contract against the exact brute force
-    rather than a claim."""
+    ``candidates × |Q|`` rows."""
     if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"sq8_rerank_topk got > {max_queries} queries; bound the "
             "query set — phase 1 is O(|Q|·|corpus|) integer ops"
+        )
+    if normalize:
+        queries = _l2_normalized(
+            queries.select(F.col(query_id).alias(query_id), F.col(vec_col)),
+            vec_col,
+        )
+        corpus = _l2_normalized(
+            corpus.select(F.col(corpus_id).alias(corpus_id), F.col(vec_col)),
+            vec_col,
         )
     q = sq8_quantize(
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col)),
@@ -1798,12 +1837,16 @@ def ivf_sq8_topk(
     seed: int = 11,
     max_queries: int = 10_000,
     exclude_self: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """IVF-SQ8 search: probe each query's ``nprobe`` nearest cells,
     rank the probed cells' int8 codes by the quantized dot product
     (skinny (query, neighbor, key) rows only — the
     :func:`sq8_rerank_topk` phase-1 discipline), exact-rerank the
     ``candidates`` survivors against the float corpus by id.
+    ``normalize=True`` L2-normalizes both sides first — see the
+    :func:`sq8_rerank_topk` recall caveat for when the default raw
+    inner-product candidate key is insufficient (heterogeneous norms).
 
     Cost at 100 TB: cells pruned at the scan (nprobe/n_centroids of
     the corpus), int8 bytes inside them (1/4 width), exact floats
@@ -1813,6 +1856,15 @@ def ivf_sq8_topk(
     if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"ivf_sq8_topk got > {max_queries} queries; bound the query set"
+        )
+    if normalize:
+        queries = _l2_normalized(
+            queries.select(F.col(query_id).alias(query_id), F.col(vec_col)),
+            vec_col,
+        )
+        corpus = _l2_normalized(
+            corpus.select(F.col(corpus_id).alias(corpus_id), F.col(vec_col)),
+            vec_col,
         )
     centroids, codes = ivf_sq8_index(
         corpus, n_centroids, corpus_id, vec_col, seed

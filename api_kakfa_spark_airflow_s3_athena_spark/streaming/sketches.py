@@ -54,6 +54,43 @@ def _epoch_dir(base: str, epoch_id) -> str:
     return posixpath.join(base, f"epoch={epoch_id}")
 
 
+def _prev_epoch_dir(spark, base: str, epoch_id: int):
+    """Directory of the strictly-earlier epoch's synopsis, or ``None``
+    for a genuinely fresh store (no epoch dirs at all).
+
+    The epoch fold reads ONLY ``epoch_id - 1``. If that directory is
+    missing but OTHER epoch dirs exist, the store and the checkpoint
+    disagree (an epoch dir was compacted/removed out from under a
+    live checkpoint, or the checkpoint was restarted against the
+    wrong store): silently treating the batch as the first epoch
+    would drop every accumulated insertion from the fold, so a gap
+    fails loudly instead (ADVICE r10)."""
+    from .upsert import _hadoop_fs, target_exists
+
+    if target_exists(spark, _epoch_dir(base, epoch_id - 1)):
+        return _epoch_dir(base, epoch_id - 1)
+    fs, hbase = _hadoop_fs(spark, base)
+    existing = []
+    if fs.exists(hbase):
+        for status in fs.listStatus(hbase):
+            name = status.getPath().getName()
+            if name.startswith("epoch="):
+                try:
+                    existing.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+    earlier = sorted(e for e in existing if e < epoch_id)
+    if earlier:
+        raise ValueError(
+            f"epoch-fold store {base!r} has a gap: epoch {epoch_id} "
+            f"expects epoch={epoch_id - 1} but found only epochs "
+            f"{earlier} — refusing to silently restart the fold from "
+            "this batch alone (restore the missing epoch or start a "
+            "fresh store+checkpoint pair)"
+        )
+    return None  # fresh store: this IS the first epoch
+
+
 def kmv_sketch_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -65,12 +102,10 @@ def kmv_sketch_batch(
     """Fold one micro-batch into the running synopsis: sketch the
     batch, merge with the strictly-earlier epoch's stored synopsis,
     overwrite this epoch's directory."""
-    from .upsert import target_exists
-
     spark = batch.sparkSession
     sk = kmv_sketch(batch, group_cols, F.col(value_col), k=k)
-    prev_dir = _epoch_dir(store_path, epoch_id - 1)
-    if target_exists(spark, prev_dir):
+    prev_dir = _prev_epoch_dir(spark, store_path, epoch_id)
+    if prev_dir is not None:
         merged = kmv_merge(spark.read.parquet(prev_dir), sk, group_cols, k)
     else:
         # first epoch: no prior synopsis
@@ -140,12 +175,11 @@ def cms_sketch_batch(
     overwrite this epoch's directory (idempotent replay — the
     streaming/dedup.py epoch discipline)."""
     from ..operators.frequency import cms_merge, count_min_counters
-    from .upsert import target_exists
 
     spark = batch.sparkSession
     sk = count_min_counters(batch, unit_col, width, depth)
-    prev_dir = _epoch_dir(store_path, epoch_id - 1)
-    if target_exists(spark, prev_dir):
+    prev_dir = _prev_epoch_dir(spark, store_path, epoch_id)
+    if prev_dir is not None:
         merged = cms_merge(spark.read.parquet(prev_dir), sk)
     else:
         merged = sk
@@ -205,12 +239,11 @@ def hll_sketch_batch(
 ) -> None:
     """Fold one micro-batch into the running register table."""
     from ..operators.sketches import hll_merge, hll_registers
-    from .upsert import target_exists
 
     spark = batch.sparkSession
     regs = hll_registers(batch, group_cols, F.col(value_col))
-    prev_dir = _epoch_dir(store_path, epoch_id - 1)
-    if target_exists(spark, prev_dir):
+    prev_dir = _prev_epoch_dir(spark, store_path, epoch_id)
+    if prev_dir is not None:
         merged = hll_merge(
             spark.read.parquet(prev_dir).unionByName(regs), group_cols
         )
@@ -289,14 +322,13 @@ def adaptive_sample_batch(
     columns: ``keep_cols…, __coin, j`` (j constant per epoch = the
     current threshold exponent)."""
     from ..operators.quantiles import COIN_SPAN, hash_coin
-    from .upsert import target_exists
 
     spark = batch.sparkSession
-    prev_dir = _epoch_dir(store_path, epoch_id - 1)
+    prev_dir = _prev_epoch_dir(spark, store_path, epoch_id)
     kcols = list(keep_cols)
     if id_col not in kcols:
         raise ValueError("id_col must be one of keep_cols (dedup key)")
-    if target_exists(spark, prev_dir):
+    if prev_dir is not None:
         prev = spark.read.parquet(prev_dir)
         # max over an EMPTY prior store is NULL — an empty epoch is a
         # valid state (empty first batch), not a reason to crash
@@ -393,12 +425,11 @@ def bloom_sink_batch(
 ) -> None:
     """Fold one micro-batch into the running filter."""
     from ..operators.bloom import bloom_bits, bloom_merge
-    from .upsert import target_exists
 
     spark = batch.sparkSession
     bits = bloom_bits(batch, key_col, m, n_hashes)
-    prev_dir = _epoch_dir(store_path, epoch_id - 1)
-    if target_exists(spark, prev_dir):
+    prev_dir = _prev_epoch_dir(spark, store_path, epoch_id)
+    if prev_dir is not None:
         merged = bloom_merge(spark.read.parquet(prev_dir), bits)
     else:
         merged = bits

@@ -142,3 +142,21 @@ def test_streaming_filter_equals_batch_and_prunes(spark, tmp_path):
         for r in bloom_candidates(fact, "key", bits_df, m=512, n_hashes=3).collect()
     }
     assert all_keys <= cand
+
+
+def test_candidates_preserve_preexisting_scratch_columns(spark):
+    """A caller's own ``__bit`` / ``__bloom_bit`` columns must survive
+    the membership test with their values intact (ADVICE r10: the
+    probe previously materialized its positions into ``__bit`` and
+    dropped it, destroying user data in that column)."""
+    dim = spark.createDataFrame([(1,), (2,)], ["key"])
+    fact = spark.createDataFrame(
+        [(1, 11, 111), (2, 22, 222), (3, 33, 333)],
+        ["key", "__bit", "__bloom_bit"],
+    )
+    bits = bloom_bits(dim, "key", m=4096, n_hashes=3)
+    got = sorted(
+        (r.key, r["__bit"], r["__bloom_bit"])
+        for r in bloom_candidates(fact, "key", bits, m=4096, n_hashes=3).collect()
+    )
+    assert got == [(1, 11, 111), (2, 22, 222)]

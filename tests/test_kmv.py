@@ -233,3 +233,30 @@ def test_sketch_multi_column_groups(spark):
     assert got[("a", "x")] == sorted(_py_hash(f"t{i}") for i in range(40))[:8]
     assert got[("a", "y")] == sorted(_py_hash(f"t{i}") for i in range(5))
     assert got[("b", "x")] == [_py_hash("t0")]
+
+
+def test_epoch_fold_gap_fails_loudly(spark, tmp_path):
+    """ADVICE r10: an epoch id whose predecessor synopsis is missing
+    while OTHER epochs exist means the store and checkpoint disagree
+    (compacted/removed epoch dir, or a checkpoint restarted against
+    the wrong store) — the fold must raise, not silently restart from
+    the batch alone and drop accumulated state. A genuinely fresh
+    store (no epoch dirs at all) still starts cleanly."""
+    import pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.sketches import (
+        kmv_sketch_batch,
+    )
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame([("a", i) for i in range(20)], ["g", "v"])
+    kmv_sketch_batch(batch, 0, ["g"], "v", k=8, store_path=store)
+    # consecutive epoch: fine
+    kmv_sketch_batch(batch, 1, ["g"], "v", k=8, store_path=store)
+    # gap (epoch 3 with only 0,1 present): loud failure
+    with pytest.raises(ValueError, match="gap"):
+        kmv_sketch_batch(batch, 3, ["g"], "v", k=8, store_path=store)
+    # fresh store at a nonzero epoch id (no epoch dirs): first epoch
+    fresh = str(tmp_path / "fresh")
+    kmv_sketch_batch(batch, 5, ["g"], "v", k=8, store_path=fresh)
+    assert spark.read.parquet(f"{fresh}/epoch=5").count() > 0

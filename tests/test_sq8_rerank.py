@@ -100,3 +100,26 @@ def test_query_guard_raises_on_oversized_query_set(spark):
     q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="queries"):
         sq8_rerank_topk(q, emb, k=2, max_queries=5)
+
+
+def test_normalize_recovers_small_norm_high_cosine_neighbor(spark):
+    """ADVICE r10: the default phase-1 key is a RAW quantized inner
+    product, so on a heterogeneous-norm corpus a perfectly-aligned but
+    tiny vector loses its candidate slot to big-norm moderate-cosine
+    vectors. ``normalize=True`` makes the key ∝ cosine and recovers
+    it; the default path's behavior is pinned too (it is what the
+    registered oracle replicates)."""
+    # query along e1; neighbor 0 is tiny but perfectly aligned
+    # (cosine 1); neighbors 1..8 are huge with cosine ≈ 0.95
+    vecs = [[0.001, 0.0, 0.0, 0.0]] + [
+        [10.0, 3.0 + 0.1 * i, 0.0, 0.0] for i in range(8)
+    ]
+    corpus = _emb(spark, vecs)
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    raw = sq8_rerank_topk(q, corpus, k=1, candidates=1)
+    assert [r.neighbor_id for r in raw.collect()] == [1]  # big norm wins
+    normed = sq8_rerank_topk(q, corpus, k=1, candidates=1, normalize=True)
+    assert [r.neighbor_id for r in normed.collect()] == [0]  # cosine wins
