@@ -60,6 +60,7 @@ __all__ = [
     "quantile_rank_check",
     "robust_stats",
     "weighted_discrete_quantiles",
+    "quantile_drift",
 ]
 
 COIN_BITS = 20
@@ -247,6 +248,58 @@ def robust_stats(
             "mad",
             "n_outliers",
             F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_rate"),
+        )
+    )
+
+
+def quantile_drift(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    value_col: str,
+    id_col: str,
+    qs: Sequence[float],
+) -> DataFrame:
+    """Max-rank-displacement drift between two BOUNDED samples (the
+    adaptive sampler's per-epoch states — the distribution-shift
+    alarm primitive for streaming ingest): for each ``q``, take A's
+    discrete q-quantile ELEMENT ``value_a`` (:func:`discrete_quantiles`
+    — always actual data, no interpolation), locate it in B by exact
+    rank counting ``n_le_b = #{x ≤ value_a}``, and emit the rank
+    displacement ``|n_le_b/n_b − q|``. If B is distributed like A,
+    the element that sat at rank-fraction q in A still sits near q in
+    B (displacement ≈ sampling noise, Dvoretzky–Kiefer–Wolfowitz:
+    ≤ √(ln(2/δ)/2s) w.p. 1−δ); under a shift the upper quantiles'
+    displacement approaches the shifted mass fraction. Output per q:
+    ``(q, value_a, n_le_b, n_b, displacement)`` — the caller maxes
+    displacement into the alarm.
+
+    Cost shape: both inputs are cap-bounded samples (kilobytes), so
+    the quantile sort and the crossJoin-count are driver-trivial at
+    any corpus size — the 100 TB cost lives in the adaptive sampler
+    that MAINTAINS the samples, which is one scan-level filter per
+    epoch."""
+    a = sample_a.select(value_col, id_col).withColumn("__g", F.lit(1))
+    qa = discrete_quantiles(a, ["__g"], value_col, id_col, qs).select(
+        "q", F.col("value").alias("value_a")
+    )
+    b = sample_b.select(F.col(value_col).alias("__v"))
+    return (
+        b.crossJoin(F.broadcast(qa))
+        .groupBy("q", "value_a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum((F.col("__v") <= F.col("value_a")).cast("long"))
+            .cast("long")
+            .alias("n_le_b"),
+        )
+        .select(
+            "q",
+            "value_a",
+            "n_le_b",
+            "n_b",
+            F.round(
+                F.abs(F.col("n_le_b") / F.col("n_b") - F.col("q")), 6
+            ).alias("displacement"),
         )
     )
 

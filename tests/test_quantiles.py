@@ -167,3 +167,45 @@ def test_weighted_quantiles_drop_nonpositive_weights_and_heavy_row_dominates(spa
     }
     # the weight-100 row holds ranks 2..101 of 102: both quantiles hit it
     assert got[(1, 2)] == 5 and got[(9, 10)] == 5
+
+
+def test_quantile_drift_identical_samples_zero_displacement(spark):
+    # distinct values: with ties, n_le counts the whole tie group and
+    # legitimately exceeds the rank (rank-displacement is a CDF
+    # statistic; ties inflate it by the tie mass)
+    df = spark.createDataFrame(
+        [(i, ((i * 37) % 100) + 0.5) for i in range(100)], ["id", "v"]
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        quantile_drift,
+    )
+
+    rows = quantile_drift(df, df, "v", "id", [0.25, 0.5, 0.9]).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # A's q-quantile element sits at rank ceil(q*n) in A itself, so
+        # against an identical B the displacement is the ceil rounding
+        # only: |ceil(q*n)/n - q| < 1/n
+        assert r.displacement < 1.0 / r.n_b + 1e-9
+
+
+def test_quantile_drift_detects_shift(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        quantile_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["id", "v"]
+    )
+    b = spark.createDataFrame(
+        [(i, float(i) + 50.0) for i in range(100)], ["id", "v"]
+    )
+    rows = {r.q: r for r in quantile_drift(a, b, "v", "id", [0.5]).collect()}
+    # A's median (49.0) sits below every B value except none -> rank 0,
+    # displacement |0/100 - 0.5| = 0.5
+    assert rows[0.5].displacement == 0.5
+    # reverse direction: A's median in the left-shifted frame ranks high
+    rows_rev = {
+        r.q: r for r in quantile_drift(b, a, "v", "id", [0.5]).collect()
+    }
+    assert rows_rev[0.5].displacement == 0.5
