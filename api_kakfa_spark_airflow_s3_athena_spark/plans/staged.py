@@ -590,3 +590,405 @@ def streaming_bloom_decontaminate(spark, sf_dir):
             .alias("n_epochs"),
         )
     )
+
+
+# =====================================================================
+# PII redaction stats (LLM-corpus scrubbing pass)
+# =====================================================================
+
+# Dialect-portable patterns (Java regex in Spark, RE2 in DuckDB: no
+# backreferences/lookaround, \b and character classes behave alike)
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def _pii_docs(spark, sf_dir):
+    """Documents with DETERMINISTICALLY planted PII (the planted-
+    fixture discipline: the base corpus is PII-free, so recall is
+    exact): doc_id%5==0 gains a synthetic e-mail, doc_id%7==0 a
+    phone-shaped token — both derived from doc_id, replicated
+    verbatim by the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    email = F.concat(
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, email).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, phone).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register_staged(
+    "pii_redaction_stats",
+    oracle=r"""
+        WITH pii AS (
+            SELECT doc_id, lang,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' call 555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                        4, '0')
+                           ELSE '' END AS text
+            FROM documents
+        ),
+        scanned AS (
+            SELECT doc_id, lang, text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text, '\b\d{3}-\d{4}\b'))
+                       AS n_phones,
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'), '\b\d{3}-\d{4}\b', '[PHONE]', 'g')
+                       AS redacted
+            FROM pii
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_planted_email,
+               CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_planted_phone,
+               CAST(sum(n_emails) AS BIGINT) AS n_emails,
+               CAST(sum(n_phones) AS BIGINT) AS n_phones,
+               CAST(sum(len(text) - len(redacted)) AS BIGINT)
+                   AS redacted_chars,
+               min(CASE WHEN doc_id % 5 = 0 THEN n_emails >= 1
+                        ELSE n_emails = 0 END) AS email_recall_exact,
+               min(CASE WHEN doc_id % 7 = 0 THEN n_phones >= 1
+                        ELSE n_phones = 0 END) AS phone_recall_exact,
+               min(len(regexp_extract_all(redacted,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+                   AND len(regexp_extract_all(redacted,
+                   '\b\d{3}-\d{4}\b')) = 0) AS redaction_complete
+        FROM scanned
+        GROUP BY lang
+    """,
+    tags=("text", "quality", "llm-pipeline", "policy"),
+)
+def pii_redaction_stats(spark, sf_dir):
+    """PII scrubbing pass (the corpus-policy filter every LLM training
+    pipeline runs before tokenization): detect and redact e-mail and
+    phone-shaped tokens with dialect-portable regexes, emitting
+    per-language detection counts, redacted-character mass, and THREE
+    falsifiable contracts — planted PII is always found and ONLY
+    planted docs have hits (the base corpus is verified PII-free, so
+    recall/precision are exact, not estimates), and re-scanning the
+    redacted text finds nothing.
+
+    100 TB shape: one scan, all work in JVM regex expressions
+    (regexp_count/regexp_replace — no UDF), aggregation by the
+    low-cardinality lang key; the redacted text never needs to
+    materialize outside the scan pipeline."""
+    scanned = _pii_docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+    return scanned.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("doc_id") % 5 == 0).cast("long"))
+        .cast("long")
+        .alias("n_planted_email"),
+        F.sum((F.col("doc_id") % 7 == 0).cast("long"))
+        .cast("long")
+        .alias("n_planted_phone"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum(F.length("text") - F.length("redacted"))
+        .cast("long")
+        .alias("redacted_chars"),
+        F.min(
+            F.when(F.col("doc_id") % 5 == 0, F.col("n_emails") >= 1).otherwise(
+                F.col("n_emails") == 0
+            )
+        ).alias("email_recall_exact"),
+        F.min(
+            F.when(F.col("doc_id") % 7 == 0, F.col("n_phones") >= 1).otherwise(
+                F.col("n_phones") == 0
+            )
+        ).alias("phone_recall_exact"),
+        F.min(
+            (F.regexp_count(F.col("redacted"), F.lit(_PII_EMAIL_RE)) == 0)
+            & (F.regexp_count(F.col("redacted"), F.lit(_PII_PHONE_RE)) == 0)
+        ).alias("redaction_complete"),
+    )
+
+
+# =====================================================================
+# Gopher-style repetition filter (max-trigram-frequency ratio)
+# =====================================================================
+
+from ..functions.text import tokens, word_shingles_from_tokens  # noqa: E402
+
+_REP_MIN_TRI = 30  # length precondition: ratio is noise on tiny docs
+_REP_TRIP = 0.12   # measured: clean docs <= 0.067, planted >= 0.219
+_REP_COPIES = 30
+
+
+@register_staged(
+    "gopher_repetition_filter",
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN text || repeat(' ' ||
+                             list_filter(regexp_split_to_array(text,
+                                 '[ \\t\\n\\x0b\\f\\r]+'),
+                                 x -> x <> '')[1], {_REP_COPIES})
+                        ELSE text END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(text,
+                       '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
+            FROM planted
+        ),
+        tri AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS val
+            FROM toks
+        ),
+        per AS (
+            SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tri,
+                   CAST(max(c) AS BIGINT) AS max_c
+            FROM (SELECT doc_id, lang, val, count(*) AS c
+                  FROM tri GROUP BY 1, 2, 3)
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT doc_id, lang, n_tri,
+                   round(max_c / n_tri, 6) AS rep_ratio,
+                   doc_id % 11 = 0 AS is_planted,
+                   n_tri >= {_REP_MIN_TRI} AS eligible
+            FROM per
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_eligible,
+               CAST(sum(CASE WHEN eligible AND is_planted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_planted,
+               CAST(sum(CASE WHEN eligible AND rep_ratio > {_REP_TRIP}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               min(CASE WHEN eligible AND is_planted
+                        THEN rep_ratio > {_REP_TRIP} END)
+                   AS planted_all_flagged,
+               min(CASE WHEN eligible AND NOT is_planted
+                        THEN rep_ratio <= {_REP_TRIP} END)
+                   AS clean_none_flagged,
+               max(CASE WHEN eligible AND NOT is_planted
+                        THEN rep_ratio END) AS max_ratio_clean,
+               min(CASE WHEN eligible AND is_planted
+                        THEN rep_ratio END) AS min_ratio_planted
+        FROM scored
+        GROUP BY lang
+    """,
+    tags=("text", "quality", "llm-pipeline", "dedup"),
+)
+def gopher_repetition_filter(spark, sf_dir):
+    """Repetition quality filter (the Gopher/MassiveText rule family:
+    drop documents dominated by a repeated n-gram): per document, the
+    most frequent word-trigram's share of all trigram occurrences,
+    flagged above a threshold, with a minimum-length precondition
+    (ratio is pure noise on tiny docs — the same reason Gopher
+    applies length gates first).
+
+    Falsifiable both ways: docs with doc_id%11==0 get a 30-copy
+    repeated-word run appended (planted ratio ≥ 0.219 at every SF),
+    clean docs measure ≤ 0.067 — threshold 0.12 must flag ALL planted
+    and NO clean docs (``planted_all_flagged`` / ``clean_none_flagged``
+    pinned per language in both engines, plus the crossing band values
+    themselves).
+
+    100 TB shape: one explode + two bounded groupBys (doc × distinct
+    trigram, then doc) — no joins, no windows over the corpus; the
+    per-doc trigram cardinality is bounded by doc length."""
+    d = _t(spark, sf_dir, "documents")
+    w0 = F.element_at(tokens(F.col("text")), 1)
+    text2 = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.repeat(F.concat(F.lit(" "), w0), _REP_COPIES)),
+    ).otherwise(F.col("text"))
+    planted = d.select("doc_id", "lang", text2.alias("text"))
+    tri = planted.select(
+        "doc_id",
+        "lang",
+        F.explode(word_shingles_from_tokens(tokens(F.col("text")), 3)).alias(
+            "val"
+        ),
+    )
+    per = (
+        tri.groupBy("doc_id", "lang", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tri"),
+            F.max("c").cast("long").alias("max_c"),
+        )
+    )
+    scored = per.select(
+        "doc_id",
+        "lang",
+        "n_tri",
+        F.round(F.col("max_c") / F.col("n_tri"), 6).alias("rep_ratio"),
+        (F.col("doc_id") % 11 == 0).alias("is_planted"),
+        (F.col("n_tri") >= _REP_MIN_TRI).alias("eligible"),
+    )
+    el = F.col("eligible")
+    pl = F.col("is_planted")
+    flag = F.col("rep_ratio") > _REP_TRIP
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(el.cast("long")).cast("long").alias("n_eligible"),
+        F.sum((el & pl).cast("long")).cast("long").alias("n_planted"),
+        F.sum((el & flag).cast("long")).cast("long").alias("n_flagged"),
+        F.min(F.when(el & pl, flag)).alias("planted_all_flagged"),
+        F.min(F.when(el & ~pl, ~flag)).alias("clean_none_flagged"),
+        F.max(F.when(el & ~pl, F.col("rep_ratio"))).alias("max_ratio_clean"),
+        F.min(F.when(el & pl, F.col("rep_ratio"))).alias("min_ratio_planted"),
+    )
+
+
+# =====================================================================
+# SQ8 rerank on heterogeneous norms: the normalize=True contract
+# =====================================================================
+
+
+@register_staged(
+    "ann_sq8_rerank_normalized",
+    oracle="""
+        WITH q0 AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id < 16
+        ),
+        c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ex AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM q0 q JOIN c0 c ON c.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                         c.vec_id) <= 10
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN neighbor_id % 9 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_scaled_true
+            FROM ex
+        )
+        SELECT CAST(16 AS BIGINT) AS n_queries,
+               n_true,
+               n_scaled_true,
+               CAST(n_true - n_scaled_true AS BIGINT) AS n_raw_hits,
+               n_true AS n_norm_hits,
+               true AS raw_excludes_scaled_ok,
+               true AS norm_recall_full_ok
+        FROM stats
+    """,
+    tags=("similarity", "quantization"),
+    bench_fn=lambda spark, sf_dir: SIM.sq8_rerank_topk(
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        k=10,
+        candidates=50,
+        normalize=True,
+    ),
+)
+def ann_sq8_rerank_normalized(spark, sf_dir):
+    """The heterogeneous-norm failure mode of raw-inner-product
+    candidate ranking, and its fix (ADVICE r10 → similarity.py
+    ``normalize=True``), as a falsifiable contract: scale 1/9 of the
+    corpus down by 1000x (cosine is scale-invariant, so the exact
+    top-10 is UNCHANGED — the oracle replicates it on the unscaled
+    vectors), then run the flat SQ8 rerank both ways.
+
+    Measured at all three SFs: the raw phase-1 key excludes EVERY
+    scaled true neighbor from the candidates (n_raw_hits ==
+    n_true − n_scaled_true, exactly), while normalize=True makes the
+    key ∝ cosine and recovers the full exact top-10 (n_norm_hits ==
+    n_true). Counts cross the engine compare — the oracle computes
+    n_true and n_scaled_true from its own exact-cosine ranking.
+    bench_fn times the normalized production search."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 9 == 0,
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * F.lit(0.001)
+            ),
+        )
+        .otherwise(F.transform(F.col("embedding"), lambda x: x.cast("double")))
+        .alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(q, emb, k=10).select(
+        "query_id", F.col("neighbor_id").alias("n")
+    ).localCheckpoint(eager=True)
+    stats = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum((F.col("n") % 9 == 0).cast("long"))
+        .cast("long")
+        .alias("n_scaled_true"),
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+
+    def hits(normalize):
+        appr = SIM.sq8_rerank_topk(
+            q, scaled, k=10, candidates=50, normalize=normalize
+        ).select("query_id", F.col("neighbor_id").alias("n"))
+        return appr.join(exact, ["query_id", "n"])
+
+    raw = hits(False).agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw_hits"),
+        F.coalesce(F.max((F.col("n") % 9 == 0)), F.lit(False)).alias(
+            "raw_found_scaled"
+        ),
+    )
+    norm = hits(True).agg(F.count(F.lit(1)).cast("long").alias("n_norm_hits"))
+    return (
+        nq.crossJoin(stats)
+        .crossJoin(raw)
+        .crossJoin(norm)
+        .select(
+            "n_queries",
+            "n_true",
+            "n_scaled_true",
+            "n_raw_hits",
+            "n_norm_hits",
+            (~F.col("raw_found_scaled")).alias("raw_excludes_scaled_ok"),
+            (F.col("n_norm_hits") == F.col("n_true")).alias(
+                "norm_recall_full_ok"
+            ),
+        )
+    )
