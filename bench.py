@@ -184,12 +184,29 @@ HEADLINE = HEADLINE_R01 + [
     # round-10 fresh slot: residual IVF-PQ streaming maintenance
     # (3-epoch pipeline total; per-epoch marginals reported)
     "streaming_ann_residual_ingest",
+    # round-11 additions: the twelve promoted round-10 staged operators.
+    # Sketch/quantile rows time the bare operator paths (bench_fn where
+    # the registry contract adds oracle-only calibration); the three
+    # streaming rows are 3-epoch pipeline totals with per-epoch
+    # marginals reported separately (cms/hll/as keys).
+    "quantile_sketch_events",
+    "weighted_quantiles_doclen",
+    "robust_stats_value",
+    "countmin_trigram_freq",
+    "hll_distinct_trigrams",
+    "ngram_novelty_scores",
+    "ann_sq8_rerank",
+    "bloom_semijoin_orders",
+    "phrase_top_bigram",
+    "streaming_countmin",
+    "streaming_hll_distinct",
+    "streaming_adaptive_sample",
 ]
 
 # The current round's additions — kept in the final fitted stdout line
 # when the full per-query map no longer fits the recorder's window
 # (see _fitted_headline_line). Update per round alongside HEADLINE.
-HEADLINE_LATEST = HEADLINE[HEADLINE.index("kmv_source_overlap"):]
+HEADLINE_LATEST = HEADLINE[HEADLINE.index("quantile_sketch_events"):]
 
 # Best-of-N per query: a single-shot timing showed double-digit
 # run-to-run swings on queries whose code hadn't changed (r03->r04
@@ -360,9 +377,12 @@ def main() -> None:
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import (
         LAST_STREAM_ANN_EPOCH_SEC,
         LAST_STREAM_ANN_RES_EPOCH_SEC,
+        LAST_STREAM_AS_EPOCH_SEC,
+        LAST_STREAM_CMS_EPOCH_SEC,
         LAST_STREAM_DEDUP_EPOCH_SEC,
         LAST_STREAM_GATE_EPOCH_SEC,
         LAST_STREAM_HH_EPOCH_SEC,
+        LAST_STREAM_HLL_EPOCH_SEC,
         LAST_STREAM_KMV_EPOCH_SEC,
     )
 
@@ -409,6 +429,9 @@ def main() -> None:
         "streaming_kmv_epoch_marginal_sec": LAST_STREAM_KMV_EPOCH_SEC,
         "streaming_hh_epoch_marginal_sec": LAST_STREAM_HH_EPOCH_SEC,
         "streaming_ann_res_epoch_marginal_sec": LAST_STREAM_ANN_RES_EPOCH_SEC,
+        "streaming_cms_epoch_marginal_sec": LAST_STREAM_CMS_EPOCH_SEC,
+        "streaming_hll_epoch_marginal_sec": LAST_STREAM_HLL_EPOCH_SEC,
+        "streaming_as_epoch_marginal_sec": LAST_STREAM_AS_EPOCH_SEC,
     }
     full = {**summary, "query_runs": query_runs,
             "escalation_runs": escalation_runs}

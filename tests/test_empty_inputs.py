@@ -435,3 +435,41 @@ def test_phrase_and_sq8_on_empty_input(spark):
         [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     assert sq8_rerank_topk(q, empty_vecs, k=3).count() == 0
+
+
+# ---- round-12 staged operator families ------------------------------
+
+
+def test_quantile_drift_on_empty_samples(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        quantile_drift,
+    )
+
+    empty = spark.createDataFrame([], "id long, v double")
+    data = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"])
+    # empty A: no quantile elements, no drift rows (an absent epoch is
+    # "no signal", not a crash)
+    assert quantile_drift(empty, data, "v", "id", [0.5]).count() == 0
+    # empty B: nothing to rank against, no rows
+    assert quantile_drift(data, empty, "v", "id", [0.5]).count() == 0
+
+
+def test_sq8_normalize_on_zero_vectors(spark):
+    """Zero vectors pass through _l2_normalized unchanged (no NaN/div0)
+    and quantize to all-zero codes under normalize=True."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        sq8_rerank_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    rows = sq8_rerank_topk(
+        q, corpus, k=3, candidates=3, normalize=True
+    ).collect()
+    assert [r.neighbor_id for r in rows if r.rank == 1] == [1]
+    assert all(r.score == r.score for r in rows)  # no NaN

@@ -96,9 +96,8 @@ AUDIT = [
     "hybrid_search_rrf3",
     "ann_cosine_topk_ivfpq_residual",
     "bpe_byte_level_encode",
-    # round-11 staged operators (resolved from plans/staged.py until
-    # promotion; streaming_countmin's per-epoch batch plan is
-    # count_min_counters + cms_merge, audited via countmin_trigram_freq)
+    # registered in round 11 (formerly staged; streaming_countmin's
+    # per-epoch batch plan is count_min_counters + cms_merge)
     "quantile_sketch_events",
     "robust_stats_value",
     "countmin_trigram_freq",
@@ -108,6 +107,14 @@ AUDIT = [
     "bloom_semijoin_orders",
     "phrase_top_bigram",
     "weighted_quantiles_doclen",
+    # round-12 staged operators (resolved from plans/staged.py until
+    # promotion; quantile_drift_monitor / streaming_bloom_decontaminate
+    # are foreachBatch lifecycles whose per-epoch batch plans are the
+    # adaptive_sample / bloom_bits shapes audited elsewhere)
+    "ann_ivf_sq8",
+    "ann_sq8_rerank_normalized",
+    "pii_redaction_stats",
+    "gopher_repetition_filter",
 ]
 
 
