@@ -992,3 +992,81 @@ def ann_sq8_rerank_normalized(spark, sf_dir):
             ),
         )
     )
+
+
+# =====================================================================
+# Embedding health probe: norms + isotropy via deterministic pairing
+# =====================================================================
+
+from ..functions.vectors import cosine, l2_norm  # noqa: E402
+
+
+@register_staged(
+    "embedding_isotropy_probe",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_aggregate(
+                       list_transform(embedding::DOUBLE[], x -> x * x),
+                       'sum')) AS nrm
+            FROM embeddings
+        ),
+        paired AS (
+            SELECT label, nrm,
+                   round(list_cosine_similarity(
+                       v, lag(v) OVER (PARTITION BY label ORDER BY vec_id)
+                   ), 6) AS pc
+            FROM base
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(pc) AS BIGINT) AS n_pairs,
+               round(avg(nrm), 4) AS mean_norm,
+               round(min(nrm), 6) AS min_norm,
+               round(max(nrm), 6) AS max_norm,
+               round(avg(pc), 4) AS mean_pair_cos,
+               round(avg(abs(pc)), 4) AS mean_abs_pair_cos
+        FROM paired
+        GROUP BY label
+    """,
+    tags=("similarity", "quality", "monitoring"),
+)
+def embedding_isotropy_probe(spark, sf_dir):
+    """Embedding-table health diagnostics (the pre-flight every
+    vector-search / SemDedup pipeline should run before trusting
+    cosine): per label, the L2-norm band (mean/min/max — a collapsed
+    or exploded norm distribution breaks inner-product shortcuts, the
+    exact failure mode the SQ8 normalize contract pins) and an
+    ISOTROPY probe — mean (and mean-absolute) cosine over the
+    deterministic adjacent-pair matching within the label (lag by
+    vec_id: a fixed 1-regular pairing, so both engines score the SAME
+    n−1 pairs; near-0 mean ⇒ directions spread isotropically, large
+    positive ⇒ the label's vectors share a dominant direction, the
+    anisotropy that inflates all-pairs cosine similarity).
+
+    All crossing values: counts exact, norms/cosines one fold +
+    round(6), means round(4) per the repo float recipe. One window +
+    one aggregate — no joins, no all-pairs."""
+    w = Window.partitionBy("label").orderBy("vec_id")
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    paired = base.select(
+        "label",
+        "nrm",
+        F.round(cosine(F.col("embedding"), F.lag("embedding").over(w)), 6).alias(
+            "pc"
+        ),
+    )
+    return paired.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.count("pc").cast("long").alias("n_pairs"),
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg("pc"), 4).alias("mean_pair_cos"),
+        F.round(F.avg(F.abs(F.col("pc"))), 4).alias("mean_abs_pair_cos"),
+    )

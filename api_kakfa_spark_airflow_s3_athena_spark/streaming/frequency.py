@@ -73,8 +73,11 @@ def mg_summary_batch(
     """Fold one micro-batch into the running per-key MG summary:
     exact in-batch histogram, merge with the strictly-earlier epoch's
     stored summary, MG-reduce per key, track the deduction ledger,
-    overwrite this epoch's ``summary``/``meta`` directories."""
-    from .upsert import target_exists
+    overwrite this epoch's ``summary``/``meta`` directories. A gap in
+    the epoch store (predecessor missing while other epochs exist)
+    fails loudly instead of silently restarting the fold — the
+    sketches-sink discipline (ADVICE r10)."""
+    from .sketches import _prev_epoch_dir
 
     spark = batch.sparkSession
     gcols = list(key_cols)
@@ -86,8 +89,10 @@ def mg_summary_batch(
         F.count(F.lit(1)).cast("long").alias("n_units"),
         F.lit(0).cast("long").alias("deduction"),
     )
-    prev_sum = _dir(store_path, "summary", epoch_id - 1)
-    if target_exists(spark, prev_sum):
+    prev_sum = _prev_epoch_dir(
+        spark, posixpath.join(store_path, "summary"), epoch_id
+    )
+    if prev_sum is not None:
         merged = (
             spark.read.parquet(prev_sum)
             .unionByName(bc)

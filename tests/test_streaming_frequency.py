@@ -139,3 +139,23 @@ def test_single_epoch_equals_exact_histogram_truncation(spark, tmp_path):
     }
     assert state == {("g", "x"): 3, ("g", "y"): 2, ("h", "z"): 1}
     assert meta == {"g": (5, 0), "h": (1, 0)}
+
+
+def test_mg_epoch_fold_gap_fails_loudly(spark, tmp_path):
+    """The sketches-sink gap discipline applies to the MG summary fold
+    too: a missing predecessor epoch with other epochs present raises
+    instead of silently restarting the fold (ADVICE r10)."""
+    import pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.frequency import (
+        mg_summary_batch,
+    )
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [("en", f"w{i % 5}") for i in range(40)], ["lang", "unit"]
+    )
+    mg_summary_batch(batch, 0, ["lang"], "unit", 3, store)
+    mg_summary_batch(batch, 1, ["lang"], "unit", 3, store)
+    with pytest.raises(ValueError, match="gap"):
+        mg_summary_batch(batch, 4, ["lang"], "unit", 3, store)
