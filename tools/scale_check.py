@@ -92,6 +92,14 @@ HEAVY_OPS = [
     "ngram_novelty_scores",
     "phrase_top_bigram",
     "ann_sq8_rerank",
+    # round-12 staged operators (documents/embeddings fixtures; the
+    # streaming/events-based ones — quantile_drift_monitor,
+    # streaming_bloom_decontaminate — are measured on the testdata
+    # decade instead, NOTES round 11)
+    "pii_redaction_stats",
+    "gopher_repetition_filter",
+    "ann_ivf_sq8",
+    "embedding_isotropy_probe",
 ]
 
 
