@@ -1070,3 +1070,158 @@ def embedding_isotropy_probe(spark, sf_dir):
         F.round(F.avg("pc"), 4).alias("mean_pair_cos"),
         F.round(F.avg(F.abs(F.col("pc"))), 4).alias("mean_abs_pair_cos"),
     )
+
+
+# =====================================================================
+# CUSUM change-point monitor on daily revenue (sequential analytics)
+# =====================================================================
+
+_CUSUM_CUT = "2000-01-01"  # planted level shift: post-cutoff revenue x2
+_CUSUM_H_MU = 6            # alarm threshold = 6 x pre-period daily mean
+_CUSUM_LAG_MAX = 31        # alarm must fire within a month of the shift
+
+
+@register_staged(
+    "cusum_changepoint_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                        * 100, 0) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        planted AS (
+            SELECT day,
+                   CASE WHEN day >= DATE '{_CUSUM_CUT}'
+                        THEN cents * 2 ELSE cents END AS cents
+            FROM daily
+        ),
+        pre AS (
+            SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mu,
+                   CAST(count(*) AS BIGINT) AS n_pre
+            FROM planted WHERE day < DATE '{_CUSUM_CUT}'
+        ),
+        cs AS (
+            SELECT day,
+                   sum(cents - (mu + mu // 2)) OVER (ORDER BY day) AS S
+            FROM planted, pre
+        ),
+        s AS (
+            SELECT day, S - min(S) OVER (ORDER BY day) AS s FROM cs
+        ),
+        agg AS (
+            SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_days,
+                (SELECT n_pre FROM pre) AS n_pre,
+                (SELECT mu FROM pre) AS mu_pre_cents,
+                (SELECT CAST({_CUSUM_H_MU} * mu AS BIGINT) FROM pre)
+                    AS h_cents,
+                (SELECT CAST(coalesce(max(s), 0) AS BIGINT) FROM s
+                 WHERE day < DATE '{_CUSUM_CUT}') AS max_s_pre,
+                (SELECT min(day) FROM s, pre
+                 WHERE s > {_CUSUM_H_MU} * mu) AS first_alarm_day
+        )
+        SELECT n_days, n_pre, mu_pre_cents, h_cents, max_s_pre,
+               first_alarm_day,
+               CAST(date_diff('day', DATE '{_CUSUM_CUT}', first_alarm_day)
+                    AS BIGINT) AS detection_lag_days,
+               max_s_pre < h_cents AS no_false_alarm_ok,
+               first_alarm_day IS NOT NULL
+                   AND first_alarm_day >= DATE '{_CUSUM_CUT}' AS alarmed_ok,
+               date_diff('day', DATE '{_CUSUM_CUT}', first_alarm_day)
+                   <= {_CUSUM_LAG_MAX} AS lag_within_month_ok
+        FROM agg
+    """,
+    tags=("analytics", "monitoring", "window"),
+)
+def cusum_changepoint_daily(spark, sf_dir):
+    """Sequential change-point detection (Page 1954 CUSUM) on the
+    daily order-revenue series, in ALL-INTEGER cents arithmetic: the
+    one-sided CUSUM ``s_n = max(0, s_{{n-1}} + x_n − ref)`` has the
+    closed form ``s_n = S_n − min_{{j≤n}} S_j`` (cumsum minus running
+    minimum), so two ordered windows compute the whole statistic —
+    no recursion, no FP anywhere (revenue exact in DECIMAL cents, the
+    reference level ``1.5·μ_pre`` by integer division).
+
+    Falsifiable alarm contract: revenue is DOUBLED from {cut} on (the
+    planted level shift — pre-period drift is −0.5μ/day, post +0.5μ),
+    so with threshold 6μ the monitor must (a) never alarm before the
+    shift (measured max_s_pre ≤ 4.04μ across SFs), (b) alarm after it,
+    (c) within a month (measured lag 3–16 days). Every intermediate —
+    μ, h, max excursion, first alarm day, lag — is a crossing value.
+
+    Scale shape: the global-order window runs over the DAILY series
+    (≤ ~2,400 rows regardless of order count) — the heavy lifting is
+    the groupBy(day) partial aggregate at the scan.""".format(
+        cut=_CUSUM_CUT
+    )
+    cut = F.lit(_CUSUM_CUT).cast("date")
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    planted = daily.select(
+        "day",
+        F.when(F.col("day") >= cut, F.col("cents") * 2)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    pre = planted.filter(F.col("day") < cut).agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n_pre"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cs = planted.crossJoin(F.broadcast(pre)).select(
+        "day",
+        "mu",
+        "n_pre",
+        F.sum(F.col("cents") - (F.col("mu") + F.expr("mu div 2")))
+        .over(w)
+        .alias("S"),
+    )
+    s = cs.select(
+        "day",
+        "mu",
+        "n_pre",
+        (F.col("S") - F.min("S").over(w)).alias("s"),
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("n_pre").alias("n_pre"),
+        F.max("mu").alias("mu_pre_cents"),
+        (F.max("mu") * _CUSUM_H_MU).cast("long").alias("h_cents"),
+        F.coalesce(
+            F.max(F.when(F.col("day") < cut, F.col("s"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_s_pre"),
+        F.min(
+            F.when(F.col("s") > F.col("mu") * _CUSUM_H_MU, F.col("day"))
+        ).alias("first_alarm_day"),
+    )
+    return agg.select(
+        "n_days",
+        "n_pre",
+        "mu_pre_cents",
+        "h_cents",
+        "max_s_pre",
+        "first_alarm_day",
+        F.datediff(F.col("first_alarm_day"), cut)
+        .cast("long")
+        .alias("detection_lag_days"),
+        (F.col("max_s_pre") < F.col("h_cents")).alias("no_false_alarm_ok"),
+        (
+            F.col("first_alarm_day").isNotNull()
+            & (F.col("first_alarm_day") >= cut)
+        ).alias("alarmed_ok"),
+        (F.datediff(F.col("first_alarm_day"), cut) <= _CUSUM_LAG_MAX).alias(
+            "lag_within_month_ok"
+        ),
+    )
