@@ -599,3 +599,40 @@ def test_kmv_partial_pass_equals_brute_force_k_smallest(batches, k):
             want.setdefault(g, set()).add(h)
     want = {g: sorted(v)[:k] for g, v in want.items() if v}
     assert got == want
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=4,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_quantile_drift_properties(spark, vals):
+    """For ANY distinct-valued sample: (a) displacement is in [0, 1];
+    (b) drift of a sample against ITSELF is bounded by the ceil
+    rounding (< 1/n per q); (c) drift against a disjoint right-shifted
+    copy of itself puts every quantile element BELOW all of B, so
+    displacement equals q exactly."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        quantile_drift,
+    )
+
+    qs = [0.25, 0.5, 0.9]
+    a = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    rows = quantile_drift(a, a, "v", "id", qs).collect()
+    assert len(rows) == len(qs)
+    for r in rows:
+        assert 0.0 <= r.displacement <= 1.0
+        assert r.displacement < 1.0 / r.n_b + 1e-9
+    shift = max(vals) + 1
+    b = spark.createDataFrame(
+        [(i, float(v + shift)) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    for r in quantile_drift(a, b, "v", "id", qs).collect():
+        assert r.n_le_b == 0
+        assert abs(r.displacement - r.q) < 1e-9
