@@ -1373,3 +1373,204 @@ def event_transition_matrix(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.sum("n").over(wp), 6).alias("transition_p"),
     )
+
+
+# =====================================================================
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# =====================================================================
+
+
+@register_staged(
+    "rfm_customer_segments",
+    oracle="""
+        WITH mx AS (
+            SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+        ),
+        per AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day',
+                        max(CAST(o_orderdate AS DATE)),
+                        (SELECT maxd FROM mx)) AS BIGINT) AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                        * 100, 0) AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY 1
+        ),
+        scored AS (
+            SELECT o_custkey, recency_days, frequency, monetary_cents,
+                   CAST(6 - ntile(5) OVER (
+                       ORDER BY recency_days, o_custkey) AS BIGINT) AS r,
+                   CAST(ntile(5) OVER (
+                       ORDER BY frequency, o_custkey) AS BIGINT) AS f,
+                   CAST(ntile(5) OVER (
+                       ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m
+            FROM per
+        )
+        SELECT r, f, m,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
+               CAST(min(recency_days) AS BIGINT) AS min_recency,
+               CAST(max(frequency) AS BIGINT) AS max_frequency
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM segmentation (the classic CRM/warehouse scoring): per
+    customer, recency (days since last order, vs the corpus max
+    date), frequency (order count), monetary (exact DECIMAL cents);
+    each scored into quintiles by ``ntile(5)`` under a FULLY
+    DETERMINISTIC order (metric, custkey) — ntile's equal-bucket
+    rule is engine-identical given a total order, so the 5x5x5
+    segment grid and its aggregates are exact crossing values
+    (recency inverted: 5 = most recent).
+
+    Scale shape: one per-customer aggregate (map-side combinable),
+    then three rank windows over the CUSTOMER table (dimension-sized,
+    not fact-sized) and a bounded segment groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd"), F.col("lastd"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = per.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (
+            F.lit(6)
+            - F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
+        )
+        .cast("long")
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("long")
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "o_custkey"))
+        .cast("long")
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        F.min("recency_days").cast("long").alias("min_recency"),
+        F.max("frequency").cast("long").alias("max_frequency"),
+    )
+
+
+# =====================================================================
+# Revenue concentration: Lorenz deciles + Gini (integer arithmetic)
+# =====================================================================
+
+
+@register_staged(
+    "revenue_concentration_gini",
+    oracle="""
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                        * 100, 0) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_custkey) AS rn,
+                   count(*) OVER () AS n,
+                   sum(cents) OVER () AS tot
+            FROM per
+        ),
+        decs AS (
+            SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS decile_cents,
+                   round(sum(cents) / max(tot), 6) AS revenue_share
+            FROM ranked
+            GROUP BY 1
+        ),
+        gini AS (
+            -- G = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n on the sorted
+            -- series: exact integer numerators, ONE rounded division
+            SELECT round(
+                       (2.0 * sum(rn * cents) - (max(n) + 1) * max(tot))
+                       / (max(n) * max(tot)), 6) AS gini
+            FROM ranked
+        )
+        SELECT d.decile, d.n_customers, d.decile_cents, d.revenue_share,
+               g.gini
+        FROM decs d CROSS JOIN gini g
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def revenue_concentration_gini(spark, sf_dir):
+    """Revenue concentration audit (the who-pays-the-bills question,
+    and the skew diagnostic for customer-keyed partitioning): Lorenz
+    deciles of per-customer revenue (decile by integer rank
+    arithmetic — no percentile interpolation) plus the Gini
+    coefficient via the sorted-series identity
+    ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`` — integer numerators in
+    exact DECIMAL cents, one rounded division per output.
+
+    Scale shape: per-customer aggregate at the scan, then one rank
+    window over the CUSTOMER dimension; deciles + a 1-row Gini — no
+    fact-sized windows."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    )
+    decs = (
+        ranked.groupBy(
+            F.expr("((rn - 1) * 10) div n").cast("long").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("decile_cents"),
+            F.round(F.sum("cents") / F.max("tot"), 6).alias("revenue_share"),
+        )
+    )
+    gini = ranked.agg(
+        F.round(
+            (
+                2.0 * F.sum(F.col("rn") * F.col("cents"))
+                - (F.max("n") + 1) * F.max("tot")
+            )
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini")
+    )
+    return decs.crossJoin(F.broadcast(gini))
