@@ -115,6 +115,12 @@ AUDIT = [
     "ann_sq8_rerank_normalized",
     "pii_redaction_stats",
     "gopher_repetition_filter",
+    "cusum_changepoint_daily",
+    "retention_cohort_matrix",
+    "event_transition_matrix",
+    "rfm_customer_segments",
+    "revenue_concentration_gini",
+    "embedding_isotropy_probe",
 ]
 
 
