@@ -112,6 +112,8 @@ def _run_cms_stream(spark, base, files, width=16, depth=3):
 
     src = f"{base}/src"
     for b, rows in enumerate(files):
+        if rows is None:  # placeholder for a file written by an earlier run
+            continue
         spark.createDataFrame([(u,) for u in rows], ["unit"]).coalesce(1).write.mode(
             "append" if b else "overwrite"
         ).parquet(src)
@@ -161,3 +163,46 @@ def test_streaming_counters_equal_batch(spark, tmp_path):
         for r in store.groupBy("epoch").agg(F.sum("cnt").alias("m")).collect()
     }
     assert mass[0] <= mass[1] <= mass[2]
+
+
+def test_streaming_resume_across_restart_equals_batch(spark, tmp_path):
+    """Exactly-once across a RESTART with new data: process two epoch
+    files, stop (availableNow drains and terminates), append a third
+    file, restart against the same checkpoint — the resumed stream
+    must process ONLY the new file (offsets tracked, fold continues
+    from the stored epoch), and the final counter table must equal a
+    one-shot batch sketch of everything ever streamed."""
+    from pyspark.sql import functions as F
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.frequency import (
+        count_min_counters,
+    )
+
+    base = str(tmp_path / "run")
+    f0 = [f"a{i % 7}" for i in range(50)]
+    f1 = [f"b{i % 5}" for i in range(30)]
+    f2 = [f"a{i % 3}" for i in range(20)]
+    _run_cms_stream(spark, base, [f0, f1])
+    epochs_before = {
+        r.epoch for r in spark.read.parquet(f"{base}/store").select("epoch").distinct().collect()
+    }
+    assert epochs_before == {0, 1}
+    # restart with one NEW file appended: resumes at epoch 2
+    _run_cms_stream(spark, base, [None, None, f2])
+    store = spark.read.parquet(f"{base}/store")
+    epochs_after = {r.epoch for r in store.select("epoch").distinct().collect()}
+    assert epochs_after == {0, 1, 2}
+    final = {
+        (r.row, r.bucket): r.cnt
+        for r in store.filter(F.col("epoch") == 2).collect()
+    }
+    batch = {
+        (r.row, r.bucket): r.cnt
+        for r in count_min_counters(
+            spark.createDataFrame([(u,) for u in f0 + f1 + f2], ["unit"]),
+            "unit",
+            16,
+            3,
+        ).collect()
+    }
+    assert final == batch
