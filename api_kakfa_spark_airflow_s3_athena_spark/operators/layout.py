@@ -32,6 +32,8 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
+
+from ._util import require_absent, scratch_name
 from pyspark.sql import functions as F
 
 __all__ = ["export_shard", "sharded_export", "zorder_value", "zorder_write"]
@@ -104,15 +106,16 @@ def zorder_write(
         )
         # width_bucket: 0 below lo, n+1 above hi -> clamp into [1, n]
         code = F.least(F.greatest(code, F.lit(1)), F.lit(n_codes)) - F.lit(1)
-        name = f"__z_code_{i}"
+        name = scratch_name(f"__z_code_{i}", df)
         out = out.withColumn(name, code)
         code_cols.append(name)
 
-    out = out.withColumn("__z", zorder_value([F.col(c) for c in code_cols], bits))
+    z_col = scratch_name("__z", df)
+    out = out.withColumn(z_col, zorder_value([F.col(c) for c in code_cols], bits))
     (
-        out.repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z", *code_cols)
+        out.repartitionByRange(n_files, F.col(z_col))
+        .sortWithinPartitions(z_col)
+        .drop(z_col, *code_cols)
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -154,12 +157,16 @@ def sharded_export(
     global permutation. At 100 TB pick ``n_shards`` so a shard is a
     few GB (the unit of retry and of reader parallelism).
     """
+    # "__shard" is the on-disk partition column — part of the layout
+    # contract readers depend on, so an input collision must be loud
+    require_absent(df, "__shard", "sharded_export")
+    key_col = scratch_name("__key", df)
     out = (
         df.withColumn("__shard", export_shard(F.col(id_col), n_shards))
-        .withColumn("__key", F.md5(F.col(id_col).cast("string")))
+        .withColumn(key_col, F.md5(F.col(id_col).cast("string")))
         .repartition(n_shards, F.col("__shard"))
-        .sortWithinPartitions("__shard", "__key")
-        .drop("__key")
+        .sortWithinPartitions("__shard", key_col)
+        .drop(key_col)
     )
     (
         out.write.mode("overwrite")

@@ -47,6 +47,11 @@ def salted_partials(
         F.xxhash64(F.monotonically_increasing_id(), F.lit(0x5A17)),
         F.lit(salt_buckets),
     )
+    from ._util import require_absent
+
+    # "__salt" is part of this function's OUTPUT contract (tests assert
+    # the spread over it), so it cannot be renamed away — conflict loudly
+    require_absent(df, "__salt", "salted_pre_agg")
     return (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -106,14 +111,19 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    from ._util import scratch_name
+
     salt = F.pmod(
         F.xxhash64(F.monotonically_increasing_id(), F.lit(0x5A17)),
         F.lit(salt_buckets),
     ).cast("int")
-    salted_left = left.withColumn("__salt", salt)
+    # collision-checked scratch name: a caller's own "__salt" column
+    # must survive the join untouched (the bloom_candidates discipline)
+    salt_col = scratch_name("__salt", left, right)
+    salted_left = left.withColumn(salt_col, salt)
     replicated_right = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted_left.join(
-        replicated_right, [*on, "__salt"], how
-    ).drop("__salt")
+        replicated_right, [*on, salt_col], how
+    ).drop(salt_col)

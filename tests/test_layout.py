@@ -164,3 +164,31 @@ def test_sharded_export_is_deterministic_and_balanced(spark, tmp_path):
     # (3) balance: no shard over 2x the mean
     sizes = [len(v) for v in o1.values()]
     assert max(sizes) <= 2 * (sum(sizes) / len(sizes))
+
+
+def test_zorder_write_preserves_caller_scratch_columns(spark, tmp_path):
+    """A caller's own __z / __z_code_0 columns must survive the layout
+    write (collision-checked scratch names)."""
+    df = spark.createDataFrame(
+        [(i, float(i), float(i * 2), 7, 8) for i in range(20)],
+        ["id", "x", "y", "__z", "__z_code_0"],
+    )
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.layout import zorder_write
+
+    path = str(tmp_path / "zl")
+    zorder_write(df, ["x", "y"], path, n_files=2, bits=4)
+    out = spark.read.parquet(path)
+    assert {"id", "x", "y", "__z", "__z_code_0"} <= set(out.columns)
+    assert {(r["__z"], r["__z_code_0"]) for r in out.collect()} == {(7, 8)}
+
+
+def test_sharded_export_conflicts_loudly_on_shard_column(spark, tmp_path):
+    import pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.layout import (
+        sharded_export,
+    )
+
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "__shard"])
+    with pytest.raises(ValueError, match="__shard"):
+        sharded_export(df, str(tmp_path / "se"))

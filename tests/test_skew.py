@@ -164,3 +164,30 @@ def test_salted_join_hot_key_spreads(spark):
         left.withColumn("__salt", salt).select("__salt").distinct().count()
     )
     assert n_buckets > 1
+
+
+def test_salted_join_preserves_caller_salt_column(spark):
+    """ADVICE-r10 clobber class: a caller's own __salt column must
+    survive salted_join untouched (collision-checked scratch name)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, 111), (2, 222)], ["k", "__salt"]
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    got = sorted(
+        (r.k, r["__salt"], r.v)
+        for r in salted_join(left, right, on=["k"], salt_buckets=4).collect()
+    )
+    assert got == [(1, 111, "x"), (2, 222, "y")]
+
+
+def test_salted_partials_conflicts_loudly_on_salt_column(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.skew import salted_partials
+
+    df = spark.createDataFrame([(1, 2, 3)], ["k", "__salt", "v"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_partials(df, ["k"], [(F.sum("v"), F.sum("v"), "s")])
