@@ -1746,3 +1746,135 @@ def scd2_user_state_intervals(spark, sf_dir):
         .cast("long")
         .alias("closed_us"),
     )
+
+
+# =====================================================================
+# Equi-depth histogram selectivity (optimizer-statistics contract)
+# =====================================================================
+
+_HIST_K = 20
+_HIST_PREDS = (5000.0, 20000.0, 35000.0, 50000.0, 80000.0)
+
+
+@register_staged(
+    "histogram_selectivity_audit",
+    oracle=f"""
+        WITH v AS (
+            SELECT l_extendedprice AS x,
+                   row_number() OVER (
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ) AS rn,
+                   count(*) OVER () AS n
+            FROM lineitem
+        ),
+        b AS (
+            SELECT i,
+                   (SELECT x FROM v
+                    WHERE rn = greatest(1, CAST(ceil(CAST(i AS DOUBLE)
+                                   * n / {_HIST_K}) AS BIGINT))
+                    LIMIT 1) AS bv
+            FROM (SELECT unnest(range(1, {_HIST_K} + 1)) AS i),
+                 (SELECT max(n) AS n FROM v)
+        ),
+        preds AS (
+            SELECT CAST(unnest([{", ".join(repr(p) for p in _HIST_PREDS)}])
+                   AS DOUBLE) AS t
+        ),
+        res AS (
+            SELECT t,
+                   (SELECT CAST(count(*) AS BIGINT) FROM v WHERE x <= t)
+                       AS exact_count,
+                   (SELECT CAST(count(*) AS BIGINT) FROM b WHERE bv <= t)
+                       AS j,
+                   (SELECT CAST(max(n) AS BIGINT) FROM v) AS n
+            FROM preds
+        )
+        SELECT t AS threshold, n, j AS buckets_below,
+               CAST((j * n) // {_HIST_K} AS BIGINT) AS est_count,
+               exact_count,
+               CAST(abs(exact_count - (j * n) // {_HIST_K}) AS BIGINT)
+                   AS abs_err,
+               abs(exact_count - (j * n) // {_HIST_K})
+                   <= n // {_HIST_K} + 1 AS err_within_one_bucket
+        FROM res
+    """,
+    tags=("analytics", "approx", "quantile"),
+)
+def histogram_selectivity_audit(spark, sf_dir):
+    """Equi-depth histogram cardinality estimation with a FALSIFIABLE
+    error bound — the optimizer-statistics primitive (Spark CBO /
+    every warehouse keeps equi-depth column histograms): K=20 discrete
+    boundary elements (rank ceil(i·n/K) under a total order), then for
+    each range predicate ``x <= t`` the estimate ``⌊j·n/K⌋`` (j =
+    boundaries below t) against the EXACT count. Equi-depth theory:
+    the estimate is off by at most one bucket — ``err_within_one_
+    bucket`` pins ``|est − exact| ≤ n/K + 1`` in both engines (holds
+    with slack at every SF; the worst measured predicate sits exactly
+    one bucket off because it falls below the first boundary).
+
+    Scale posture: this contract query uses the exact global rank to
+    match the oracle bit-for-bit; the 100 TB path swaps boundary
+    selection to ``sampled_quantiles`` (scan-level Bernoulli filter,
+    same discrete-rank rule — quantiles.py), which changes the bound
+    only by the sampling eps. Estimates and errors are all integer
+    crossing values."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.orderBy("x", "l_orderkey", "l_linenumber")
+    ranked = (
+        li.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    idx = ranked.sparkSession.range(1, _HIST_K + 1).select(
+        F.col("id").cast("int").alias("i")
+    )
+    bounds = (
+        ranked.crossJoin(F.broadcast(idx))
+        .where(
+            F.col("rn")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.col("i").cast("double") * F.col("n") / _HIST_K),
+            )
+        )
+        .select("i", F.col("x").alias("bv"))
+    )
+    preds = ranked.sparkSession.createDataFrame(
+        [(float(p),) for p in _HIST_PREDS], "t double"
+    )
+    exact = (
+        li.crossJoin(F.broadcast(preds))
+        .groupBy("t")
+        .agg(F.sum((F.col("x") <= F.col("t")).cast("long")).alias("exact_count"))
+    )
+    jcount = (
+        bounds.crossJoin(F.broadcast(preds))
+        .groupBy("t")
+        .agg(F.sum((F.col("bv") <= F.col("t")).cast("long")).alias("j"))
+    )
+    n1 = ranked.agg(F.max("n").cast("long").alias("n"))
+    return (
+        exact.join(jcount, "t")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("t").alias("threshold"),
+            "n",
+            F.col("j").alias("buckets_below"),
+            F.expr(f"(j * n) div {_HIST_K}").cast("long").alias("est_count"),
+            "exact_count",
+            F.abs(
+                F.col("exact_count") - F.expr(f"(j * n) div {_HIST_K}")
+            )
+            .cast("long")
+            .alias("abs_err"),
+            (
+                F.abs(
+                    F.col("exact_count") - F.expr(f"(j * n) div {_HIST_K}")
+                )
+                <= F.expr(f"n div {_HIST_K}") + 1
+            ).alias("err_within_one_bucket"),
+        )
+    )
