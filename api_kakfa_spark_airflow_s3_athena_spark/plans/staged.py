@@ -1878,3 +1878,108 @@ def histogram_selectivity_audit(spark, sf_dir):
             ).alias("err_within_one_bucket"),
         )
     )
+
+
+# =====================================================================
+# Join-cardinality estimation bounds (optimizer-statistics contract)
+# =====================================================================
+
+
+@register_staged(
+    "join_cardinality_bounds",
+    oracle="""
+        WITH fa AS (
+            SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS f
+            FROM orders GROUP BY 1
+        ),
+        fb AS (
+            SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS f
+            FROM customer GROUP BY 1
+        ),
+        stats AS (
+            SELECT (SELECT CAST(sum(f) AS BIGINT) FROM fa) AS n_a,
+                   (SELECT CAST(sum(f) AS BIGINT) FROM fb) AS n_b,
+                   (SELECT CAST(max(f) AS BIGINT) FROM fa) AS maxf_a,
+                   (SELECT CAST(max(f) AS BIGINT) FROM fb) AS maxf_b,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fa) AS d_a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fb) AS d_b,
+                   (SELECT CAST(sum(fa.f * fb.f) AS BIGINT)
+                    FROM fa JOIN fb USING (k)) AS exact_join
+        )
+        SELECT n_a, n_b, d_a, d_b, maxf_a, maxf_b, exact_join,
+               CAST(least(n_a * maxf_b, n_b * maxf_a) AS BIGINT)
+                   AS freq_bound,
+               CAST(least(d_a, d_b) * maxf_a * maxf_b AS BIGINT)
+                   AS distinct_bound,
+               exact_join <= least(n_a * maxf_b, n_b * maxf_a)
+                   AS freq_bound_holds,
+               exact_join <= least(d_a, d_b) * maxf_a * maxf_b
+                   AS distinct_bound_holds
+        FROM stats
+    """,
+    tags=("analytics", "join", "approx"),
+)
+def join_cardinality_bounds(spark, sf_dir):
+    """Join-size estimation bounds from per-side key statistics — the
+    cardinality-estimation arithmetic a cost-based optimizer runs
+    before picking a join strategy: the exact identity
+    ``|A⋈B| = Σ_k f_A(k)·f_B(k)`` computed from the two frequency
+    tables (itself a crossing value), checked against TWO classical
+    upper bounds — the frequency bound ``min(|A|·maxf_B, |B|·maxf_A)``
+    and the distinct-count bound ``min(d_A,d_B)·maxf_A·maxf_B`` —
+    both pinned as falsifiable booleans in both engines. All-integer
+    arithmetic throughout.
+
+    Scale shape: two key-only groupBys (map-side combinable) and a
+    join of the FREQUENCY tables (≤ distinct-keys rows), never the
+    fact rows — exactly why optimizers estimate from statistics
+    instead of running the join."""
+    fa = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    fb = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    sa = fa.agg(
+        F.sum("f").cast("long").alias("n_a"),
+        F.max("f").cast("long").alias("maxf_a"),
+        F.count(F.lit(1)).cast("long").alias("d_a"),
+    )
+    sb = fb.agg(
+        F.sum("f").cast("long").alias("n_b"),
+        F.max("f").cast("long").alias("maxf_b"),
+        F.count(F.lit(1)).cast("long").alias("d_b"),
+    )
+    ex = (
+        fa.join(fb.withColumnRenamed("f", "fb_f"), "k")
+        .agg(F.sum(F.col("f") * F.col("fb_f")).cast("long").alias("exact_join"))
+    )
+    freq_bound = F.least(
+        F.col("n_a") * F.col("maxf_b"), F.col("n_b") * F.col("maxf_a")
+    ).cast("long")
+    dist_bound = (
+        F.least(F.col("d_a"), F.col("d_b"))
+        * F.col("maxf_a")
+        * F.col("maxf_b")
+    ).cast("long")
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(ex)
+        .select(
+            "n_a",
+            "n_b",
+            "d_a",
+            "d_b",
+            "maxf_a",
+            "maxf_b",
+            "exact_join",
+            freq_bound.alias("freq_bound"),
+            dist_bound.alias("distinct_bound"),
+            (F.col("exact_join") <= freq_bound).alias("freq_bound_holds"),
+            (F.col("exact_join") <= dist_bound).alias("distinct_bound_holds"),
+        )
+    )
