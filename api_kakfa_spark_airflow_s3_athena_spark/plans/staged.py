@@ -1983,3 +1983,112 @@ def join_cardinality_bounds(spark, sf_dir):
             (F.col("exact_join") <= dist_bound).alias("distinct_bound_holds"),
         )
     )
+
+
+# =====================================================================
+# Time-to-convert funnel analysis (event-time deltas, discrete ranks)
+# =====================================================================
+
+_TTC_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+@register_staged(
+    "funnel_time_to_convert",
+    oracle=f"""
+        WITH signup AS (
+            SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        conv AS (
+            SELECT s.user_id,
+                   epoch_us(min(e.ts)) - epoch_us(s.t0) AS delta_us
+            FROM signup s JOIN events e USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s.t0
+            GROUP BY s.user_id, s.t0
+        ),
+        ranked AS (
+            SELECT delta_us,
+                   row_number() OVER (ORDER BY delta_us, user_id) AS rn,
+                   count(*) OVER () AS n
+            FROM conv
+        ),
+        qs AS (SELECT CAST(unnest([{", ".join(repr(q) for q in _TTC_QS)}])
+                      AS DOUBLE) AS q),
+        stats AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM signup)
+                       AS n_signup,
+                   (SELECT CAST(count(*) AS BIGINT) FROM conv)
+                       AS n_converted
+        )
+        SELECT q.q,
+               CAST(r.delta_us AS BIGINT) AS delta_us_at_q,
+               s.n_signup, s.n_converted,
+               round(s.n_converted / s.n_signup, 6) AS conversion_rate
+        FROM qs q
+        JOIN ranked r
+          ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
+        CROSS JOIN stats s
+    """,
+    tags=("analytics", "sessionization", "quantile"),
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution (the funnel question after the
+    conversion RATE: how long does signup → first purchase take):
+    per user, the exact microsecond delta from first signup to the
+    first STRICTLY-LATER purchase, summarized as discrete rank
+    quantiles (elements of the data — the repo's no-interpolation
+    rule) plus the conversion share. Every output is an integer
+    element, a count, or one rounded division.
+
+    Scale shape: two per-user min-aggregates and one join on the user
+    key; the quantile window runs over the CONVERTED-USERS frame
+    (user-dimension-sized, not event-sized)."""
+    ev = _t(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(
+            (F.unix_micros(F.min("ts")) - F.unix_micros(F.col("t0"))).alias(
+                "delta_us"
+            )
+        )
+    )
+    w = Window.orderBy("delta_us", "user_id")
+    ranked = conv.select(
+        "delta_us",
+        "user_id",
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    qrows = ev.sparkSession.createDataFrame(
+        [(float(q),) for q in _TTC_QS], "q double"
+    )
+    stats = signup.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signup")
+    ).crossJoin(conv.agg(F.count(F.lit(1)).cast("long").alias("n_converted")))
+    return (
+        ranked.crossJoin(F.broadcast(qrows))
+        .where(
+            F.col("rn")
+            == F.greatest(
+                F.lit(1), F.ceil(F.col("q") * F.col("n")).cast("long")
+            )
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q",
+            F.col("delta_us").cast("long").alias("delta_us_at_q"),
+            "n_signup",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_signup"), 6).alias(
+                "conversion_rate"
+            ),
+        )
+    )
