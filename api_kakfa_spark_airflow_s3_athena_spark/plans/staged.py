@@ -2092,3 +2092,95 @@ def funnel_time_to_convert(spark, sf_dir):
             ),
         )
     )
+
+
+# =====================================================================
+# Weekday seasonality index (integer basis-point arithmetic)
+# =====================================================================
+
+
+@register_staged(
+    "weekday_seasonality_index",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                        * 100, 0) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        tagged AS (
+            -- weekday as integer days-since-a-known-Monday mod 7:
+            -- engine-independent (dayofweek() numbering differs
+            -- between engines/locales; date arithmetic does not)
+            SELECT day, cents,
+                   CAST(date_diff('day', DATE '1990-01-01', day) % 7
+                        AS BIGINT) AS weekday
+            FROM daily
+        ),
+        per AS (
+            SELECT weekday,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+            FROM tagged GROUP BY 1
+        ),
+        overall AS (
+            SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mu
+            FROM tagged
+        )
+        SELECT p.weekday, p.n_days, p.total_cents, p.mean_cents,
+               CAST(p.mean_cents * 10000 // o.mu AS BIGINT)
+                   AS seasonality_bp
+        FROM per p CROSS JOIN overall o
+    """,
+    tags=("analytics", "agg", "date"),
+)
+def weekday_seasonality_index(spark, sf_dir):
+    """Weekday seasonality decomposition of daily revenue (the
+    time-series profile behind staffing/capacity dashboards): per
+    weekday, the mean daily revenue and its index against the overall
+    daily mean in integer BASIS POINTS (mean·10000 // μ — no FP
+    anywhere: exact DECIMAL cents and integer division). Weekday is
+    days-since-a-known-Monday mod 7 — pure date arithmetic, because
+    ``dayofweek()`` NUMBERING differs between engines (Spark 1=Sunday,
+    DuckDB 0=Sunday) and is exactly the kind of silent divergence the
+    dual-run exists to catch.
+
+    Scale shape: one groupBy(day) partial aggregate at the scan, then
+    7-row arithmetic."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tagged = daily.select(
+        "cents",
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")), F.lit(7)
+        )
+        .cast("long")
+        .alias("weekday"),
+    )
+    per = tagged.groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr("sum(cents) div count(*)").cast("long").alias("mean_cents"),
+    )
+    overall = tagged.agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("mu")
+    )
+    return per.crossJoin(F.broadcast(overall)).select(
+        "weekday",
+        "n_days",
+        "total_cents",
+        "mean_cents",
+        F.expr("(mean_cents * 10000) div mu").cast("long").alias(
+            "seasonality_bp"
+        ),
+    )
