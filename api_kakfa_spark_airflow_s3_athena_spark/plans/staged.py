@@ -2184,3 +2184,76 @@ def weekday_seasonality_index(spark, sf_dir):
             "seasonality_bp"
         ),
     )
+
+
+# =====================================================================
+# Top user-journey paths (sequence mining, bounded output)
+# =====================================================================
+
+
+@register_staged(
+    "user_journey_paths",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS step
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, ' > ' ORDER BY step) AS path
+            FROM seq WHERE step <= 3
+            GROUP BY 1
+        ),
+        counted AS (
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+                   (SELECT count(*) FROM paths) AS total
+            FROM paths GROUP BY 1
+        )
+        SELECT path, n_users,
+               round(n_users / total, 6) AS share
+        FROM counted
+        ORDER BY n_users DESC, path
+        LIMIT 20
+    """,
+    tags=("analytics", "sessionization", "topk"),
+)
+def user_journey_paths(spark, sf_dir):
+    """Top user journeys (the sequence-mining complement to the
+    transition matrix): each user's FIRST THREE events under the
+    deterministic (ts, event_id) order concatenated into a path
+    string, counted and ranked — the "how do users actually start"
+    question. Counts exact, one rounded share division, top-20 with
+    a total (n_users desc, path) order so the LIMIT is deterministic.
+
+    Scale shape: one user-partitioned window (row_number, early-
+    filtered to step ≤ 3), one concat-aggregate per user, one bounded
+    path groupBy + top-k."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("step", F.row_number().over(w))
+        .filter(F.col("step") <= 3)
+    )
+    paths = seq.groupBy("user_id").agg(
+        F.concat_ws(
+            " > ", F.array_sort(F.collect_list(F.struct("step", "event_type")))
+            .getField("event_type")
+        ).alias("path")
+    )
+    total = paths.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_users",
+            F.round(F.col("n_users") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
