@@ -2257,3 +2257,60 @@ def user_journey_paths(spark, sf_dir):
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+# =====================================================================
+# Per-user behavioral entropy (diversity of the event-type mix)
+# =====================================================================
+
+
+@register_staged(
+    "user_activity_entropy",
+    oracle="""
+        WITH per AS (
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM per GROUP BY 1
+        )
+        SELECT p.user_id,
+               t.n AS n_events,
+               t.n_types,
+               round(-sum((p.c / t.n) * ln(p.c / t.n)), 6)
+                   AS entropy_nats
+        FROM per p JOIN tot t USING (user_id)
+        GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "quality", "agg"),
+)
+def user_activity_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix (the behavioral-
+    diversity feature of engagement models; also the standard
+    feature-health check before one-hot-ing a categorical): per user,
+    ``H = −Σ p·ln p`` over the type distribution, with counts exact
+    and the transcendental part following the repo's bm25/ngram-LM
+    discipline (ln on engine-identical operands, one rounded sum —
+    round(6) absorbs the ulp divergence).
+
+    Scale shape: two bounded groupBys (user × type, then user) and a
+    |types|-wide sum per user — no windows, no joins beyond the
+    per-user stats broadcast."""
+    per = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = per.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = F.col("c") / F.col("n_events")
+    return (
+        per.join(tot, "user_id")
+        .groupBy("user_id", "n_events", "n_types")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
+    )
