@@ -256,3 +256,16 @@ def test_overdue_high_risk_rows_jump_the_rotation_queue():
     assert order.index(hr_stale) < order.index(oldest_plain)
     # ... but a fresh high-risk row does NOT jump ahead of it
     assert order.index(oldest_plain) < order.index(hr_fresh)
+
+
+def test_staged_names_disjoint_from_registry_and_all_oracled():
+    """Promotion safety: a staged name colliding with a registered one
+    would silently shadow it in tools that resolve REGISTRY-then-
+    STAGED; and the registry's fully-oracled discipline starts at
+    staging time — every staged spec must carry an oracle."""
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.staged import STAGED
+
+    overlap = set(STAGED) & set(REGISTRY)
+    assert not overlap, f"staged names shadow registered ones: {overlap}"
+    missing = [n for n, s in STAGED.items() if not s.oracle]
+    assert not missing, f"staged specs without oracles: {missing}"
