@@ -1583,102 +1583,6 @@ def revenue_concentration_gini(spark, sf_dir):
 
 
 @register_staged(
-    "referential_integrity_audit",
-    oracle="""
-        WITH checks AS (
-            SELECT 'orders.o_custkey->customer' AS fk_edge,
-                   (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
-                   (SELECT CAST(count(*) AS BIGINT) FROM orders o
-                    WHERE o.o_custkey NOT IN
-                          (SELECT c_custkey FROM customer)) AS n_orphans
-            UNION ALL
-            SELECT 'lineitem.l_orderkey->orders',
-                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-                    WHERE l.l_orderkey NOT IN
-                          (SELECT o_orderkey FROM orders))
-            UNION ALL
-            SELECT 'lineitem.l_partkey->part',
-                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-                    WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part))
-            UNION ALL
-            SELECT 'lineitem.l_suppkey->supplier',
-                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-                    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
-            UNION ALL
-            SELECT 'customer.c_nationkey->nation',
-                   (SELECT CAST(count(*) AS BIGINT) FROM customer),
-                   (SELECT CAST(count(*) AS BIGINT) FROM customer c
-                    WHERE c.c_nationkey NOT IN
-                          (SELECT n_nationkey FROM nation))
-            UNION ALL
-            SELECT 'supplier.s_nationkey->nation',
-                   (SELECT CAST(count(*) AS BIGINT) FROM supplier),
-                   (SELECT CAST(count(*) AS BIGINT) FROM supplier s
-                    WHERE s.s_nationkey NOT IN
-                          (SELECT n_nationkey FROM nation))
-            UNION ALL
-            SELECT 'nation.n_regionkey->region',
-                   (SELECT CAST(count(*) AS BIGINT) FROM nation),
-                   (SELECT CAST(count(*) AS BIGINT) FROM nation n
-                    WHERE n.n_regionkey NOT IN
-                          (SELECT r_regionkey FROM region))
-        )
-        SELECT fk_edge, n_rows, n_orphans,
-               n_orphans = 0 AS integrity_ok,
-               round(n_orphans / n_rows, 6) AS orphan_rate
-        FROM checks
-    """,
-    tags=("analytics", "quality", "anti-join"),
-)
-def referential_integrity_audit(spark, sf_dir):
-    """Referential-integrity audit across the schema's seven FK edges
-    (the data-quality sweep every warehouse load runs): per edge, the
-    row count, orphan count (left-anti join — the scalable NOT IN for
-    non-null keys), integrity verdict, and orphan rate. All exact
-    crossing values; on this testdata every edge must hold
-    (integrity_ok = true across the board) — a planted-violation twin
-    belongs to ingest tests, not the audit itself.
-
-    Scale shape: each edge is one left-anti broadcast/shuffled-hash
-    join with only the key columns scanned (column pruning) — no edge
-    ever materializes more than (key, count) per side."""
-    edges = [
-        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
-        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
-    ]
-    out = None
-    for name, child, fk, parent, pk in edges:
-        c = _t(spark, sf_dir, child).select(F.col(fk).alias("k"))
-        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        stats = (
-            c.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-            .crossJoin(
-                c.join(p, "k", "left_anti")
-                .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
-            )
-            .select(
-                F.lit(name).alias("fk_edge"),
-                "n_rows",
-                "n_orphans",
-                (F.col("n_orphans") == 0).alias("integrity_ok"),
-                F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias(
-                    "orphan_rate"
-                ),
-            )
-        )
-        out = stats if out is None else out.unionByName(stats)
-    return out
-
-
-@register_staged(
     "scd2_user_state_intervals",
     oracle="""
         WITH log AS (
