@@ -63,9 +63,9 @@ def bloom_candidates(
     # Collision-checked scratch name (the cms_lookup discipline): a
     # caller's own "__bit" column must survive the membership test
     # untouched, so probe for a free name instead of clobbering.
-    tmp = "__bloom_bit"
-    while tmp in fact.columns:
-        tmp += "_"
+    from ._util import scratch_name
+
+    tmp = scratch_name("__bloom_bit", fact)
     out = fact
     for j in range(n_hashes):
         out = out.withColumn(tmp, bloom_position(F.col(key_col), j, m)).join(

@@ -51,7 +51,7 @@ def salted_partials(
 
     # "__salt" is part of this function's OUTPUT contract (tests assert
     # the spread over it), so it cannot be renamed away — conflict loudly
-    require_absent(df, "__salt", "salted_pre_agg")
+    require_absent(df, "__salt", "salted_partials")
     return (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

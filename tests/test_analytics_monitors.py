@@ -18,12 +18,10 @@ def _cusum_py(xs, ref):
     return out
 
 
-def test_cusum_closed_form_equals_recursion(spark):
-    """s_n = S_n - min_{j<=n} S_j (the closed form the staged query
-    uses) must equal the textbook max(0, s+x-ref) recursion for any
-    series — including ones that touch zero repeatedly."""
-    xs = [5, 1, 9, 0, 0, 14, 2, 2, 30, 1, 50, 50, 3]
-    ref = 7
+def _closed_form_spark(spark, xs, ref):
+    """The exact expression the staged query uses:
+    s_n = S_n - least(0, min_{j<=n} S_j) — the least(0, ...) supplies
+    the virtual S_0 = 0 prefix of the recursion."""
     df = spark.createDataFrame(
         [(i, x) for i, x in enumerate(xs)], ["day", "x"]
     )
@@ -32,22 +30,42 @@ def test_cusum_closed_form_equals_recursion(spark):
         df.select(
             "day", (F.sum(F.col("x") - F.lit(ref)).over(w)).alias("S")
         )
-        .select("day", (F.col("S") - F.min("S").over(w)).alias("s"))
+        .select(
+            "day",
+            (
+                F.col("S")
+                - F.least(F.lit(0).cast("long"), F.min("S").over(w))
+            ).alias("s"),
+        )
         .orderBy("day")
         .collect()
     )
-    ref_series = _cusum_py(xs, ref)
-    # the closed form over S (without clamping the running min at 0)
-    # equals the recursion only when min is allowed to include the
-    # virtual S_0 = 0 prefix; emulate by prepending a zero row check
-    S = 0
-    mins = 0
-    expect = []
-    for x in xs:
-        S += x - ref
-        mins = min(mins, S)
-        expect.append(S - mins)
-    assert [r.s for r in got] == expect == ref_series
+    return [r.s for r in got]
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """s_n = S_n - least(0, min_{j<=n} S_j) (the closed form the
+    staged query uses) must equal the textbook max(0, s+x-ref)
+    recursion for any series — including ones that touch zero
+    repeatedly."""
+    xs = [5, 1, 9, 0, 0, 14, 2, 2, 30, 1, 50, 50, 3]
+    ref = 7
+    assert _closed_form_spark(spark, xs, ref) == _cusum_py(xs, ref)
+
+
+def test_cusum_closed_form_all_positive_prefix(spark):
+    """Regression for the virtual-S_0 term: when EVERY prefix sum is
+    positive (first value already above ref), min_{j<=n} S_j > 0 and
+    the naive S - min(S) form understates the statistic; the
+    least(0, ...) form must still match the recursion exactly."""
+    xs = [20, 15, 30, 9, 8, 40, 12]  # all x >= ref+1 -> S never dips
+    ref = 7
+    got = _closed_form_spark(spark, xs, ref)
+    expect = _cusum_py(xs, ref)
+    assert got == expect
+    # and prove the fixture actually exercises the case: the naive
+    # form (no virtual zero) disagrees on the very first row
+    assert got[0] == xs[0] - ref != 0
 
 
 def test_gini_identity_matches_definition(spark):
