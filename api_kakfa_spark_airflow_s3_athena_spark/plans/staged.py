@@ -1,48 +1,31 @@
 """Staging area for not-yet-registered round queries.
 
-Round-12 batch (built during round 11; the 12-new-per-round rotation
-cap applies at promotion time): the streaming distribution-shift
-alarm (per-epoch sampled-quantile vectors off the adaptive-sample
-store + max-rank-displacement distance), the composed IVF-SQ8 ANN
-contract query (the library and tests landed in round 10), the
-streaming bloom-filter decontamination screen (epoch-fold sink +
-no-false-negative prune contract), and LLM-corpus text filters
-(PII redaction stats, Gopher-style repetition filter).
+Round-13 pre-builds (the round-12 batch was promoted into
+``plans/queries.py``; these wait for the next 12-slot promotion
+window, fully verified): SCD2 interval builds, the equi-depth
+histogram selectivity audit, sort-merge-join cardinality bounds,
+funnel time-to-convert quantiles, weekday seasonality indices,
+top user-journey paths, and per-user behavioral entropy.
 
 Promotion playbook (NOTES.md): move each ``@register_staged`` block
 into ``plans/queries.py`` as ``@register`` (specs are identical
 QuerySpec fields), bump the PARITY/README count pins +
 ``tests/test_verification_ledger.py`` in the same commit, keep total
-new registrations per round ≤ 12 so the stale cohort still fits the
+new registrations per round <= 12 so the stale cohort still fits the
 driver's 50-row prefix.
 
 Every entry here is dual-run verified locally (tools/oracle_check.py
---staged) and covered by tests; staged ≠ stubbed.
+--staged) and covered by tests; staged != stubbed.
 """
 
 from __future__ import annotations
 
-import os
-import tempfile
 from typing import Dict, Optional, Tuple
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..operators import bloom as BL
-from ..operators import quantiles as QT
-from ..operators import similarity as SIM
-from .queries import (
-    QueryFn,
-    QuerySpec,
-    _STAGE_CACHE,
-    _final_epoch,
-    _n_epochs_col,
-    _read_store,
-    _stream_partitions,
-    _t,
-    _tables_equal,
-)
+from .queries import QueryFn, QuerySpec, _t
 
 STAGED: Dict[str, QuerySpec] = {}
 
@@ -58,1551 +41,6 @@ def register_staged(
         return fn
 
     return deco
-
-
-# =====================================================================
-# Streaming quantile drift monitor (operators/quantiles.quantile_drift
-# over the adaptive-sample epoch store)
-# =====================================================================
-
-_QD_CAP = 256
-_QD_QS = (0.25, 0.5, 0.75, 0.9)
-_QD_TRIP = 0.06  # measured: iid pairs <= 0.035, shifted pairs >= 0.095
-                 # across sf0.001/0.01/0.1 (deterministic fixture)
-
-
-def _run_stream_drift(spark, sf_dir, base, epoch_times=None):
-    """Stage the events value stream as three epoch files with a
-    DELIBERATE distribution shift injected into epoch 2 (value x3 —
-    the alarm fixture; epochs 0/1 are iid slices) and run the bounded
-    adaptive-sample sink to completion."""
-    from ..streaming.sketches import adaptive_sample_sink
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.when(
-            F.col("event_id") % 3 == 2,
-            F.col("value").cast("double") * F.lit(3.0),
-        )
-        .otherwise(F.col("value").cast("double"))
-        .alias("value"),
-    )
-    src = os.path.join(base, "src")
-    for i, r in enumerate((0, 1, 2)):
-        ev.filter(F.col("event_id") % 3 == r).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(src)
-    stream = (
-        spark.readStream.schema("event_id long, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    with _stream_partitions(spark):
-        q = adaptive_sample_sink(
-            stream,
-            "event_id",
-            ["event_id", "value"],
-            cap=_QD_CAP,
-            store_path=os.path.join(base, "store"),
-            checkpoint=os.path.join(base, "ckpt"),
-            available_now=True,
-            epoch_times=epoch_times,
-            salt=":qd",
-        )
-        q.awaitTermination()
-
-
-LAST_STREAM_QD_EPOCH_SEC: list = []
-
-
-def _stream_drift_bench(spark, sf_dir):
-    base = tempfile.mkdtemp(prefix="stream_qd_bench_")
-    epoch_times: dict = {}
-    _run_stream_drift(spark, sf_dir, base, epoch_times=epoch_times)
-    LAST_STREAM_QD_EPOCH_SEC.append(
-        [round(epoch_times[kk], 3) for kk in sorted(epoch_times)]
-    )
-    return spark.read.parquet(os.path.join(base, "store"))
-
-
-def _qd_epoch_sql(e: int) -> str:
-    """Oracle fragment replicating epoch ``e``'s stored adaptive
-    sample: smallest threshold exponent whose cumulative-prefix sample
-    fits the cap, then the coin filter at that threshold (the
-    streaming_adaptive_sample identity, per epoch)."""
-    return f"""
-        size{e} AS (
-            SELECT j.j,
-                   (SELECT count(*) FROM src
-                    WHERE ep <= {e} AND c < (1048576 >> j.j)) AS n
-            FROM js j
-        ),
-        jf{e} AS (SELECT min(j) AS jf FROM size{e} WHERE n <= {_QD_CAP}),
-        samp{e} AS (
-            SELECT event_id, value FROM src, jf{e}
-            WHERE ep <= {e} AND c < (1048576 >> jf)
-        ),
-        rank{e} AS (
-            SELECT value,
-                   row_number() OVER (ORDER BY value, event_id) AS rn,
-                   count(*) OVER () AS n
-            FROM samp{e}
-        ),
-        qa{e} AS (
-            SELECT q.q, r.value AS value_a
-            FROM qs q JOIN rank{e} r
-              ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
-        )"""
-
-
-@register_staged(
-    "quantile_drift_monitor",
-    oracle=f"""
-        WITH src AS (
-            SELECT event_id,
-                   CASE WHEN event_id % 3 = 2
-                        THEN CAST(value AS DOUBLE) * 3
-                        ELSE CAST(value AS DOUBLE) END AS value,
-                   event_id % 3 AS ep,
-                   CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
-                        || ':qd'), 1, 5) AS BIGINT) AS c
-            FROM events
-        ),
-        js AS (SELECT unnest(range(0, 21)) AS j),
-        qs AS (SELECT CAST(unnest([{", ".join(repr(q) for q in _QD_QS)}])
-                      AS DOUBLE) AS q),
-        {_qd_epoch_sql(0)},
-        {_qd_epoch_sql(1)},
-        {_qd_epoch_sql(2)},
-        d0 AS (
-            SELECT CAST(0 AS BIGINT) AS epoch_from, a.q, a.value_a,
-                   (SELECT CAST(count(*) AS BIGINT) FROM samp1 s
-                    WHERE s.value <= a.value_a) AS n_le_b,
-                   (SELECT CAST(count(*) AS BIGINT) FROM samp1) AS n_b
-            FROM qa0 a
-        ),
-        d1 AS (
-            SELECT CAST(1 AS BIGINT) AS epoch_from, a.q, a.value_a,
-                   (SELECT CAST(count(*) AS BIGINT) FROM samp2 s
-                    WHERE s.value <= a.value_a) AS n_le_b,
-                   (SELECT CAST(count(*) AS BIGINT) FROM samp2) AS n_b
-            FROM qa1 a
-        ),
-        disp AS (
-            SELECT epoch_from, q, value_a, n_le_b, n_b,
-                   round(abs(n_le_b / n_b - q), 6) AS displacement
-            FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1)
-        )
-        SELECT epoch_from, q, value_a, n_le_b, n_b, displacement,
-               max(displacement) OVER (PARTITION BY epoch_from)
-                   AS drift_max,
-               max(displacement) OVER (PARTITION BY epoch_from)
-                   > {_QD_TRIP} AS tripped,
-               (SELECT CAST(count(DISTINCT ep) AS BIGINT) FROM src)
-                   AS n_epochs
-        FROM disp
-    """,
-    tags=("streaming", "sampling", "quantile", "monitoring"),
-    bench_fn=_stream_drift_bench,
-)
-def quantile_drift_monitor(spark, sf_dir):
-    """Streaming distribution-shift alarm (VERDICT r10 #7): the
-    adaptive-sample sink maintains a bounded uniform sample of the
-    events value stream per epoch; ``quantile_drift`` locates each
-    epoch's discrete quantile ELEMENTS in the next epoch's sample by
-    exact rank counting and emits the max rank displacement — the
-    engine-reproducible Kolmogorov-Smirnov-style statistic (every
-    number is an element, a count, or one rounded division).
-
-    Falsifiable alarm contract: epoch 2's staged file carries a
-    deliberate value-x3 shift, epochs 0/1 are iid slices — so the
-    (0→1) pair must stay UNDER the trip threshold and (1→2) must
-    TRIP it (measured bands: ≤0.035 vs ≥0.095 across three SFs;
-    threshold 0.06). The oracle replicates all three per-epoch
-    sample states from the adaptive sampler's algebraic identity
-    (state == coin-filter of the full prefix at the final threshold).
-    The store is read via partition discovery (``_read_store``) and
-    the ``n_epochs`` crossing value pins the epoch count — a run that
-    produced fewer epochs degrades into a falsifiable mismatch, not a
-    PATH_NOT_FOUND crash.
-
-    100 TB shape: drift math touches only cap-bounded samples; the
-    per-epoch maintenance cost is the sampler's scan-level filter.
-    bench_fn records per-epoch wall seconds (the marginal-cost
-    convention)."""
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}:stream_qd"
-    base = _STAGE_CACHE.get(key)
-    if base is None:
-        base = tempfile.mkdtemp(prefix="stream_qd_")
-        _run_stream_drift(spark, sf_dir, base)
-        _STAGE_CACHE[key] = base
-    store = _read_store(spark, base)
-    n_ep = _n_epochs_col(store)
-    pairs = []
-    for e in (0, 1):
-        a = store.filter(F.col("epoch") == e).drop("epoch")
-        b = store.filter(F.col("epoch") == e + 1).drop("epoch")
-        pairs.append(
-            QT.quantile_drift(a, b, "value", "event_id", _QD_QS).select(
-                F.lit(e).cast("long").alias("epoch_from"),
-                "q",
-                "value_a",
-                "n_le_b",
-                "n_b",
-                "displacement",
-            )
-        )
-    disp = pairs[0].unionByName(pairs[1])
-    w = Window.partitionBy("epoch_from")
-    return disp.crossJoin(F.broadcast(n_ep)).select(
-        "epoch_from",
-        "q",
-        "value_a",
-        "n_le_b",
-        "n_b",
-        "displacement",
-        F.max("displacement").over(w).alias("drift_max"),
-        (F.max("displacement").over(w) > F.lit(_QD_TRIP)).alias("tripped"),
-        F.col("n_ep").alias("n_epochs"),
-    )
-
-
-# =====================================================================
-# Composed IVF-SQ8 ANN (operators/similarity.ivf_sq8_index/_topk)
-# =====================================================================
-
-_IVFSQ8_CELLS = 16
-_IVFSQ8_CANDS = 50
-
-
-def _ivf_sq8_bench(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qrec = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return SIM.ivf_sq8_topk(
-        qrec, emb, k=10, n_centroids=_IVFSQ8_CELLS, nprobe=4,
-        candidates=_IVFSQ8_CANDS,
-    )
-
-
-@register_staged(
-    "ann_ivf_sq8",
-    oracle="""
-        SELECT CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_plants,
-               CAST(16 AS BIGINT) AS n_recall_queries,
-               true AS plants_rank1_ok,
-               true AS full_coverage_equiv_ok,
-               true AS recall_floor_ok,
-               true AS within_k
-        FROM embeddings
-    """,
-    tags=("similarity", "quantization", "ivf"),
-    bench_fn=_ivf_sq8_bench,
-)
-def ann_ivf_sq8(spark, sf_dir):
-    """Composed IVF-SQ8 search (the FAISS ``IVF,SQ8`` shape,
-    operators/similarity.ivf_sq8_topk): nearest-centroid cells prune
-    the scan, int8 codes quarter its bytes INSIDE the probed cells,
-    and an exact cosine rerank touches only candidates·|Q| float rows
-    — the two scan levers composed. Contract (the ivfpq recipe):
-
-    (a) planted exact duplicates (vec_id%7 re-ingested at +10M)
-        retrieve their ORIGINAL at rank 1 under nprobe=1 — identical
-        vector => same cell => identical codes => exact rerank puts
-        cosine-1 first (measured 72/72, 72/72, 286/286 across the
-        three SFs);
-    (b) with nprobe = n_centroids and the same candidate budget the
-        composed search is ROW-IDENTICAL to the flat SQ8 rerank
-        (cell partitioning only prunes; it must not re-rank);
-    (c) mean recall@10 vs exact brute-force cosine over 16 queries at
-        nprobe=4 >= 0.2 — measured 0.475-0.5 across the three SFs
-        (>= 2.3x clearance; the loss is cell pruning, 4/16 of the
-        corpus scanned);
-    (d) exactly k rows per query, contiguous ranks.
-    Counts cross the engine compare; bench_fn times the production
-    nprobe=4 search."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    offset = 10_000_000
-    plants = emb.filter(F.col("vec_id") % 7 == 0).select(
-        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
-    )
-    corpus = emb.unionByName(plants)
-
-    plant_q = plants.select(F.col("vec_id").alias("query_id"), "embedding")
-    p_hits = SIM.ivf_sq8_topk(
-        plant_q, corpus, k=2, n_centroids=_IVFSQ8_CELLS, nprobe=1,
-        candidates=_IVFSQ8_CANDS,
-    )
-    plants_ok = (
-        p_hits.groupBy("query_id")
-        .agg(
-            F.max(
-                ((F.col("neighbor_id") + offset) == F.col("query_id"))
-                & (F.col("rank") == 1)
-            ).alias("ok")
-        )
-        .agg(
-            F.coalesce(F.min("ok"), F.lit(False)).alias("plants_rank1_ok"),
-            F.count(F.lit(1)).cast("long").alias("n_plants"),
-        )
-    )
-
-    qrec = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    # (b) full coverage == flat SQ8, as a (query, rank) -> (neighbor,
-    # score) table identity
-    pair = lambda df: df.select(
-        "query_id",
-        "rank",
-        F.concat_ws(
-            "@", F.col("neighbor_id").cast("string"),
-            F.col("score").cast("string"),
-        ).alias("hit"),
-    )
-    full = SIM.ivf_sq8_topk(
-        qrec, emb, k=10, n_centroids=_IVFSQ8_CELLS, nprobe=_IVFSQ8_CELLS,
-        candidates=_IVFSQ8_CANDS,
-    )
-    flat = SIM.sq8_rerank_topk(qrec, emb, k=10, candidates=_IVFSQ8_CANDS)
-    equiv = _tables_equal(
-        pair(full), pair(flat), ["query_id", "rank"], "hit",
-        "full_coverage_equiv_ok",
-    )
-
-    appr = SIM.ivf_sq8_topk(
-        qrec, emb, k=10, n_centroids=_IVFSQ8_CELLS, nprobe=4,
-        candidates=_IVFSQ8_CANDS,
-    ).localCheckpoint(eager=True)
-    exact = SIM.brute_force_topk(qrec, emb, k=10).select(
-        "query_id", F.col("neighbor_id").alias("n")
-    )
-    overlap = (
-        exact.join(
-            appr.select("query_id", F.col("neighbor_id").alias("n")),
-            ["query_id", "n"],
-        )
-        .groupBy("query_id")
-        .agg((F.count(F.lit(1)) / F.lit(10.0)).alias("recall"))
-    )
-    recall_ok = overlap.agg(
-        (F.avg("recall") >= 0.2).alias("recall_floor_ok"),
-        F.count(F.lit(1)).cast("long").alias("n_recall_queries"),
-    )
-    withink = (
-        appr.groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("nk"),
-            F.count_distinct("rank").alias("ndr"),
-            F.max("rank").alias("mr"),
-        )
-        .agg(
-            F.coalesce(
-                F.min(
-                    (F.col("nk") == 10) & (F.col("ndr") == 10)
-                    & (F.col("mr") == 10)
-                ),
-                F.lit(False),
-            ).alias("within_k")
-        )
-    )
-    return (
-        plants_ok.crossJoin(recall_ok)
-        .crossJoin(equiv)
-        .crossJoin(withink)
-        .select(
-            "n_plants",
-            "n_recall_queries",
-            "plants_rank1_ok",
-            "full_coverage_equiv_ok",
-            "recall_floor_ok",
-            "within_k",
-        )
-    )
-
-
-# =====================================================================
-# Streaming bloom-filter decontamination screen
-# (streaming/sketches.bloom_sink + operators/bloom.bloom_candidates)
-# =====================================================================
-
-from .queries import _BLOOM_BIT_SQL, _BLOOM_K, _BLOOM_M  # noqa: E402
-
-
-def _run_stream_bloom(spark, sf_dir, base, epoch_times=None):
-    """Stage the AUTOMOBILE-segment customer keys as three epoch files
-    (split by c_custkey % 3) and run the filter-maintenance sink to
-    completion — the ever-growing contaminated-key dimension any batch
-    job can later broadcast."""
-    from ..streaming.sketches import bloom_sink
-
-    dim = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
-        .select("c_custkey")
-    )
-    src = os.path.join(base, "src")
-    for i, r in enumerate((0, 1, 2)):
-        dim.filter(F.col("c_custkey") % 3 == r).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(src)
-    stream = (
-        spark.readStream.schema("c_custkey long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    with _stream_partitions(spark):
-        q = bloom_sink(
-            stream,
-            "c_custkey",
-            m=_BLOOM_M,
-            n_hashes=_BLOOM_K,
-            store_path=os.path.join(base, "store"),
-            checkpoint=os.path.join(base, "ckpt"),
-            available_now=True,
-            epoch_times=epoch_times,
-        )
-        q.awaitTermination()
-
-
-LAST_STREAM_BLOOM_EPOCH_SEC: list = []
-
-
-def _stream_bloom_bench(spark, sf_dir):
-    base = tempfile.mkdtemp(prefix="stream_bloom_bench_")
-    epoch_times: dict = {}
-    _run_stream_bloom(spark, sf_dir, base, epoch_times=epoch_times)
-    LAST_STREAM_BLOOM_EPOCH_SEC.append(
-        [round(epoch_times[kk], 3) for kk in sorted(epoch_times)]
-    )
-    return spark.read.parquet(os.path.join(base, "store"))
-
-
-@register_staged(
-    "streaming_bloom_decontaminate",
-    oracle=f"""
-        WITH dim AS (
-            SELECT c_custkey FROM customer
-            WHERE c_mktsegment = 'AUTOMOBILE'
-        ),
-        hashes AS (SELECT unnest([0, 1, 2]) AS j),
-        bits AS (
-            SELECT DISTINCT {_BLOOM_BIT_SQL.format(j="h.j", key="d.c_custkey")}
-                       AS bit
-            FROM dim d CROSS JOIN hashes h
-        ),
-        cand AS (
-            SELECT o.* FROM orders o
-            WHERE {_BLOOM_BIT_SQL.format(j="0", key="o.o_custkey")}
-                      IN (SELECT bit FROM bits)
-              AND {_BLOOM_BIT_SQL.format(j="1", key="o.o_custkey")}
-                      IN (SELECT bit FROM bits)
-              AND {_BLOOM_BIT_SQL.format(j="2", key="o.o_custkey")}
-                      IN (SELECT bit FROM bits)
-        ),
-        exact AS (
-            SELECT c.* FROM cand c
-            WHERE c.o_custkey IN (SELECT c_custkey FROM dim)
-        ),
-        plain AS (
-            SELECT o.* FROM orders o
-            WHERE o.o_custkey IN (SELECT c_custkey FROM dim)
-        )
-        SELECT (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits,
-               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_fact,
-               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
-               (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
-               CAST((SELECT count(*) FROM cand)
-                    - (SELECT count(*) FROM exact) AS BIGINT)
-                   AS n_false_positive,
-               (SELECT count(*) FROM exact) = (SELECT count(*) FROM plain)
-                   AS no_false_negative_ok,
-               true AS stream_equals_batch,
-               CAST(3 AS BIGINT) AS n_epochs
-    """,
-    tags=("streaming", "bloom", "pruning", "incremental"),
-    bench_fn=_stream_bloom_bench,
-)
-def streaming_bloom_decontaminate(spark, sf_dir):
-    """Streaming bloom-filter maintenance + decontamination screen
-    (VERDICT r10 #4): the contaminated-key dimension (AUTOMOBILE
-    customers) streams in three micro-batches through ``bloom_sink``;
-    a bloom filter is the bit-OR of its insertions, so the epoch fold
-    (≤ m-row distinct union) makes the final stored bits BIT-IDENTICAL
-    to a one-shot batch filter of every key streamed —
-    ``stream_equals_batch`` pins that equality engine-side. The
-    streamed filter then prunes the orders scan (k=3 chained broadcast
-    semi-joins, kilobytes of state regardless of key count) and the
-    exact semi-join on survivors removes bloom false positives.
-
-    Falsifiable no-false-negative contract: ``no_false_negative_ok``
-    computes ``count(screen→exact) == count(plain semi-join)`` in BOTH
-    engines from their own filter replicas — since screened-exact ⊆
-    plain by construction, count equality is set equality. Crossing
-    values pin the filter size, candidate/exact/false-positive counts.
-
-    100 TB shape: per-epoch cost is one bounded-domain distinct over
-    the BATCH plus a ≤ m-row merge; the filter never exceeds m bits of
-    state no matter how many keys stream through; the fact side is
-    pruned before any exchange. bench_fn records per-epoch wall
-    seconds (the marginal-cost convention)."""
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}:stream_bloom"
-    base = _STAGE_CACHE.get(key)
-    if base is None:
-        base = tempfile.mkdtemp(prefix="stream_bloom_")
-        _run_stream_bloom(spark, sf_dir, base)
-        _STAGE_CACHE[key] = base
-    store = _read_store(spark, base)
-    final = _final_epoch(store)
-    dim = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
-        .select("c_custkey")
-    )
-    batch_bits = BL.bloom_bits(dim, "c_custkey", m=_BLOOM_M, n_hashes=_BLOOM_K)
-    eq = _tables_equal(
-        final.withColumn("p", F.lit(1)),
-        batch_bits.withColumn("p", F.lit(1)),
-        ["bit"],
-        "p",
-        "stream_equals_batch",
-    )
-    orders = _t(spark, sf_dir, "orders")
-    cand = BL.bloom_candidates(
-        orders, "o_custkey", final, m=_BLOOM_M, n_hashes=_BLOOM_K
-    )
-    dim_keys = dim.select(F.col("c_custkey").alias("o_custkey")).distinct()
-    exact = cand.join(dim_keys, "o_custkey", "leftsemi")
-    plain = orders.join(dim_keys, "o_custkey", "leftsemi")
-    return (
-        final.agg(F.count(F.lit(1)).cast("long").alias("n_bits"))
-        .crossJoin(orders.agg(F.count(F.lit(1)).cast("long").alias("n_fact")))
-        .crossJoin(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
-        .crossJoin(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
-        .crossJoin(plain.agg(F.count(F.lit(1)).cast("long").alias("n_plain")))
-        .crossJoin(eq)
-        .crossJoin(_n_epochs_col(store))
-        .select(
-            "n_bits",
-            "n_fact",
-            "n_candidates",
-            "n_exact",
-            (F.col("n_candidates") - F.col("n_exact")).cast("long")
-            .alias("n_false_positive"),
-            (F.col("n_exact") == F.col("n_plain")).alias("no_false_negative_ok"),
-            "stream_equals_batch",
-            F.when(F.col("n_ep") == 3, F.lit(3))
-            .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("n_epochs"),
-        )
-    )
-
-
-# =====================================================================
-# PII redaction stats (LLM-corpus scrubbing pass)
-# =====================================================================
-
-# Dialect-portable patterns (Java regex in Spark, RE2 in DuckDB: no
-# backreferences/lookaround, \b and character classes behave alike)
-_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
-
-
-def _pii_docs(spark, sf_dir):
-    """Documents with DETERMINISTICALLY planted PII (the planted-
-    fixture discipline: the base corpus is PII-free, so recall is
-    exact): doc_id%5==0 gains a synthetic e-mail, doc_id%7==0 a
-    phone-shaped token — both derived from doc_id, replicated
-    verbatim by the oracle."""
-    d = _t(spark, sf_dir, "documents")
-    email = F.concat(
-        F.lit(" contact: user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com"),
-    )
-    phone = F.concat(
-        F.lit(" call 555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-    )
-    return d.select(
-        "doc_id",
-        "lang",
-        F.concat(
-            F.col("text"),
-            F.when(F.col("doc_id") % 5 == 0, email).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 7 == 0, phone).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-
-
-@register_staged(
-    "pii_redaction_stats",
-    oracle=r"""
-        WITH pii AS (
-            SELECT doc_id, lang,
-                   text
-                   || CASE WHEN doc_id % 5 = 0
-                           THEN ' contact: user' || CAST(doc_id AS VARCHAR)
-                                || '@example.com'
-                           ELSE '' END
-                   || CASE WHEN doc_id % 7 = 0
-                           THEN ' call 555-'
-                                || lpad(CAST(doc_id % 10000 AS VARCHAR),
-                                        4, '0')
-                           ELSE '' END AS text
-            FROM documents
-        ),
-        scanned AS (
-            SELECT doc_id, lang, text,
-                   len(regexp_extract_all(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                       AS n_emails,
-                   len(regexp_extract_all(text, '\b\d{3}-\d{4}\b'))
-                       AS n_phones,
-                   regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                       '[EMAIL]', 'g'), '\b\d{3}-\d{4}\b', '[PHONE]', 'g')
-                       AS redacted
-            FROM pii
-        )
-        SELECT lang,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_planted_email,
-               CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_planted_phone,
-               CAST(sum(n_emails) AS BIGINT) AS n_emails,
-               CAST(sum(n_phones) AS BIGINT) AS n_phones,
-               CAST(sum(len(text) - len(redacted)) AS BIGINT)
-                   AS redacted_chars,
-               min(CASE WHEN doc_id % 5 = 0 THEN n_emails >= 1
-                        ELSE n_emails = 0 END) AS email_recall_exact,
-               min(CASE WHEN doc_id % 7 = 0 THEN n_phones >= 1
-                        ELSE n_phones = 0 END) AS phone_recall_exact,
-               min(len(regexp_extract_all(redacted,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
-                   AND len(regexp_extract_all(redacted,
-                   '\b\d{3}-\d{4}\b')) = 0) AS redaction_complete
-        FROM scanned
-        GROUP BY lang
-    """,
-    tags=("text", "quality", "llm-pipeline", "policy"),
-)
-def pii_redaction_stats(spark, sf_dir):
-    """PII scrubbing pass (the corpus-policy filter every LLM training
-    pipeline runs before tokenization): detect and redact e-mail and
-    phone-shaped tokens with dialect-portable regexes, emitting
-    per-language detection counts, redacted-character mass, and THREE
-    falsifiable contracts — planted PII is always found and ONLY
-    planted docs have hits (the base corpus is verified PII-free, so
-    recall/precision are exact, not estimates), and re-scanning the
-    redacted text finds nothing.
-
-    100 TB shape: one scan, all work in JVM regex expressions
-    (regexp_count/regexp_replace — no UDF), aggregation by the
-    low-cardinality lang key; the redacted text never needs to
-    materialize outside the scan pipeline."""
-    scanned = _pii_docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        "text",
-        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(F.col("text"), F.lit(_PII_PHONE_RE)).alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "[EMAIL]"),
-            _PII_PHONE_RE,
-            "[PHONE]",
-        ).alias("redacted"),
-    )
-    return scanned.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum((F.col("doc_id") % 5 == 0).cast("long"))
-        .cast("long")
-        .alias("n_planted_email"),
-        F.sum((F.col("doc_id") % 7 == 0).cast("long"))
-        .cast("long")
-        .alias("n_planted_phone"),
-        F.sum("n_emails").cast("long").alias("n_emails"),
-        F.sum("n_phones").cast("long").alias("n_phones"),
-        F.sum(F.length("text") - F.length("redacted"))
-        .cast("long")
-        .alias("redacted_chars"),
-        F.min(
-            F.when(F.col("doc_id") % 5 == 0, F.col("n_emails") >= 1).otherwise(
-                F.col("n_emails") == 0
-            )
-        ).alias("email_recall_exact"),
-        F.min(
-            F.when(F.col("doc_id") % 7 == 0, F.col("n_phones") >= 1).otherwise(
-                F.col("n_phones") == 0
-            )
-        ).alias("phone_recall_exact"),
-        F.min(
-            (F.regexp_count(F.col("redacted"), F.lit(_PII_EMAIL_RE)) == 0)
-            & (F.regexp_count(F.col("redacted"), F.lit(_PII_PHONE_RE)) == 0)
-        ).alias("redaction_complete"),
-    )
-
-
-# =====================================================================
-# Gopher-style repetition filter (max-trigram-frequency ratio)
-# =====================================================================
-
-from ..functions.text import tokens, word_shingles_from_tokens  # noqa: E402
-
-_REP_MIN_TRI = 30  # length precondition: ratio is noise on tiny docs
-_REP_TRIP = 0.12   # measured: clean docs <= 0.067, planted >= 0.219
-_REP_COPIES = 30
-
-
-@register_staged(
-    "gopher_repetition_filter",
-    oracle=f"""
-        WITH planted AS (
-            SELECT doc_id, lang,
-                   CASE WHEN doc_id % 11 = 0
-                        THEN text || repeat(' ' ||
-                             list_filter(regexp_split_to_array(text,
-                                 '[ \\t\\n\\x0b\\f\\r]+'),
-                                 x -> x <> '')[1], {_REP_COPIES})
-                        ELSE text END AS text
-            FROM documents
-        ),
-        toks AS (
-            SELECT doc_id, lang,
-                   list_filter(regexp_split_to_array(text,
-                       '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
-            FROM planted
-        ),
-        tri AS (
-            SELECT doc_id, lang,
-                   unnest(list_transform(range(1, len(t) - 1),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS val
-            FROM toks
-        ),
-        per AS (
-            SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tri,
-                   CAST(max(c) AS BIGINT) AS max_c
-            FROM (SELECT doc_id, lang, val, count(*) AS c
-                  FROM tri GROUP BY 1, 2, 3)
-            GROUP BY 1, 2
-        ),
-        scored AS (
-            SELECT doc_id, lang, n_tri,
-                   round(max_c / n_tri, 6) AS rep_ratio,
-                   doc_id % 11 = 0 AS is_planted,
-                   n_tri >= {_REP_MIN_TRI} AS eligible
-            FROM per
-        )
-        SELECT lang,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_eligible,
-               CAST(sum(CASE WHEN eligible AND is_planted THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_planted,
-               CAST(sum(CASE WHEN eligible AND rep_ratio > {_REP_TRIP}
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-               min(CASE WHEN eligible AND is_planted
-                        THEN rep_ratio > {_REP_TRIP} END)
-                   AS planted_all_flagged,
-               min(CASE WHEN eligible AND NOT is_planted
-                        THEN rep_ratio <= {_REP_TRIP} END)
-                   AS clean_none_flagged,
-               max(CASE WHEN eligible AND NOT is_planted
-                        THEN rep_ratio END) AS max_ratio_clean,
-               min(CASE WHEN eligible AND is_planted
-                        THEN rep_ratio END) AS min_ratio_planted
-        FROM scored
-        GROUP BY lang
-    """,
-    tags=("text", "quality", "llm-pipeline", "dedup"),
-)
-def gopher_repetition_filter(spark, sf_dir):
-    """Repetition quality filter (the Gopher/MassiveText rule family:
-    drop documents dominated by a repeated n-gram): per document, the
-    most frequent word-trigram's share of all trigram occurrences,
-    flagged above a threshold, with a minimum-length precondition
-    (ratio is pure noise on tiny docs — the same reason Gopher
-    applies length gates first).
-
-    Falsifiable both ways: docs with doc_id%11==0 get a 30-copy
-    repeated-word run appended (planted ratio ≥ 0.219 at every SF),
-    clean docs measure ≤ 0.067 — threshold 0.12 must flag ALL planted
-    and NO clean docs (``planted_all_flagged`` / ``clean_none_flagged``
-    pinned per language in both engines, plus the crossing band values
-    themselves).
-
-    100 TB shape: one explode + two bounded groupBys (doc × distinct
-    trigram, then doc) — no joins, no windows over the corpus; the
-    per-doc trigram cardinality is bounded by doc length."""
-    d = _t(spark, sf_dir, "documents")
-    w0 = F.element_at(tokens(F.col("text")), 1)
-    text2 = F.when(
-        F.col("doc_id") % 11 == 0,
-        F.concat(F.col("text"), F.repeat(F.concat(F.lit(" "), w0), _REP_COPIES)),
-    ).otherwise(F.col("text"))
-    planted = d.select("doc_id", "lang", text2.alias("text"))
-    tri = planted.select(
-        "doc_id",
-        "lang",
-        F.explode(word_shingles_from_tokens(tokens(F.col("text")), 3)).alias(
-            "val"
-        ),
-    )
-    per = (
-        tri.groupBy("doc_id", "lang", "val")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("c").cast("long").alias("n_tri"),
-            F.max("c").cast("long").alias("max_c"),
-        )
-    )
-    scored = per.select(
-        "doc_id",
-        "lang",
-        "n_tri",
-        F.round(F.col("max_c") / F.col("n_tri"), 6).alias("rep_ratio"),
-        (F.col("doc_id") % 11 == 0).alias("is_planted"),
-        (F.col("n_tri") >= _REP_MIN_TRI).alias("eligible"),
-    )
-    el = F.col("eligible")
-    pl = F.col("is_planted")
-    flag = F.col("rep_ratio") > _REP_TRIP
-    return scored.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(el.cast("long")).cast("long").alias("n_eligible"),
-        F.sum((el & pl).cast("long")).cast("long").alias("n_planted"),
-        F.sum((el & flag).cast("long")).cast("long").alias("n_flagged"),
-        F.min(F.when(el & pl, flag)).alias("planted_all_flagged"),
-        F.min(F.when(el & ~pl, ~flag)).alias("clean_none_flagged"),
-        F.max(F.when(el & ~pl, F.col("rep_ratio"))).alias("max_ratio_clean"),
-        F.min(F.when(el & pl, F.col("rep_ratio"))).alias("min_ratio_planted"),
-    )
-
-
-# =====================================================================
-# SQ8 rerank on heterogeneous norms: the normalize=True contract
-# =====================================================================
-
-
-@register_staged(
-    "ann_sq8_rerank_normalized",
-    oracle="""
-        WITH q0 AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            WHERE vec_id < 16
-        ),
-        c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        ex AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-            FROM q0 q JOIN c0 c ON c.vec_id <> q.vec_id
-            QUALIFY row_number() OVER (
-                PARTITION BY q.vec_id
-                ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
-                         c.vec_id) <= 10
-        ),
-        stats AS (
-            SELECT CAST(count(*) AS BIGINT) AS n_true,
-                   CAST(sum(CASE WHEN neighbor_id % 9 = 0 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_scaled_true
-            FROM ex
-        )
-        SELECT CAST(16 AS BIGINT) AS n_queries,
-               n_true,
-               n_scaled_true,
-               n_true AS n_norm_hits,
-               true AS raw_excludes_scaled_ok,
-               true AS raw_hits_bounded_ok,
-               true AS norm_recall_full_ok
-        FROM stats
-    """,
-    tags=("similarity", "quantization"),
-    bench_fn=lambda spark, sf_dir: SIM.sq8_rerank_topk(
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 16)
-        .select(F.col("vec_id").alias("query_id"), "embedding"),
-        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-        k=10,
-        candidates=50,
-        normalize=True,
-    ),
-)
-def ann_sq8_rerank_normalized(spark, sf_dir):
-    """The heterogeneous-norm failure mode of raw-inner-product
-    candidate ranking, and its fix (ADVICE r10 → similarity.py
-    ``normalize=True``), as a falsifiable contract: scale 1/9 of the
-    corpus down by 1000x (cosine is scale-invariant, so the exact
-    top-10 is UNCHANGED — the oracle replicates it on the unscaled
-    vectors), then run the flat SQ8 rerank both ways.
-
-    Load-bearing pins (ADVICE r11: don't hard-pin the raw phase's
-    exact hit count — a single int8 rank inversion among near-equal
-    unscaled scores at a new SF would fail an equality even though
-    the engine is behaving correctly): raw_excludes_scaled_ok (the
-    failure mode itself), n_norm_hits == n_true (the fix recovers
-    the full exact top-10), and raw_hits_bounded_ok — n_raw_hits
-    within [90%, 100%] of the unscaled true set (measured exactly
-    100% at all three SFs; the band absorbs benign int8 inversions).
-    Counts n_true/n_scaled_true cross the engine compare — the
-    oracle computes them from its own exact-cosine ranking.
-    bench_fn times the normalized production search."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    scaled = emb.select(
-        "vec_id",
-        F.when(
-            F.col("vec_id") % 9 == 0,
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double") * F.lit(0.001)
-            ),
-        )
-        .otherwise(F.transform(F.col("embedding"), lambda x: x.cast("double")))
-        .alias("embedding"),
-    )
-    q = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    exact = SIM.brute_force_topk(q, emb, k=10).select(
-        "query_id", F.col("neighbor_id").alias("n")
-    ).localCheckpoint(eager=True)
-    stats = exact.agg(
-        F.count(F.lit(1)).cast("long").alias("n_true"),
-        F.sum((F.col("n") % 9 == 0).cast("long"))
-        .cast("long")
-        .alias("n_scaled_true"),
-    )
-    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-
-    def hits(normalize):
-        appr = SIM.sq8_rerank_topk(
-            q, scaled, k=10, candidates=50, normalize=normalize
-        ).select("query_id", F.col("neighbor_id").alias("n"))
-        return appr.join(exact, ["query_id", "n"])
-
-    raw = hits(False).agg(
-        F.count(F.lit(1)).cast("long").alias("n_raw_hits"),
-        F.coalesce(F.max((F.col("n") % 9 == 0)), F.lit(False)).alias(
-            "raw_found_scaled"
-        ),
-    )
-    norm = hits(True).agg(F.count(F.lit(1)).cast("long").alias("n_norm_hits"))
-    return (
-        nq.crossJoin(stats)
-        .crossJoin(raw)
-        .crossJoin(norm)
-        .select(
-            "n_queries",
-            "n_true",
-            "n_scaled_true",
-            "n_norm_hits",
-            (~F.col("raw_found_scaled")).alias("raw_excludes_scaled_ok"),
-            (
-                (F.col("n_raw_hits") <= F.col("n_true") - F.col("n_scaled_true"))
-                & (
-                    F.col("n_raw_hits") * 10
-                    >= (F.col("n_true") - F.col("n_scaled_true")) * 9
-                )
-            ).alias("raw_hits_bounded_ok"),
-            (F.col("n_norm_hits") == F.col("n_true")).alias(
-                "norm_recall_full_ok"
-            ),
-        )
-    )
-
-
-# =====================================================================
-# Embedding health probe: norms + isotropy via deterministic pairing
-# =====================================================================
-
-from ..functions.vectors import cosine, l2_norm  # noqa: E402
-
-
-@register_staged(
-    "embedding_isotropy_probe",
-    oracle="""
-        WITH base AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v,
-                   sqrt(list_aggregate(
-                       list_transform(embedding::DOUBLE[], x -> x * x),
-                       'sum')) AS nrm
-            FROM embeddings
-        ),
-        paired AS (
-            SELECT label, nrm,
-                   round(list_cosine_similarity(
-                       v, lag(v) OVER (PARTITION BY label ORDER BY vec_id)
-                   ), 6) AS pc
-            FROM base
-        )
-        SELECT label,
-               CAST(count(*) AS BIGINT) AS n_vecs,
-               CAST(count(pc) AS BIGINT) AS n_pairs,
-               round(avg(nrm), 4) AS mean_norm,
-               round(min(nrm), 6) AS min_norm,
-               round(max(nrm), 6) AS max_norm,
-               round(avg(pc), 4) AS mean_pair_cos,
-               round(avg(abs(pc)), 4) AS mean_abs_pair_cos
-        FROM paired
-        GROUP BY label
-    """,
-    tags=("similarity", "quality", "monitoring"),
-)
-def embedding_isotropy_probe(spark, sf_dir):
-    """Embedding-table health diagnostics (the pre-flight every
-    vector-search / SemDedup pipeline should run before trusting
-    cosine): per label, the L2-norm band (mean/min/max — a collapsed
-    or exploded norm distribution breaks inner-product shortcuts, the
-    exact failure mode the SQ8 normalize contract pins) and an
-    ISOTROPY probe — mean (and mean-absolute) cosine over the
-    deterministic adjacent-pair matching within the label (lag by
-    vec_id: a fixed 1-regular pairing, so both engines score the SAME
-    n−1 pairs; near-0 mean ⇒ directions spread isotropically, large
-    positive ⇒ the label's vectors share a dominant direction, the
-    anisotropy that inflates all-pairs cosine similarity).
-
-    All crossing values: counts exact, norms/cosines one fold +
-    round(6), means round(4) per the repo float recipe. One window +
-    one aggregate — no joins, no all-pairs."""
-    w = Window.partitionBy("label").orderBy("vec_id")
-    base = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.col("embedding"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    paired = base.select(
-        "label",
-        "nrm",
-        F.round(cosine(F.col("embedding"), F.lag("embedding").over(w)), 6).alias(
-            "pc"
-        ),
-    )
-    return paired.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.count("pc").cast("long").alias("n_pairs"),
-        F.round(F.avg("nrm"), 4).alias("mean_norm"),
-        F.round(F.min("nrm"), 6).alias("min_norm"),
-        F.round(F.max("nrm"), 6).alias("max_norm"),
-        F.round(F.avg("pc"), 4).alias("mean_pair_cos"),
-        F.round(F.avg(F.abs(F.col("pc"))), 4).alias("mean_abs_pair_cos"),
-    )
-
-
-# =====================================================================
-# CUSUM change-point monitor on daily revenue (sequential analytics)
-# =====================================================================
-
-_CUSUM_CUT = "2000-01-01"  # planted level shift: post-cutoff revenue x2
-_CUSUM_H_MU = 6            # alarm threshold = 6 x pre-period daily mean
-_CUSUM_LAG_MAX = 31        # alarm must fire within a month of the shift
-
-
-@register_staged(
-    "cusum_changepoint_daily",
-    oracle=f"""
-        WITH daily AS (
-            SELECT CAST(o_orderdate AS DATE) AS day,
-                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
-                        * 100, 0) AS BIGINT) AS cents
-            FROM orders GROUP BY 1
-        ),
-        planted AS (
-            SELECT day,
-                   CASE WHEN day >= DATE '{_CUSUM_CUT}'
-                        THEN cents * 2 ELSE cents END AS cents
-            FROM daily
-        ),
-        pre AS (
-            SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mu,
-                   CAST(count(*) AS BIGINT) AS n_pre
-            FROM planted WHERE day < DATE '{_CUSUM_CUT}'
-        ),
-        cs AS (
-            SELECT day,
-                   sum(cents - (mu + mu // 2)) OVER (ORDER BY day) AS S
-            FROM planted, pre
-        ),
-        s AS (
-            -- least(0, ...) supplies the virtual S_0 = 0 term of the
-            -- recursion max(0, s + x - ref): without it the statistic
-            -- is understated whenever every prefix sum is positive.
-            SELECT day, S - least(0, min(S) OVER (ORDER BY day)) AS s
-            FROM cs
-        ),
-        agg AS (
-            SELECT
-                (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_days,
-                (SELECT n_pre FROM pre) AS n_pre,
-                (SELECT mu FROM pre) AS mu_pre_cents,
-                (SELECT CAST({_CUSUM_H_MU} * mu AS BIGINT) FROM pre)
-                    AS h_cents,
-                (SELECT CAST(coalesce(max(s), 0) AS BIGINT) FROM s
-                 WHERE day < DATE '{_CUSUM_CUT}') AS max_s_pre,
-                (SELECT min(day) FROM s, pre
-                 WHERE s > {_CUSUM_H_MU} * mu) AS first_alarm_day
-        )
-        SELECT n_days, n_pre, mu_pre_cents, h_cents, max_s_pre,
-               first_alarm_day,
-               CAST(date_diff('day', DATE '{_CUSUM_CUT}', first_alarm_day)
-                    AS BIGINT) AS detection_lag_days,
-               max_s_pre < h_cents AS no_false_alarm_ok,
-               first_alarm_day IS NOT NULL
-                   AND first_alarm_day >= DATE '{_CUSUM_CUT}' AS alarmed_ok,
-               date_diff('day', DATE '{_CUSUM_CUT}', first_alarm_day)
-                   <= {_CUSUM_LAG_MAX} AS lag_within_month_ok
-        FROM agg
-    """,
-    tags=("analytics", "monitoring", "window"),
-)
-def cusum_changepoint_daily(spark, sf_dir):
-    """Sequential change-point detection (Page 1954 CUSUM) on the
-    daily order-revenue series, in ALL-INTEGER cents arithmetic: the
-    one-sided CUSUM ``s_n = max(0, s_{{n-1}} + x_n − ref)`` has the
-    closed form ``s_n = S_n − min(0, min_{{j≤n}} S_j)`` (cumsum minus
-    the running minimum of the prefix sums INCLUDING the virtual
-    ``S_0 = 0`` — omitting the 0 understates the statistic whenever
-    every prefix sum is positive), so two ordered windows compute the
-    whole statistic —
-    no recursion, no FP anywhere (revenue exact in DECIMAL cents, the
-    reference level ``1.5·μ_pre`` by integer division).
-
-    Falsifiable alarm contract: revenue is DOUBLED from {cut} on (the
-    planted level shift — pre-period drift is −0.5μ/day, post +0.5μ),
-    so with threshold 6μ the monitor must (a) never alarm before the
-    shift (measured max_s_pre ≤ 4.04μ across SFs), (b) alarm after it,
-    (c) within a month (measured lag 3–16 days). Every intermediate —
-    μ, h, max excursion, first alarm day, lag — is a crossing value.
-
-    Scale shape: the global-order window runs over the DAILY series
-    (≤ ~2,400 rows regardless of order count) — the heavy lifting is
-    the groupBy(day) partial aggregate at the scan.""".format(
-        cut=_CUSUM_CUT
-    )
-    cut = F.lit(_CUSUM_CUT).cast("date")
-    daily = (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
-            )
-            .cast("long")
-            .alias("cents")
-        )
-    )
-    planted = daily.select(
-        "day",
-        F.when(F.col("day") >= cut, F.col("cents") * 2)
-        .otherwise(F.col("cents"))
-        .alias("cents"),
-    )
-    pre = planted.filter(F.col("day") < cut).agg(
-        F.expr("sum(cents) div count(*)").cast("long").alias("mu"),
-        F.count(F.lit(1)).cast("long").alias("n_pre"),
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    cs = planted.crossJoin(F.broadcast(pre)).select(
-        "day",
-        "mu",
-        "n_pre",
-        F.sum(F.col("cents") - (F.col("mu") + F.expr("mu div 2")))
-        .over(w)
-        .alias("S"),
-    )
-    s = cs.select(
-        "day",
-        "mu",
-        "n_pre",
-        (
-            F.col("S")
-            - F.least(F.lit(0).cast("long"), F.min("S").over(w))
-        ).alias("s"),
-    )
-    agg = s.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.max("n_pre").alias("n_pre"),
-        F.max("mu").alias("mu_pre_cents"),
-        (F.max("mu") * _CUSUM_H_MU).cast("long").alias("h_cents"),
-        F.coalesce(
-            F.max(F.when(F.col("day") < cut, F.col("s"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("max_s_pre"),
-        F.min(
-            F.when(F.col("s") > F.col("mu") * _CUSUM_H_MU, F.col("day"))
-        ).alias("first_alarm_day"),
-    )
-    return agg.select(
-        "n_days",
-        "n_pre",
-        "mu_pre_cents",
-        "h_cents",
-        "max_s_pre",
-        "first_alarm_day",
-        F.datediff(F.col("first_alarm_day"), cut)
-        .cast("long")
-        .alias("detection_lag_days"),
-        (F.col("max_s_pre") < F.col("h_cents")).alias("no_false_alarm_ok"),
-        (
-            F.col("first_alarm_day").isNotNull()
-            & (F.col("first_alarm_day") >= cut)
-        ).alias("alarmed_ok"),
-        (F.datediff(F.col("first_alarm_day"), cut) <= _CUSUM_LAG_MAX).alias(
-            "lag_within_month_ok"
-        ),
-    )
-
-
-# =====================================================================
-# Retention cohort matrix (warehouse analytics staple)
-# =====================================================================
-
-_COHORT_BASE = "2024-01-01"  # testdata events span 2024-01-01..01-30
-
-
-@register_staged(
-    "retention_cohort_matrix",
-    oracle=f"""
-        WITH ev AS (
-            SELECT user_id,
-                   CAST(date_diff('day', DATE '{_COHORT_BASE}',
-                        CAST(ts AS DATE)) AS BIGINT) AS day_idx
-            FROM events WHERE event_type = 'purchase'
-        ),
-        first_day AS (
-            SELECT user_id, min(day_idx) AS cohort_day
-            FROM ev GROUP BY 1
-        ),
-        active AS (
-            SELECT DISTINCT e.user_id, f.cohort_day, e.day_idx
-            FROM ev e JOIN first_day f USING (user_id)
-        ),
-        sizes AS (
-            SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
-            FROM first_day GROUP BY 1
-        )
-        SELECT a.cohort_day,
-               CAST(a.day_idx - a.cohort_day AS BIGINT) AS day_offset,
-               CAST(count(*) AS BIGINT) AS n_active,
-               s.cohort_size,
-               round(count(*) / s.cohort_size, 6) AS retention_rate
-        FROM active a JOIN sizes s USING (cohort_day)
-        GROUP BY 1, 2, 4
-    """,
-    tags=("analytics", "agg", "sessionization"),
-)
-def retention_cohort_matrix(spark, sf_dir):
-    """Daily purchase-retention cohorts (the warehouse analytics
-    staple every product team runs): users bucketed by their FIRST
-    purchase day (integer day-offset from a fixed base date —
-    engine-identical arithmetic, no locale-dependent truncation),
-    then per (cohort, day-offset) the distinct returning purchasers
-    and the retention rate against the cohort size. Purchases (not
-    all events) keep the matrix non-degenerate on this dense corpus:
-    11 cohorts x ~30 offsets, mean retention ~0.46 at sf0.01. Offset
-    0 is 1.0 by construction — a structural self-check the hash
-    compare enforces.
-
-    Scale shape: one min-aggregate per user (map-side combinable),
-    one distinct over (user, day), one bounded groupBy — the matrix
-    is cohorts x offsets rows regardless of event volume; no windows
-    over the event stream."""
-    ev = _t(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    ).select(
-        "user_id",
-        F.expr(f"datediff(CAST(ts AS DATE), DATE '{_COHORT_BASE}')")
-        .cast("long")
-        .alias("day_idx"),
-    )
-    first = ev.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
-    active = (
-        ev.join(first, "user_id")
-        .select("user_id", "cohort_day", "day_idx")
-        .distinct()
-    )
-    sizes = first.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).cast("long").alias("cohort_size")
-    )
-    return (
-        active.groupBy("cohort_day", "day_idx")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_day")
-        .select(
-            "cohort_day",
-            (F.col("day_idx") - F.col("cohort_day"))
-            .cast("long")
-            .alias("day_offset"),
-            "n_active",
-            "cohort_size",
-            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
-                "retention_rate"
-            ),
-        )
-    )
-
-
-# =====================================================================
-# Event-type transition matrix (sequence analytics)
-# =====================================================================
-
-
-@register_staged(
-    "event_transition_matrix",
-    oracle="""
-        WITH seq AS (
-            SELECT user_id, event_type,
-                   lag(event_type) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                   ) AS prev_type
-            FROM events
-        ),
-        pairs AS (
-            SELECT prev_type, event_type AS next_type,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM seq WHERE prev_type IS NOT NULL
-            GROUP BY 1, 2
-        )
-        SELECT prev_type, next_type, n,
-               round(n / sum(n) OVER (PARTITION BY prev_type), 6)
-                   AS transition_p
-        FROM pairs
-    """,
-    tags=("analytics", "sessionization", "window"),
-)
-def event_transition_matrix(spark, sf_dir):
-    """First-order Markov transition matrix over per-user event
-    sequences (the sequence-analytics primitive behind funnel mining
-    and next-action models): consecutive event-type bigrams under the
-    deterministic (ts, event_id) order, counted and row-normalized
-    into transition probabilities (one rounded division — counts are
-    the load-bearing crossing values).
-
-    Scale shape: ONE window partitioned by user (the natural key —
-    no global sort), then a |types|² bounded aggregate; output is the
-    5×5 matrix regardless of event volume."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
-    )
-    pairs = (
-        seq.filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    wp = Window.partitionBy("prev_type")
-    return pairs.select(
-        "prev_type",
-        "next_type",
-        "n",
-        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("transition_p"),
-    )
-
-
-# =====================================================================
-# RFM customer segmentation (recency / frequency / monetary quintiles)
-# =====================================================================
-
-
-@register_staged(
-    "rfm_customer_segments",
-    oracle="""
-        WITH mx AS (
-            SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders
-        ),
-        per AS (
-            SELECT o_custkey,
-                   CAST(date_diff('day',
-                        max(CAST(o_orderdate AS DATE)),
-                        (SELECT maxd FROM mx)) AS BIGINT) AS recency_days,
-                   CAST(count(*) AS BIGINT) AS frequency,
-                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
-                        * 100, 0) AS BIGINT) AS monetary_cents
-            FROM orders GROUP BY 1
-        ),
-        scored AS (
-            SELECT o_custkey, recency_days, frequency, monetary_cents,
-                   CAST(6 - ntile(5) OVER (
-                       ORDER BY recency_days, o_custkey) AS BIGINT) AS r,
-                   CAST(ntile(5) OVER (
-                       ORDER BY frequency, o_custkey) AS BIGINT) AS f,
-                   CAST(ntile(5) OVER (
-                       ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m
-            FROM per
-        )
-        SELECT r, f, m,
-               CAST(count(*) AS BIGINT) AS n_customers,
-               CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
-               CAST(min(recency_days) AS BIGINT) AS min_recency,
-               CAST(max(frequency) AS BIGINT) AS max_frequency
-        FROM scored
-        GROUP BY 1, 2, 3
-    """,
-    tags=("analytics", "window", "agg"),
-)
-def rfm_customer_segments(spark, sf_dir):
-    """RFM segmentation (the classic CRM/warehouse scoring): per
-    customer, recency (days since last order, vs the corpus max
-    date), frequency (order count), monetary (exact DECIMAL cents);
-    each scored into quintiles by ``ntile(5)`` under a FULLY
-    DETERMINISTIC order (metric, custkey) — ntile's equal-bucket
-    rule is engine-identical given a total order, so the 5x5x5
-    segment grid and its aggregates are exact crossing values
-    (recency inverted: 5 = most recent).
-
-    Scale shape: one per-customer aggregate (map-side combinable),
-    then three rank windows over the CUSTOMER table (dimension-sized,
-    not fact-sized) and a bounded segment groupBy."""
-    o = _t(spark, sf_dir, "orders")
-    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
-    per = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
-            F.count(F.lit(1)).cast("long").alias("frequency"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
-            )
-            .cast("long")
-            .alias("monetary_cents"),
-        )
-        .crossJoin(F.broadcast(mx))
-        .select(
-            "o_custkey",
-            F.datediff(F.col("maxd"), F.col("lastd"))
-            .cast("long")
-            .alias("recency_days"),
-            "frequency",
-            "monetary_cents",
-        )
-    )
-    scored = per.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        (
-            F.lit(6)
-            - F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
-        )
-        .cast("long")
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .cast("long")
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .cast("long")
-        .alias("m"),
-    )
-    return scored.groupBy("r", "f", "m").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("monetary_cents").cast("long").alias("segment_cents"),
-        F.min("recency_days").cast("long").alias("min_recency"),
-        F.max("frequency").cast("long").alias("max_frequency"),
-    )
-
-
-# =====================================================================
-# Revenue concentration: Lorenz deciles + Gini (integer arithmetic)
-# =====================================================================
-
-
-@register_staged(
-    "revenue_concentration_gini",
-    oracle="""
-        WITH per AS (
-            SELECT o_custkey,
-                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
-                        * 100, 0) AS BIGINT) AS cents
-            FROM orders GROUP BY 1
-        ),
-        ranked AS (
-            SELECT cents,
-                   row_number() OVER (ORDER BY cents, o_custkey) AS rn,
-                   count(*) OVER () AS n,
-                   sum(cents) OVER () AS tot
-            FROM per
-        ),
-        decs AS (
-            SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
-                   CAST(count(*) AS BIGINT) AS n_customers,
-                   CAST(sum(cents) AS BIGINT) AS decile_cents,
-                   round(sum(cents) / max(tot), 6) AS revenue_share
-            FROM ranked
-            GROUP BY 1
-        ),
-        gini AS (
-            -- G = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n on the sorted
-            -- series: exact integer numerators, ONE rounded division
-            SELECT round(
-                       (2.0 * sum(rn * cents) - (max(n) + 1) * max(tot))
-                       / (max(n) * max(tot)), 6) AS gini
-            FROM ranked
-        )
-        SELECT d.decile, d.n_customers, d.decile_cents, d.revenue_share,
-               g.gini
-        FROM decs d CROSS JOIN gini g
-    """,
-    tags=("analytics", "window", "agg"),
-)
-def revenue_concentration_gini(spark, sf_dir):
-    """Revenue concentration audit (the who-pays-the-bills question,
-    and the skew diagnostic for customer-keyed partitioning): Lorenz
-    deciles of per-customer revenue (decile by integer rank
-    arithmetic — no percentile interpolation) plus the Gini
-    coefficient via the sorted-series identity
-    ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`` — integer numerators in
-    exact DECIMAL cents, one rounded division per output.
-
-    Scale shape: per-customer aggregate at the scan, then one rank
-    window over the CUSTOMER dimension; deciles + a 1-row Gini — no
-    fact-sized windows."""
-    per = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
-            )
-            .cast("long")
-            .alias("cents")
-        )
-    )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per.select(
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("cents").over(Window.partitionBy()).alias("tot"),
-    )
-    decs = (
-        ranked.groupBy(
-            F.expr("((rn - 1) * 10) div n").cast("long").alias("decile")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.sum("cents").cast("long").alias("decile_cents"),
-            F.round(F.sum("cents") / F.max("tot"), 6).alias("revenue_share"),
-        )
-    )
-    gini = ranked.agg(
-        F.round(
-            (
-                2.0 * F.sum(F.col("rn") * F.col("cents"))
-                - (F.max("n") + 1) * F.max("tot")
-            )
-            / (F.max("n") * F.max("tot")),
-            6,
-        ).alias("gini")
-    )
-    return decs.crossJoin(F.broadcast(gini))
 
 
 # =====================================================================
