@@ -83,3 +83,29 @@ def test_every_degradation_tier_is_valid_json():
         line = _fitted_headline_line(_summary(n))
         assert len(line) <= 1900
         json.loads(line)
+
+
+def test_prior_round_queries_reads_newest_artifact():
+    """The adjudication baseline is the newest BENCH_r*.json's parsed
+    per-query map — present in this repo since round 1, so the helper
+    must return a non-empty {name: seconds} dict here."""
+    from bench import _prior_round_queries
+
+    prior = _prior_round_queries()
+    assert prior, "expected the committed BENCH_r*.json artifacts"
+    assert all(isinstance(k, str) for k in prior)
+    assert any(isinstance(v, (int, float)) for v in prior.values())
+
+
+def test_suspect_predicate_bands():
+    """>35% over prior trips; anything at/below the band, errored
+    rows, sub-noise-floor priors, and null priors never do."""
+    from bench import _is_suspect
+
+    assert _is_suspect(1.40, 1.0)
+    assert not _is_suspect(1.35, 1.0)  # exactly at the band: no trip
+    assert not _is_suspect(0.9, 1.0)
+    assert not _is_suspect(None, 1.0)  # errored row: ledger's job
+    assert not _is_suspect(1.0, None)  # prior errored: nothing to adjudicate
+    assert not _is_suspect(0.2, 0.04)  # sub-noise-floor prior: jitter
+    assert not _is_suspect(2.0, True)  # defensive: bool is not a timing
