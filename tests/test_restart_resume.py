@@ -1,0 +1,273 @@
+"""Restart-resume exactly-once proofs for every epoch-fold sink
+family (VERDICT r11 next #7 — extends the CMS recipe of
+test_countmin.py::test_streaming_resume_across_restart_equals_batch
+to HLL, bloom, adaptive-sample, and Misra-Gries).
+
+Recipe per family: stream two epoch files to completion
+(availableNow drains and terminates), append a THIRD file to the
+source, restart against the SAME checkpoint — the resumed stream
+must process only the new file (offsets tracked, fold continues from
+the stored epoch), and the final state must satisfy the family's
+identity:
+
+- exact-merge folds (HLL registers, bloom bits): final epoch ==
+  one-shot batch sketch of everything ever streamed;
+- adaptive sample: final epoch == coin-filter of the full streamed
+  id set at the stored final threshold (the sampler's algebraic
+  identity);
+- Misra-Gries (NOT batch-equal by construction — the fold is
+  epoch-order-dependent): restarted run == uninterrupted run over
+  the same files, state tables bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _write_files(spark, src, files, schema_cols):
+    """files entries may be None = placeholder for a file written by
+    an earlier run (the CMS-test convention)."""
+    for b, rows in enumerate(files):
+        if rows is None:
+            continue
+        spark.createDataFrame(rows, schema_cols).coalesce(1).write.mode(
+            "append" if b else "overwrite"
+        ).parquet(src)
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def _run_hll(spark, base, files):
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.sketches import (
+        hll_sketch_sink,
+    )
+
+    src = f"{base}/src"
+    _write_files(spark, src, files, ["grp", "val"])
+    stream = (
+        spark.readStream.schema("grp string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = hll_sketch_sink(
+        stream,
+        ["grp"],
+        "val",
+        store_path=f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def test_hll_resume_across_restart_equals_batch(spark, tmp_path):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    base = str(tmp_path / "run")
+    f0 = [("g1", f"a{i}") for i in range(120)]
+    f1 = [("g1", f"b{i}") for i in range(80)] + [("g2", f"c{i}") for i in range(40)]
+    f2 = [("g1", f"a{i}") for i in range(60)] + [("g2", f"d{i}") for i in range(30)]
+    _run_hll(spark, base, [f0, f1])
+    store = spark.read.parquet(f"{base}/store")
+    assert {r.epoch for r in store.select("epoch").distinct().collect()} == {0, 1}
+    _run_hll(spark, base, [None, None, f2])
+    store = spark.read.parquet(f"{base}/store")
+    assert {r.epoch for r in store.select("epoch").distinct().collect()} == {0, 1, 2}
+    final = {
+        (r.grp, r.idx): r.rho
+        for r in store.filter(F.col("epoch") == 2).collect()
+    }
+    batch = {
+        (r.grp, r.idx): r.rho
+        for r in hll_registers(
+            spark.createDataFrame(f0 + f1 + f2, ["grp", "val"]),
+            ["grp"],
+            F.col("val"),
+        ).collect()
+    }
+    assert final == batch
+
+
+# -------------------------------------------------------------- bloom
+
+
+def _run_bloom(spark, base, files, m=512, k=3):
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.sketches import (
+        bloom_sink,
+    )
+
+    src = f"{base}/src"
+    _write_files(spark, src, [None if f is None else [(x,) for x in f] for f in files], ["key"])
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = bloom_sink(
+        stream,
+        "key",
+        m=m,
+        n_hashes=k,
+        store_path=f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def test_bloom_resume_across_restart_equals_batch(spark, tmp_path):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.bloom import bloom_bits
+
+    base = str(tmp_path / "run")
+    f0 = [f"u{i}" for i in range(100)]
+    f1 = [f"v{i}" for i in range(70)]
+    f2 = [f"u{i}" for i in range(50)] + [f"w{i}" for i in range(40)]
+    _run_bloom(spark, base, [f0, f1])
+    assert {
+        r.epoch
+        for r in spark.read.parquet(f"{base}/store").select("epoch").distinct().collect()
+    } == {0, 1}
+    _run_bloom(spark, base, [None, None, f2])
+    store = spark.read.parquet(f"{base}/store")
+    assert {r.epoch for r in store.select("epoch").distinct().collect()} == {0, 1, 2}
+    final_bits = {r.bit for r in store.filter(F.col("epoch") == 2).collect()}
+    batch_bits = {
+        r.bit
+        for r in bloom_bits(
+            spark.createDataFrame([(x,) for x in f0 + f1 + f2], ["key"]),
+            "key",
+            512,
+            3,
+        ).collect()
+    }
+    assert final_bits == batch_bits
+
+
+# ---------------------------------------------------- adaptive sample
+
+
+def _run_as(spark, base, files, cap=64):
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.sketches import (
+        adaptive_sample_sink,
+    )
+
+    src = f"{base}/src"
+    _write_files(
+        spark, src, [None if f is None else [(i,) for i in f] for f in files], ["id"]
+    )
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = adaptive_sample_sink(
+        stream,
+        "id",
+        ["id"],
+        cap=cap,
+        store_path=f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def test_adaptive_sample_resume_across_restart_matches_identity(spark, tmp_path):
+    """The sampler's algebraic identity must hold ACROSS a restart:
+    stored state after the resumed epoch == coin-filter of the full
+    streamed id set at the stored final threshold exponent."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        COIN_SPAN,
+        hash_coin,
+    )
+
+    base = str(tmp_path / "run")
+    f0 = list(range(0, 400))
+    f1 = list(range(400, 700))
+    f2 = list(range(700, 1100))  # enough rows to force a tightening
+    _run_as(spark, base, [f0, f1])
+    assert {
+        r.epoch
+        for r in spark.read.parquet(f"{base}/store").select("epoch").distinct().collect()
+    } == {0, 1}
+    _run_as(spark, base, [None, None, f2])
+    store = spark.read.parquet(f"{base}/store")
+    assert {r.epoch for r in store.select("epoch").distinct().collect()} == {0, 1, 2}
+    final = store.filter(F.col("epoch") == 2)
+    j_final = final.agg(F.max("j")).collect()[0][0]
+    got_ids = {r.id for r in final.collect()}
+    assert 0 < len(got_ids) <= 64
+    expect_ids = {
+        r.id
+        for r in spark.createDataFrame([(i,) for i in f0 + f1 + f2], ["id"])
+        .where(hash_coin(F.col("id"), ":as") < F.lit(COIN_SPAN >> j_final))
+        .collect()
+    }
+    assert got_ids == expect_ids
+
+
+# --------------------------------------------------------- Misra-Gries
+
+
+def _run_mg(spark, base, files, num_counters=4):
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.frequency import (
+        mg_summary_sink,
+    )
+
+    src = f"{base}/src"
+    _write_files(spark, src, files, ["grp", "unit"])
+    stream = (
+        spark.readStream.schema("grp string, unit string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = mg_summary_sink(
+        stream,
+        ["grp"],
+        "unit",
+        num_counters=num_counters,
+        store_path=f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def test_mg_resume_across_restart_equals_uninterrupted(spark, tmp_path):
+    """MG's fold is epoch-order-dependent (not batch-equal), so the
+    exactly-once statement is: a run interrupted after epoch 1 and
+    resumed with epoch 2 produces state (summary AND deduction meta)
+    bit-identical to one uninterrupted run over the same three files
+    — a duplicated or skipped micro-batch would shift the deduction
+    ledger and break the equality."""
+    f0 = [("g", "hot")] * 12 + [("g", f"a{i}") for i in range(15)]
+    f1 = [("g", "hot")] * 7 + [("g", f"b{i}") for i in range(10)]
+    f2 = [("g", "hot2")] * 9 + [("g", f"a{i}") for i in range(8)]
+
+    resumed = str(tmp_path / "resumed")
+    _run_mg(spark, resumed, [f0, f1])
+    assert {
+        r.epoch
+        for r in spark.read.parquet(f"{resumed}/store/summary")
+        .select("epoch").distinct().collect()
+    } == {0, 1}
+    _run_mg(spark, resumed, [None, None, f2])
+
+    oneshot = str(tmp_path / "oneshot")
+    _run_mg(spark, oneshot, [f0, f1, f2])
+
+    def state(base, part):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{base}/store/{part}")
+            .filter(F.col("epoch") == 2)
+            .drop("epoch")
+            .collect()
+        }
+
+    assert state(resumed, "summary") == state(oneshot, "summary")
+    assert state(resumed, "meta") == state(oneshot, "meta")
