@@ -685,3 +685,538 @@ def user_activity_entropy(spark, sf_dir):
         .groupBy("user_id", "n_events", "n_types")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
     )
+
+
+# =====================================================================
+# Largest-remainder exact proration (warehouse money-allocation staple)
+# =====================================================================
+
+
+@register_staged(
+    "order_line_proration",
+    oracle="""
+        WITH w AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 100, 0)
+                        AS BIGINT) AS w
+            FROM lineitem
+        ),
+        t AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100, 0)
+                        AS BIGINT) AS t_cents
+            FROM orders
+        ),
+        j AS (
+            SELECT t.o_orderkey, t.o_orderpriority, t.t_cents,
+                   w.l_linenumber, w.w,
+                   sum(w.w) OVER (PARTITION BY t.o_orderkey) AS sw
+            FROM t JOIN w ON w.l_orderkey = t.o_orderkey
+        ),
+        base AS (
+            SELECT *,
+                   (t_cents * w) // sw AS alloc0,
+                   (t_cents * w) % sw AS rem,
+                   row_number() OVER (
+                       PARTITION BY o_orderkey
+                       ORDER BY (t_cents * w) % sw DESC, l_linenumber
+                   ) AS rnk
+            FROM j
+        ),
+        lines AS (
+            SELECT o_orderkey, o_orderpriority, t_cents,
+                   alloc0 + CASE WHEN rnk <=
+                       t_cents - sum(alloc0) OVER (PARTITION BY o_orderkey)
+                       THEN 1 ELSE 0 END AS alloc
+            FROM base
+        ),
+        per_order AS (
+            SELECT o_orderkey, o_orderpriority,
+                   max(t_cents) AS t_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   sum(alloc) AS alloc_cents
+            FROM lines GROUP BY 1, 2
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(n_lines) AS BIGINT) AS n_lines,
+               CAST(sum(t_cents) AS BIGINT) AS total_cents,
+               CAST(sum(alloc_cents) AS BIGINT) AS alloc_cents,
+               min(alloc_cents = t_cents) AS all_orders_exact_ok
+        FROM per_order GROUP BY 1
+    """,
+    tags=("analytics", "window", "money"),
+)
+def order_line_proration(spark, sf_dir):
+    """Largest-remainder (Hamilton) proration of each order's total
+    across its line items, weighted by line price — the exact-money
+    allocation every billing/revenue-recognition warehouse job needs:
+    floor shares ``(T·w_i) div ΣW`` first, then the leftover
+    ``T − Σfloor`` cents go one each to the lines with the largest
+    integer remainders (ties by line number). ALL-INTEGER: weights
+    and totals are exact DECIMAL cents, shares are integer div/mod —
+    no FP anywhere, so the per-order invariant ``Σalloc == T`` is a
+    falsifiable boolean (min over orders) in both engines, not an
+    epsilon test.
+
+    Scale shape: two windows partitioned by the natural order key (no
+    global sort) over the lineitem shuffle, then a 5-row groupBy; at
+    100 TB this is one hash exchange of lineitem by orderkey — the
+    same co-partitioning every order-grain job reuses."""
+    w = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice").cast("decimal(12,2)") * 100, 0)
+        .cast("long")
+        .alias("w"),
+    )
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("decimal(12,2)") * 100, 0)
+        .cast("long")
+        .alias("t_cents"),
+    )
+    ow = Window.partitionBy("o_orderkey")
+    j = t.join(w, t.o_orderkey == w.l_orderkey).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "t_cents",
+        "l_linenumber",
+        "w",
+        F.sum("w").over(ow).alias("sw"),
+    )
+    prod = F.col("t_cents") * F.col("w")
+    base = j.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "t_cents",
+        "l_linenumber",
+        F.expr("(t_cents * w) div sw").alias("alloc0"),
+        (prod % F.col("sw")).alias("rem"),
+        F.row_number()
+        .over(ow.orderBy(F.desc((prod % F.col("sw"))), "l_linenumber"))
+        .alias("rnk"),
+    )
+    lines = base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "t_cents",
+        (
+            F.col("alloc0")
+            + F.when(
+                F.col("rnk") <= F.col("t_cents") - F.sum("alloc0").over(ow),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("alloc"),
+    )
+    per_order = lines.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.max("t_cents").alias("t_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("alloc").alias("alloc_cents"),
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("t_cents").cast("long").alias("total_cents"),
+        F.sum("alloc_cents").cast("long").alias("alloc_cents"),
+        F.min(F.col("alloc_cents") == F.col("t_cents")).alias(
+            "all_orders_exact_ok"
+        ),
+    )
+
+
+# =====================================================================
+# Gaps-and-islands: per-user contiguous activity-day runs
+# =====================================================================
+
+
+@register_staged(
+    "user_activity_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        keyed AS (
+            SELECT user_id, day,
+                   date_diff('day', DATE '1970-01-01', day)
+                       - row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS isl,
+                   date_diff('day',
+                             lag(day) OVER (
+                                 PARTITION BY user_id ORDER BY day),
+                             day) AS step
+            FROM days
+        ),
+        islands AS (
+            SELECT user_id, isl, CAST(count(*) AS BIGINT) AS run_days
+            FROM keyed GROUP BY 1, 2
+        )
+        SELECT k.user_id,
+               CAST(count(*) AS BIGINT) AS n_active_days,
+               (SELECT CAST(count(*) AS BIGINT) FROM islands i
+                WHERE i.user_id = k.user_id) AS n_islands,
+               (SELECT CAST(max(run_days) AS BIGINT) FROM islands i
+                WHERE i.user_id = k.user_id) AS longest_island_days,
+               CAST(coalesce(max(step) - 1, 0) AS BIGINT) AS max_gap_days
+        FROM keyed k GROUP BY 1
+    """,
+    tags=("analytics", "window", "sessionization"),
+)
+def user_activity_islands(spark, sf_dir):
+    """Gaps-and-islands over each user's active DAYS (the classic
+    warehouse run-length problem): distinct activity dates, island
+    key = epoch-day − row_number (constant within a contiguous run),
+    then per-user island count, longest streak, and the widest gap
+    between consecutive active days. Every output is an integer day
+    count — no timestamps cross the compare.
+
+    Scale shape: the distinct-day reduction happens at the scan
+    (groupBy user, day partial agg), then two windows partitioned by
+    user over a ≤ users×days frame; no global sort, one exchange."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    keyed = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("isl"),
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("step"),
+    )
+    islands = keyed.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("run_days")
+    )
+    per_user = keyed.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.coalesce(F.max("step") - 1, F.lit(0)).cast("long").alias(
+            "max_gap_days"
+        ),
+    )
+    isl_stats = islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("run_days").cast("long").alias("longest_island_days"),
+    )
+    return per_user.join(isl_stats, "user_id").select(
+        "user_id",
+        "n_active_days",
+        "n_islands",
+        "longest_island_days",
+        "max_gap_days",
+    )
+
+
+# =====================================================================
+# Sweep-line peak concurrency over per-user activity intervals
+# =====================================================================
+
+
+@register_staged(
+    "peak_concurrent_activity",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type, user_id,
+                   min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+            FROM events GROUP BY 1, 2
+        ),
+        pts AS (
+            SELECT event_type, user_id, s AS t, 1 AS d FROM iv
+            UNION ALL
+            SELECT event_type, user_id, e AS t, -1 AS d FROM iv
+        ),
+        sweep AS (
+            SELECT event_type, t, d,
+                   sum(d) OVER (
+                       PARTITION BY event_type
+                       ORDER BY t, d DESC, user_id
+                       ROWS UNBOUNDED PRECEDING) AS running
+            FROM pts
+        ),
+        peak AS (
+            SELECT event_type, CAST(max(running) AS BIGINT) AS peak
+            FROM sweep GROUP BY 1
+        )
+        SELECT p.event_type,
+               (SELECT CAST(count(*) AS BIGINT) FROM iv
+                WHERE iv.event_type = p.event_type) AS n_intervals,
+               p.peak AS peak_concurrency,
+               (SELECT CAST(min(t) AS BIGINT) FROM sweep s
+                WHERE s.event_type = p.event_type
+                  AND s.running = p.peak) AS first_peak_us
+        FROM peak p
+    """,
+    tags=("analytics", "window", "sessionization"),
+)
+def peak_concurrent_activity(spark, sf_dir):
+    """Sweep-line maximum concurrency (the classic interval-overlap
+    reduction — 'peak simultaneous sessions'): each (event_type,
+    user) pair contributes the activity interval [first ts, last ts];
+    the sweep explodes ±1 endpoint deltas and takes a running sum
+    under the TOTAL order (t, starts-before-ends, user) — touching
+    intervals count as concurrent, and the order makes the running
+    series engine-identical. Peak and its first-reached time are
+    exact integers (µs).
+
+    Scale shape: the interval build is one partial-agg groupBy at the
+    scan; the sweep window partitions by event_type over 2×intervals
+    rows — never the raw event stream. At 100 TB a single global
+    sweep would serialize one partition; the per-type partitioning is
+    the parallelism, and a finer sweep (per day) composes the same
+    way."""
+    # eager checkpoint: iv feeds three branches (starts, ends, counts)
+    # — without it each branch re-scans the raw event stream; with it
+    # the corpus is read ONCE and the bounded users×types interval
+    # table is what fans out (the repo's localCheckpoint discipline)
+    iv = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pts = iv.select(
+        "event_type", "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select(
+            "event_type",
+            "user_id",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t"), F.desc("d"), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wmax = Window.partitionBy("event_type")
+    sweep = pts.select(
+        "event_type", "t", "d", F.sum("d").over(w).alias("running")
+    ).withColumn("peak", F.max("running").over(wmax))
+    n_iv = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    stats = (
+        sweep.filter(F.col("running") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrency"),
+            F.min("t").cast("long").alias("first_peak_us"),
+        )
+    )
+    return n_iv.join(stats, "event_type").select(
+        "event_type", "n_intervals", "peak_concurrency", "first_peak_us"
+    )
+
+
+# =====================================================================
+# Pareto / ABC inventory classification by cumulative revenue share
+# =====================================================================
+
+
+@register_staged(
+    "pareto_abc_parts",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(
+                       CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2)) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS r
+            FROM lineitem GROUP BY 1
+        ),
+        ranked AS (
+            SELECT l_partkey, r,
+                   sum(r) OVER (ORDER BY r DESC, l_partkey) AS cum,
+                   sum(r) OVER () AS tot
+            FROM rev
+        ),
+        classed AS (
+            SELECT *,
+                   CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                        WHEN cum * 10 <= tot * 9 THEN 'B'
+                        ELSE 'C' END AS cls
+            FROM ranked
+        )
+        SELECT cls,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(r) AS BIGINT) AS class_rev,
+               CAST((sum(r) * 10000) // max(tot) AS BIGINT) AS share_bp,
+               CAST(max(cum) AS BIGINT) AS cum_at_class_end
+        FROM classed GROUP BY 1
+    """,
+    tags=("analytics", "window", "money"),
+)
+def pareto_abc_parts(spark, sf_dir):
+    """ABC (Pareto) classification of parts by cumulative revenue
+    share — the inventory-management staple: parts ranked by exact
+    discounted revenue, class A = the head up to 70% of total
+    revenue, B to 90%, C the tail. Revenue is EXACT integer
+    DECIMAL(12,2)×DECIMAL(4,2) arithmetic at 1e-4 scale, the class
+    boundaries are integer cross-multiplications (cum·10 ≤ tot·7) —
+    no division, no FP, so class membership is bit-identical across
+    engines. Share in integer basis points.
+
+    Scale shape: the per-part revenue is a partial-agg groupBy; the
+    global cumulative ranking runs over the PART domain (orders of
+    magnitude smaller than lineitem). A true 100 TB part domain would
+    range-partition the running sum (two-pass: per-range totals, then
+    offset); the single window here is the right shape for the
+    ~200k-part TPC-H domain."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+                    * 10000,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    wcum = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(wcum).alias("cum"),
+        F.sum("r").over(wall).alias("tot"),
+    )
+    classed = ranked.select(
+        "r",
+        "cum",
+        "tot",
+        F.when(F.col("cum") * 10 <= F.col("tot") * 7, F.lit("A"))
+        .when(F.col("cum") * 10 <= F.col("tot") * 9, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("cls"),
+    )
+    return classed.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("r").cast("long").alias("class_rev"),
+        F.expr("(sum(r) * 10000) div max(tot)").cast("long").alias("share_bp"),
+        F.max("cum").cast("long").alias("cum_at_class_end"),
+    )
+
+
+# =====================================================================
+# Bigram PMI (collocation mining over the corpus token stream)
+# =====================================================================
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@register_staged(
+    "bigram_pmi_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, len(l)),
+                                         i -> l[i])) AS x,
+                   unnest(list_transform(range(1, len(l)),
+                                         i -> l[i + 1])) AS y
+            FROM toks WHERE len(l) >= 2
+        ),
+        big AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+            FROM pairs GROUP BY 1, 2
+        ),
+        firsts AS (SELECT x, sum(n_xy) AS n_x FROM big GROUP BY 1),
+        seconds AS (SELECT y, sum(n_xy) AS n_y FROM big GROUP BY 1),
+        tot AS (SELECT sum(n_xy) AS n FROM big),
+        scored AS (
+            SELECT b.x || ' ' || b.y AS pair, b.n_xy,
+                   CAST(f.n_x AS BIGINT) AS n_x,
+                   CAST(s.n_y AS BIGINT) AS n_y,
+                   round(ln(CAST(b.n_xy * t.n AS DOUBLE)
+                            / CAST(f.n_x * s.n_y AS DOUBLE)), 4) AS pmi
+            FROM big b, tot t
+            JOIN firsts f ON f.x = b.x
+            JOIN seconds s ON s.y = b.y
+            WHERE b.n_xy >= {_PMI_MIN_COUNT}
+        )
+        SELECT pair, n_xy, n_x, n_y, pmi
+        FROM scored
+        ORDER BY pmi DESC, pair LIMIT {_PMI_TOPK}
+    """,
+    tags=("text", "llm-pipeline", "topk"),
+)
+def bigram_pmi_topk(spark, sf_dir):
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation-mining pass an LLM-corpus pipeline runs to find
+    multi-word expressions worth protecting from tokenizer splits.
+    Probabilities come from the bigram table itself (p(x·), p(·y),
+    p(xy) over N bigram positions), so every PMI input is an exact
+    integer count; the single transcendental ln rounds to 4 dp before
+    ranking with pair-text tie-breaks (the bm25 discipline). The
+    ≥{mc}-count floor keeps one-off juxtapositions out.
+
+    Scale shape: pairs are built row-locally (two shifted slices
+    zipped — the bpe_pair_stats shape, no posexplode blowup); the
+    marginals are two groupBys OVER THE BIGRAM TABLE (vocab² bound,
+    not corpus bound) re-joined on the bigram keys; the cut is
+    TakeOrderedAndProject.""".format(mc=_PMI_MIN_COUNT)
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("l")
+    )
+    length = F.greatest(F.size("l") - F.lit(1), F.lit(0))
+    pairs = toked.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("l", 1, length).alias("x"),
+                F.slice(F.col("l"), 2, length).alias("y"),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    # eager checkpoint: the bigram table feeds four branches (both
+    # marginals, the total, and the scored join) — without it each
+    # branch re-scans the corpus and re-explodes the pairs; with it
+    # the corpus is tokenized ONCE and the vocab²-bounded count table
+    # is what fans out
+    big = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .localCheckpoint(eager=True)
+    )
+    firsts = big.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    seconds = big.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = big.agg(F.sum("n_xy").alias("n"))
+    scored = (
+        big.filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+        .join(firsts, "x")
+        .join(seconds, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("pair"),
+            "n_xy",
+            F.col("n_x").cast("long").alias("n_x"),
+            F.col("n_y").cast("long").alias("n_y"),
+            F.round(
+                F.log(
+                    (F.col("n_xy") * F.col("n")).cast("double")
+                    / (F.col("n_x") * F.col("n_y")).cast("double")
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "pair").limit(_PMI_TOPK)

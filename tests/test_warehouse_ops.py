@@ -1,0 +1,261 @@
+"""Python-reference pins for the round-13 warehouse/sequence staged
+entries added in round 12: largest-remainder proration, gaps-and-
+islands, sweep-line peak concurrency, ABC classification boundaries,
+and the bigram-PMI formula — each checked against an independent
+brute-force model on small synthetic frames (the engine sides are
+oracle-pinned at 3 SFs; these pin the MATH)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ largest remainder
+
+
+def _prorate_py(total, weights):
+    """Textbook Hamilton apportionment: floor shares by weight, then
+    one extra unit each to the largest remainders (ties by index)."""
+    sw = sum(weights)
+    base = [total * w // sw for w in weights]
+    rem = [(total * w % sw, -i) for i, w in enumerate(weights)]
+    extra = total - sum(base)
+    winners = sorted(range(len(weights)), key=lambda i: rem[i], reverse=True)[
+        :extra
+    ]
+    for i in winners:
+        base[i] += 1
+    return base
+
+
+def _prorate_spark(spark, total, weights):
+    rows = [(1, i + 1, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["k", "ln", "w"]).withColumn(
+        "t", F.lit(total).cast("long")
+    )
+    ow = Window.partitionBy("k")
+    j = df.withColumn("sw", F.sum("w").over(ow))
+    prod = F.col("t") * F.col("w")
+    base = j.select(
+        "k",
+        "ln",
+        "t",
+        F.expr("(t * w) div sw").alias("alloc0"),
+        F.row_number()
+        .over(ow.orderBy(F.desc(prod % F.col("sw")), "ln"))
+        .alias("rnk"),
+    )
+    out = base.select(
+        "ln",
+        (
+            F.col("alloc0")
+            + F.when(
+                F.col("rnk") <= F.col("t") - F.sum("alloc0").over(ow),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("alloc"),
+    )
+    return [r.alloc for r in out.orderBy("ln").collect()]
+
+
+def test_proration_equals_hamilton_and_is_exact(spark):
+    cases = [
+        (1000, [1, 1, 1]),       # even split with remainder
+        (101, [3, 3, 3]),        # all-equal weights, 2 extra cents
+        (999, [1, 2, 3, 4]),
+        (7, [100, 1, 1]),        # total smaller than weights
+        (123457, [9999, 1, 50, 50]),
+    ]
+    for total, weights in cases:
+        got = _prorate_spark(spark, total, weights)
+        expect = _prorate_py(total, weights)
+        assert got == expect, (total, weights, got, expect)
+        assert sum(got) == total  # the invariant the query pins
+
+
+# ------------------------------------------------- gaps and islands
+
+
+def _islands_py(days):
+    days = sorted(set(days))
+    islands, cur = [], 1
+    gaps = []
+    for a, b in zip(days, days[1:]):
+        if b - a == 1:
+            cur += 1
+        else:
+            gaps.append(b - a - 1)
+            islands.append(cur)
+            cur = 1
+    islands.append(cur)
+    return len(days), len(islands), max(islands), max(gaps, default=0)
+
+
+def test_islands_key_matches_bruteforce(spark):
+    import datetime
+
+    day0 = datetime.date(2024, 1, 1)
+    cases = [
+        [0, 1, 2, 5, 6, 10],
+        [0],
+        [0, 2, 4, 6],
+        [3, 4, 5, 6, 7],
+        [0, 1, 1, 2, 9, 9],  # duplicate days collapse
+    ]
+    rows = [
+        (u, day0 + datetime.timedelta(days=d))
+        for u, ds in enumerate(cases)
+        for d in ds
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "day"]).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    keyed = df.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("isl"),
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("step"),
+    )
+    islands = keyed.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    got = {
+        r.user_id: (r.nd, r.ni, r.li, r.mg)
+        for r in keyed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.coalesce(F.max("step") - 1, F.lit(0)).alias("mg"),
+        )
+        .join(
+            islands.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("ni"), F.max("run").alias("li")
+            ),
+            "user_id",
+        )
+        .collect()
+    }
+    for u, ds in enumerate(cases):
+        assert got[u] == _islands_py(ds), (u, ds, got[u])
+
+
+# --------------------------------------------- sweep-line concurrency
+
+
+def _peak_py(intervals):
+    """Brute force: evaluate concurrency at every endpoint with
+    closed [s, e] semantics (touching intervals overlap)."""
+    points = sorted({t for s, e in intervals for t in (s, e)})
+    return max(sum(1 for s, e in intervals if s <= t <= e) for t in points)
+
+
+def test_sweepline_peak_matches_bruteforce(spark):
+    cases = [
+        [(0, 10), (5, 15), (20, 30)],
+        [(0, 10), (10, 20)],            # touching => concurrent
+        [(5, 5), (5, 5), (5, 5)],       # zero-length stacks
+        [(0, 100), (1, 2), (3, 4), (5, 6)],
+        [(0, 1), (2, 3), (4, 5)],       # disjoint
+    ]
+    for intervals in cases:
+        rows = [(i, s, e) for i, (s, e) in enumerate(intervals)]
+        iv = spark.createDataFrame(rows, ["uid", "s", "e"])
+        pts = iv.select(
+            "uid", F.col("s").alias("t"), F.lit(1).alias("d")
+        ).unionByName(
+            iv.select("uid", F.col("e").alias("t"), F.lit(-1).alias("d"))
+        )
+        w = Window.orderBy(F.col("t"), F.desc("d"), F.col("uid")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        got = (
+            pts.select(F.sum("d").over(w).alias("run"))
+            .agg(F.max("run"))
+            .collect()[0][0]
+        )
+        assert got == _peak_py(intervals), (intervals, got)
+
+
+# ----------------------------------------------------- ABC boundaries
+
+
+def test_abc_class_boundaries_integer_rule(spark):
+    """cum*10 <= tot*7 -> A, <= tot*9 -> B, else C: the integer
+    cross-multiplication must agree with the exact-fraction rule at
+    the boundaries (a part landing exactly on 70% is still A)."""
+    revs = [70, 15, 10, 5]  # cum shares: 70, 85, 95, 100 (%)
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(revs)], ["pk", "r"]
+    )
+    wcum = Window.orderBy(F.desc("r"), "pk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    classed = df.select(
+        "pk",
+        F.when(
+            F.sum("r").over(wcum) * 10
+            <= F.sum("r").over(Window.partitionBy()) * 7,
+            F.lit("A"),
+        )
+        .when(
+            F.sum("r").over(wcum) * 10
+            <= F.sum("r").over(Window.partitionBy()) * 9,
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("cls"),
+    )
+    got = {r.pk: r.cls for r in classed.collect()}
+    assert got == {0: "A", 1: "B", 2: "C", 3: "C"}
+
+
+# ------------------------------------------------------------- PMI
+
+
+def test_bigram_pmi_formula(spark):
+    """PMI from the bigram table's own marginals equals the
+    independent math.log computation on the same counts."""
+    toks = ["a b a b c a b".split(), "b c b c".split()]
+    bigrams = [
+        (l[i], l[i + 1]) for l in toks for i in range(len(l) - 1)
+    ]
+    from collections import Counter
+
+    n_xy = Counter(bigrams)
+    n_x = Counter(x for x, _ in bigrams)
+    n_y = Counter(y for _, y in bigrams)
+    N = len(bigrams)
+    expect = {
+        (x, y): round(math.log(c * N / (n_x[x] * n_y[y])), 4)
+        for (x, y), c in n_xy.items()
+    }
+    df = spark.createDataFrame(
+        [(x, y) for x, y in bigrams], ["x", "y"]
+    )
+    big = df.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    fx = big.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    fy = big.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = big.agg(F.sum("n_xy").alias("n"))
+    got = {
+        (r.x, r.y): r.pmi
+        for r in big.join(fx, "x")
+        .join(fy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.round(
+                F.log(
+                    (F.col("n_xy") * F.col("n")).cast("double")
+                    / (F.col("n_x") * F.col("n_y")).cast("double")
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .collect()
+    }
+    assert got == expect
