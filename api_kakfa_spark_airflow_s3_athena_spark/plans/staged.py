@@ -1096,19 +1096,28 @@ def pareto_abc_parts(spark, sf_dir):
         F.sum("r").over(wcum).alias("cum"),
         F.sum("r").over(wall).alias("tot"),
     )
+    # DECIMAL(38,0) for the cross-multiplications: cum·10 / tot·7 and
+    # sum(r)·10000 overflow BIGINT once total 1e-4-scale revenue
+    # passes ~9.2e14 (the sf1 relational fixture tripped ANSI
+    # overflow — caught by scale_check, round 12). DuckDB's BIGINT
+    # sums are HUGEINT so the oracle was already exact.
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
     classed = ranked.select(
         "r",
         "cum",
         "tot",
-        F.when(F.col("cum") * 10 <= F.col("tot") * 7, F.lit("A"))
-        .when(F.col("cum") * 10 <= F.col("tot") * 9, F.lit("B"))
+        F.when(d38("cum") * 10 <= d38("tot") * 7, F.lit("A"))
+        .when(d38("cum") * 10 <= d38("tot") * 9, F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("cls"),
     )
     return classed.groupBy("cls").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.sum("r").cast("long").alias("class_rev"),
-        F.expr("(sum(r) * 10000) div max(tot)").cast("long").alias("share_bp"),
+        F.expr(
+            "CAST((CAST(sum(r) AS DECIMAL(38,0)) * 10000)"
+            " div CAST(max(tot) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("share_bp"),
         F.max("cum").cast("long").alias("cum_at_class_end"),
     )
 

@@ -100,6 +100,10 @@ HEAVY_OPS = [
     "gopher_repetition_filter",
     "ann_ivf_sq8",
     "embedding_isotropy_probe",
+    # round-13 staged operators (documents fixture; the warehouse
+    # ones — proration, ABC, islands, sweep-line — are relational
+    # and live in R5_RELATIONAL_OPS below)
+    "bigram_pmi_topk",
 ]
 
 
@@ -205,6 +209,11 @@ R5_RELATIONAL_OPS = [
     # round 9: co-purchase graph decomposition/communities (lineitem)
     "graph_kcore_membership",
     "graph_label_propagation",
+    # round 12: staged warehouse ops (orders/lineitem/events fixtures)
+    "order_line_proration",
+    "pareto_abc_parts",
+    "user_activity_islands",
+    "peak_concurrent_activity",
 ]
 # (the remaining r5 closers — weighted_sample_aes, doc_token_entropy —
 # read the documents fixture, which generate() already covers, as does
