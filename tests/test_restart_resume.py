@@ -271,3 +271,66 @@ def test_mg_resume_across_restart_equals_uninterrupted(spark, tmp_path):
 
     assert state(resumed, "summary") == state(oneshot, "summary")
     assert state(resumed, "meta") == state(oneshot, "meta")
+
+
+# ----------------------------------------------------------------- KMV
+
+
+def _run_kmv(spark, base, files, k=16):
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.sketches import (
+        kmv_sketch_sink,
+    )
+
+    src = f"{base}/src"
+    _write_files(spark, src, files, ["grp", "val"])
+    stream = (
+        spark.readStream.schema("grp string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = kmv_sketch_sink(
+        stream,
+        ["grp"],
+        "val",
+        k=k,
+        store_path=f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def test_kmv_resume_across_restart_equals_batch(spark, tmp_path):
+    """Completes the restart matrix: the KMV family had a no-new-data
+    replay test (test_kmv.py) but not the resume-WITH-new-data proof
+    the other five folds carry."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    base = str(tmp_path / "run")
+    f0 = [("g1", f"a{i}") for i in range(60)]
+    f1 = [("g1", f"b{i}") for i in range(40)] + [("g2", f"c{i}") for i in range(20)]
+    f2 = [("g1", f"a{i}") for i in range(30)] + [("g2", f"d{i}") for i in range(25)]
+    _run_kmv(spark, base, [f0, f1])
+    assert {
+        r.epoch
+        for r in spark.read.parquet(f"{base}/store").select("epoch").distinct().collect()
+    } == {0, 1}
+    _run_kmv(spark, base, [None, None, f2])
+    store = spark.read.parquet(f"{base}/store")
+    assert {r.epoch for r in store.select("epoch").distinct().collect()} == {0, 1, 2}
+    final = {
+        r.grp: tuple(r.kmv_hashes)
+        for r in store.filter(F.col("epoch") == 2).collect()
+    }
+    batch = {
+        r.grp: tuple(r.kmv_hashes)
+        for r in kmv_sketch(
+            spark.createDataFrame(f0 + f1 + f2, ["grp", "val"]),
+            ["grp"],
+            F.col("val"),
+            k=16,
+        ).collect()
+    }
+    assert final == batch

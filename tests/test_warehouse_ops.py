@@ -259,3 +259,19 @@ def test_bigram_pmi_formula(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_proration_property_random(spark):
+    """Hypothesis-style property sweep (deterministic seed): for any
+    positive weights and total, the Spark largest-remainder
+    expression equals Hamilton apportionment and sums exactly."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for _ in range(12):
+        n = rng.randint(1, 9)
+        weights = [rng.randint(1, 10_000) for _ in range(n)]
+        total = rng.randint(1, 10_000_000)
+        got = _prorate_spark(spark, total, weights)
+        assert got == _prorate_py(total, weights)
+        assert sum(got) == total
