@@ -1229,3 +1229,517 @@ def bigram_pmi_topk(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("pmi"), "pair").limit(_PMI_TOPK)
+
+
+# =====================================================================
+# Round-14 pre-builds (the r13 batch above fills the next promotion
+# window; these wait their turn, fully verified at build time)
+# =====================================================================
+
+from ..operators.quantiles import hash_coin  # noqa: E402
+
+
+@register_staged(
+    "stratified_split_exact",
+    oracle="""
+        WITH n_by AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ),
+        splits AS (
+            SELECT * FROM (VALUES ('train', 1, 8), ('val', 2, 1),
+                                  ('test', 3, 1)) s(split, sid, w)
+        ),
+        alloc0 AS (
+            SELECT lang, n, split, sid, w,
+                   (n * w) // 10 AS base, (n * w) % 10 AS rem
+            FROM n_by CROSS JOIN splits
+        ),
+        alloc AS (
+            SELECT *,
+                   base + CASE WHEN row_number() OVER (
+                       PARTITION BY lang ORDER BY rem DESC, sid)
+                       <= n - sum(base) OVER (PARTITION BY lang)
+                       THEN 1 ELSE 0 END AS n_target
+            FROM alloc0
+        ),
+        bounds AS (
+            SELECT lang, split, n_target,
+                   sum(n_target) OVER (
+                       PARTITION BY lang ORDER BY sid
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM alloc
+        ),
+        ranked AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || ':split'), 1, 5)
+                           AS BIGINT), doc_id) AS rk
+            FROM documents
+        )
+        SELECT b.lang, b.split, b.n_target,
+               CAST(count(r.doc_id) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(r.doc_id), 0) AS BIGINT) AS docid_sum,
+               CAST(count(r.doc_id) AS BIGINT) = b.n_target
+                   AS exact_count_ok
+        FROM bounds b LEFT JOIN ranked r
+          ON r.lang = b.lang
+         AND r.rk > b.cum - b.n_target AND r.rk <= b.cum
+        GROUP BY 1, 2, 3, b.cum
+    """,
+    tags=("llm-pipeline", "sampling", "window"),
+)
+def stratified_split_exact(spark, sf_dir):
+    """Stratified 80/10/10 train/val/test split with EXACT per-stratum
+    counts: per language the Hamilton (largest-remainder) targets are
+    computed over the (split × weight) frame with the same integer
+    div/mod/rank shape as order_line_proration, then documents are
+    ranked by a deterministic md5 coin and sliced at the cumulative
+    boundaries. Unlike rand()-seeded splits, MEMBERSHIP is a pure
+    function of doc_id — the per-(lang, split) doc_id SUM crosses the
+    engine compare, pinning the exact assignment, not just the
+    counts; exact_count_ok pins the Hamilton targets.
+
+    Scale shape: one rank window per stratum partition + a broadcast
+    of the 3-row split table; the slice is a range predicate on the
+    rank — one shuffle of (lang, coin) pairs at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    n_by = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    splits = spark.createDataFrame(
+        [("train", 1, 8), ("val", 2, 1), ("test", 3, 1)],
+        ["split", "sid", "w"],
+    )
+    lw = Window.partitionBy("lang")
+    alloc0 = n_by.crossJoin(F.broadcast(splits)).select(
+        "lang",
+        "n",
+        "split",
+        "sid",
+        "w",
+        F.expr("(n * w) div 10").alias("base"),
+        ((F.col("n") * F.col("w")) % 10).alias("rem"),
+    )
+    alloc = alloc0.select(
+        "lang",
+        "split",
+        "sid",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(lw.orderBy(F.desc("rem"), "sid"))
+                <= F.col("n") - F.sum("base").over(lw),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_target"),
+    )
+    bounds = alloc.select(
+        "lang",
+        "split",
+        "n_target",
+        F.sum("n_target")
+        .over(lw.orderBy("sid").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(lw.orderBy(hash_coin(F.col("doc_id"), ":split"), "doc_id"))
+        .alias("rk"),
+    )
+    joined = bounds.alias("bd").join(
+        ranked.alias("r"),
+        (F.col("r.lang") == F.col("bd.lang"))
+        & (F.col("r.rk") > F.col("bd.cum") - F.col("bd.n_target"))
+        & (F.col("r.rk") <= F.col("bd.cum")),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.col("bd.lang").alias("lang"),
+            F.col("bd.split").alias("split"),
+            F.col("bd.n_target").alias("n_target"),
+            F.col("bd.cum"),
+        )
+        .agg(
+            F.count(F.col("r.doc_id")).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.col("r.doc_id")), F.lit(0))
+            .cast("long")
+            .alias("docid_sum"),
+            (
+                F.count(F.col("r.doc_id")).cast("long")
+                == F.max(F.col("bd.n_target"))
+            ).alias("exact_count_ok"),
+        )
+        .drop("cum")
+    )
+
+
+# =====================================================================
+# Last-touch attribution (marketing-analytics staple)
+# =====================================================================
+
+
+@register_staged(
+    "attribution_last_touch",
+    oracle="""
+        WITH attributed AS (
+            SELECT coalesce(
+                       last_value(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                       '(none)') AS channel,
+                   event_type
+            FROM events
+        ),
+        p AS (SELECT channel FROM attributed
+              WHERE event_type = 'purchase'),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST((count(*) * 10000) // max(t.n) AS BIGINT) AS share_bp,
+               max(t.n) AS total_purchases
+        FROM p, tot t GROUP BY 1
+    """,
+    tags=("analytics", "window", "sessionization"),
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch channel attribution: each purchase is credited to
+    the user's most recent PRECEDING non-purchase event type (the
+    classic marketing-attribution rule), '(none)' when the purchase
+    is the user's first event. The window is last_value IGNORE NULLS
+    over rows strictly before the current one under the total
+    (ts, event_id) order — engine-identical. Outputs are exact
+    counts + integer-basis-point shares.
+
+    Scale shape: one window partitioned by the natural user key over
+    the event stream, then a ≤|event types|-row groupBy — one
+    exchange, no self-joins."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.coalesce(
+            F.last(
+                F.when(
+                    F.col("event_type") != "purchase", F.col("event_type")
+                ),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("(none)"),
+        ).alias("channel"),
+    )
+    p = attributed.filter(F.col("event_type") == "purchase").select("channel")
+    tot = p.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        p.groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_purchases",
+            F.expr("(n_purchases * 10000) div n").cast("long").alias(
+                "share_bp"
+            ),
+            F.col("n").alias("total_purchases"),
+        )
+    )
+
+
+# =====================================================================
+# WOE / IV feature audit over value deciles (feature-engineering)
+# =====================================================================
+
+
+@register_staged(
+    "woe_iv_value_deciles",
+    oracle="""
+        WITH lab AS (
+            SELECT CAST(value AS DOUBLE) AS v, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS pos
+            FROM events
+        ),
+        dec AS (
+            SELECT pos, ntile(10) OVER (ORDER BY v, event_id) AS decile
+            FROM lab
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+            FROM dec GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+                   CAST(sum(n_neg) AS BIGINT) AS q
+            FROM per
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, n, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   round(ln(CAST(n_pos * t.q AS DOUBLE)
+                            / CAST(n_neg * t.p AS DOUBLE)), 4)
+               END AS woe
+        FROM per, tot t
+    """,
+    tags=("analytics", "quantile", "llm-pipeline"),
+)
+def woe_iv_value_deciles(spark, sf_dir):
+    """Weight-of-evidence audit of the event value against the
+    purchase label over exact deciles — the credit-scoring /
+    feature-engineering primitive: ntile(10) under the total
+    (value, event_id) order (the RFM bucketing discipline), exact
+    positive/negative counts per decile, WOE = ln(n_pos·N / n_neg·P)
+    on pure-integer inputs with one transcendental rounded to 4 dp
+    (the bm25 discipline). Zero-count deciles yield NULL woe rather
+    than ±inf (DuckDB's ln(0) raises; the guard is the contract).
+
+    Scale shape: the decile assignment is one rank window (at true
+    scale the sampled_quantiles boundary path replaces it — the
+    histogram_selectivity_audit note); the rest is a 10-row
+    aggregate."""
+    lab = _t(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    dec = lab.select(
+        "pos", F.ntile(10).over(Window.orderBy("v", "event_id")).alias("decile")
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum("n_neg").cast("long").alias("q"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        "n",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.log(
+                    (F.col("n_pos") * F.col("q")).cast("double")
+                    / (F.col("n_neg") * F.col("p")).cast("double")
+                ),
+                4,
+            ),
+        ).alias("woe"),
+    )
+
+
+# =====================================================================
+# Market-basket association rules (co-purchase support/confidence/lift)
+# =====================================================================
+
+_MBA_MIN_SUPPORT = 3
+_MBA_TOPK = 20
+
+
+@register_staged(
+    "basket_association_rules",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem
+        ),
+        n_baskets AS (
+            SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb FROM items
+        ),
+        pairs AS (
+            SELECT a.item AS x, b.item AS y,
+                   CAST(count(*) AS BIGINT) AS n_xy
+            FROM items a JOIN items b
+              ON a.ok = b.ok AND a.item < b.item
+            GROUP BY 1, 2 HAVING count(*) >= {_MBA_MIN_SUPPORT}
+        ),
+        freq AS (
+            SELECT item, CAST(count(*) AS BIGINT) AS nf FROM items
+            GROUP BY 1
+        )
+        SELECT p.x, p.y, p.n_xy,
+               fx.nf AS n_x, fy.nf AS n_y,
+               CAST((p.n_xy * 10000) // b.nb AS BIGINT) AS support_bp,
+               CAST((p.n_xy * 10000) // fx.nf AS BIGINT) AS conf_x_bp,
+               round(CAST(p.n_xy * b.nb AS DOUBLE)
+                     / CAST(fx.nf * fy.nf AS DOUBLE), 4) AS lift
+        FROM pairs p
+        JOIN freq fx ON fx.item = p.x
+        JOIN freq fy ON fy.item = p.y
+        CROSS JOIN n_baskets b
+        ORDER BY lift DESC, x, y LIMIT {_MBA_TOPK}
+    """,
+    tags=("analytics", "topk", "join"),
+)
+def basket_association_rules(spark, sf_dir):
+    """Association-rule mining over co-purchase baskets (the retail
+    analytics classic): per part pair in the same order, support /
+    confidence in integer basis points and lift = n_xy·N / (n_x·n_y)
+    — integer products, ONE IEEE division (bit-stable), rounded 4 dp
+    before the (lift, x, y) rank. The ≥{ms}-basket support floor
+    prunes noise pairs before the marginal joins.
+
+    Scale shape: the pair generation is a SELF-JOIN CO-PARTITIONED on
+    the basket key (one shuffle of the item list; within-basket
+    expansion is bounded by basket size², ≤ ~21 rows per TPC-H
+    order); marginals group over the item domain; the cut is
+    TakeOrderedAndProject.""".format(ms=_MBA_MIN_SUPPORT)
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nb = items.agg(F.count_distinct("ok").cast("long").alias("nb"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .filter(F.col("n_xy") >= _MBA_MIN_SUPPORT)
+    )
+    freq = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("nf")
+    )
+    fx = freq.select(F.col("item").alias("x"), F.col("nf").alias("n_x"))
+    fy = freq.select(F.col("item").alias("y"), F.col("nf").alias("n_y"))
+    out = (
+        pairs.join(fx, "x")
+        .join(fy, "y")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr("(n_xy * 10000) div nb").cast("long").alias("support_bp"),
+            F.expr("(n_xy * 10000) div n_x").cast("long").alias("conf_x_bp"),
+            F.round(
+                (F.col("n_xy") * F.col("nb")).cast("double")
+                / (F.col("n_x") * F.col("n_y")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "x", "y").limit(_MBA_TOPK)
+
+
+# =====================================================================
+# Canonical selection inside exact-duplicate clusters (dedup keep-rule)
+# =====================================================================
+
+_CANON_PLANT_OFFSET = 100_000_000
+
+
+@register_staged(
+    "dedup_canonical_selection",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, lang, text, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + {_CANON_PLANT_OFFSET}, lang, text, n_chars
+            FROM documents WHERE doc_id % 17 = 0
+        ),
+        hashed AS (
+            SELECT doc_id, lang, n_chars, md5(text) AS digest FROM corpus
+        ),
+        clusters AS (
+            SELECT digest FROM hashed GROUP BY 1 HAVING count(*) > 1
+        ),
+        members AS (
+            SELECT h.* FROM hashed h JOIN clusters c USING (digest)
+        ),
+        keep AS (
+            SELECT digest, lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY digest
+                       ORDER BY n_chars DESC, doc_id) AS rk
+            FROM members
+        )
+        SELECT lang,
+               CAST(count(DISTINCT digest) AS BIGINT) AS n_clusters,
+               CAST(count(*) AS BIGINT) AS n_cluster_docs,
+               CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               min(CASE WHEN rk = 1
+                        THEN doc_id < {_CANON_PLANT_OFFSET} END)
+                   AS all_kept_are_originals
+        FROM keep GROUP BY 1
+    """,
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def dedup_canonical_selection(spark, sf_dir):
+    """The KEEP-rule half of exact dedup — which document survives a
+    duplicate cluster: every 17th doc is re-planted with a shifted id
+    (same text), clusters form on the md5 digest, and the canonical
+    member is the (longest, then lowest-id) row. Falsifiable: the
+    planted copy can never win (same length, higher id), so
+    all_kept_are_originals must hold in both engines; cluster /
+    member / kept / dropped counts per language cross the compare.
+
+    Scale shape: digest groupBy (the dedup_exact shape) + one window
+    partitioned by digest over CLUSTER MEMBERS only — the keep-rule
+    never touches unique documents."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    planted = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + _CANON_PLANT_OFFSET).alias("doc_id"),
+        "lang",
+        "text",
+        "n_chars",
+    )
+    hashed = (
+        d.unionByName(planted)
+        .select("doc_id", "lang", "n_chars", F.md5("text").alias("digest"))
+    )
+    clusters = (
+        hashed.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("digest")
+    )
+    members = hashed.join(clusters, "digest")
+    keep = members.select(
+        "digest",
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("digest").orderBy(F.desc("n_chars"), "doc_id")
+        )
+        .alias("rk"),
+    )
+    return keep.groupBy("lang").agg(
+        F.count_distinct("digest").cast("long").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_cluster_docs"),
+        F.sum((F.col("rk") == 1).cast("long")).cast("long").alias("n_kept"),
+        F.sum((F.col("rk") > 1).cast("long")).cast("long").alias("n_dropped"),
+        F.min(
+            F.when(
+                F.col("rk") == 1, F.col("doc_id") < _CANON_PLANT_OFFSET
+            )
+        ).alias("all_kept_are_originals"),
+    )
