@@ -473,3 +473,31 @@ def test_sq8_normalize_on_zero_vectors(spark):
     ).collect()
     assert [r.neighbor_id for r in rows if r.rank == 1] == [1]
     assert all(r.score == r.score for r in rows)  # no NaN
+
+
+def test_all_staged_queries_survive_empty_tables(spark, tmp_path_factory):
+    """Every STAGED entry must run (not crash) against a fixture dir
+    whose tables are all EMPTY — the degenerate corpus every operator
+    eventually meets in production (a fresh partition, a filtered-out
+    source). Contract frames may return a single all-null/zero row;
+    row-producing queries must return zero rows; nothing may raise."""
+    from api_kakfa_spark_airflow_s3_athena_spark.plans.staged import STAGED
+    from api_kakfa_spark_airflow_s3_athena_spark.sources.tables import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    base = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TESTDATA_TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.parquet(
+            f"{base}/{t}.parquet"
+        )
+
+    failures = {}
+    for name, spec in STAGED.items():
+        try:
+            n = spec.fn(spark, base).count()
+            assert n >= 0
+        except Exception as exc:  # collect all, report together
+            failures[name] = repr(exc)[:200]
+    assert not failures, failures
