@@ -1743,3 +1743,164 @@ def dedup_canonical_selection(spark, sf_dir):
             )
         ).alias("all_kept_are_originals"),
     )
+
+
+# =====================================================================
+# Record linkage: blocked fuzzy match with planted typos
+# =====================================================================
+
+_RL_OFFSET = 1_000_000
+
+
+@register_staged(
+    "record_linkage_fuzzy_parts",
+    oracle=f"""
+        WITH names AS (
+            SELECT p_name AS name, min(p_partkey) AS id
+            FROM part GROUP BY 1
+        ),
+        dirty AS (
+            -- deterministic typo: drop the 3rd character
+            SELECT substr(name, 1, 2) || substr(name, 4) AS name,
+                   id + {_RL_OFFSET} AS id, id AS src_id
+            FROM names WHERE id % 7 = 0 AND length(name) >= 5
+        ),
+        cand AS (
+            SELECT d.id AS dirty_id, d.src_id, n.id AS clean_id,
+                   levenshtein(d.name, n.name) AS dist
+            FROM dirty d JOIN names n
+              ON substr(d.name, 1, 2) = substr(n.name, 1, 2)
+        ),
+        matches AS (SELECT * FROM cand WHERE dist <= 2)
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM dirty) AS n_planted,
+            (SELECT CAST(count(*) AS BIGINT) FROM names) AS n_clean,
+            (SELECT CAST(count(*) AS BIGINT) FROM cand)
+                AS n_candidate_pairs,
+            (SELECT CAST(count(*) AS BIGINT) FROM matches) AS n_matches,
+            (SELECT CAST(count(*) AS BIGINT) FROM matches
+             WHERE clean_id = src_id) AS n_source_hits,
+            (SELECT count(*) FROM matches WHERE clean_id = src_id)
+                = (SELECT count(*) FROM dirty) AS recall_ok
+    """,
+    tags=("dedup", "join", "text"),
+)
+def record_linkage_fuzzy_parts(spark, sf_dir):
+    """Record linkage / entity resolution over a dirty dimension: a
+    deterministic typo (3rd character dropped) is planted into every
+    7th distinct part name, then blocked fuzzy matching recovers the
+    source — block on the first two characters (invariant under the
+    deletion), candidate pairs scored with Levenshtein (classic DP,
+    integer-identical across engines), match at distance ≤ 2.
+    Falsifiable: a 1-deletion typo has distance exactly 1 to its
+    source and shares its block, so recall_ok (every planted row
+    links back) must hold; candidate/match/natural-near-pair counts
+    cross the compare.
+
+    Scale shape: entity DICTIONARIES are small (64 distinct names
+    here; dictionaries stay ≪ fact tables at any SF) — the design
+    that scales is the block-key equi-join bounding the quadratic
+    verify to within-block pairs, exactly the MinHash-band shape for
+    strings too short to shingle."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.min("p_partkey").alias("id"))
+        .localCheckpoint(eager=True)
+    )
+    dirty = names.filter(
+        (F.col("id") % 7 == 0) & (F.length("name") >= 5)
+    ).select(
+        F.concat(
+            F.substring("name", 1, 2), F.expr("substr(name, 4)")
+        ).alias("name"),
+        (F.col("id") + _RL_OFFSET).alias("id"),
+        F.col("id").alias("src_id"),
+    )
+    cand = dirty.alias("d").join(
+        names.alias("n"),
+        F.substring(F.col("d.name"), 1, 2)
+        == F.substring(F.col("n.name"), 1, 2),
+    ).select(
+        F.col("d.id").alias("dirty_id"),
+        F.col("d.src_id").alias("src_id"),
+        F.col("n.id").alias("clean_id"),
+        F.levenshtein(F.col("d.name"), F.col("n.name")).alias("dist"),
+    )
+    matches = cand.filter(F.col("dist") <= 2)
+    n_planted = dirty.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    n_clean = names.agg(F.count(F.lit(1)).cast("long").alias("n_clean"))
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+    )
+    m = matches.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.sum((F.col("clean_id") == F.col("src_id")).cast("long"))
+        .cast("long")
+        .alias("n_source_hits"),
+    )
+    return (
+        n_planted.crossJoin(n_clean)
+        .crossJoin(n_cand)
+        .crossJoin(m)
+        .select(
+            "n_planted",
+            "n_clean",
+            "n_candidate_pairs",
+            "n_matches",
+            "n_source_hits",
+            (F.col("n_source_hits") == F.col("n_planted")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+# =====================================================================
+# Interpolated-percentile parity (built-in aggregate cross-engine)
+# =====================================================================
+
+
+@register_staged(
+    "percentile_cont_quartiles",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   quantile_cont(CAST(l_quantity AS DOUBLE),
+                                 [0.25, 0.5, 0.75]) AS qs
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, n,
+               qs[1] AS q25, qs[2] AS q50, qs[3] AS q75
+        FROM q
+    """,
+    tags=("quantile", "analytics"),
+)
+def percentile_cont_quartiles(spark, sf_dir):
+    """Linear-interpolated quartiles of an integer-valued measure per
+    group, via the BUILT-IN exact percentile aggregate on both
+    engines (Spark ``percentile`` == DuckDB ``quantile_cont``, both
+    defined as rank h = (n−1)·q with linear interpolation). On an
+    integer-valued DOUBLE column with q ∈ {{¼, ½, ¾}} every
+    interpolation is exact binary arithmetic — the values cross the
+    hash compare UNROUNDED, pinning that the two engines implement
+    the same estimator definition bit-for-bit.
+
+    Scale note: the exact percentile sorts within each group — the
+    calibration arm. At 100 TB the production path is
+    approx_percentile / the sampled_quantiles operator; this entry
+    pins the definition they converge to."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "percentile(CAST(l_quantity AS DOUBLE), array(0.25D, 0.5D, 0.75D))"
+        ).alias("qs"),
+    ).select(
+        "l_returnflag",
+        "n",
+        F.col("qs")[0].alias("q25"),
+        F.col("qs")[1].alias("q50"),
+        F.col("qs")[2].alias("q75"),
+    )
