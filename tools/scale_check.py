@@ -214,6 +214,20 @@ R5_RELATIONAL_OPS = [
     "pareto_abc_parts",
     "user_activity_islands",
     "peak_concurrent_activity",
+    # round 12: r14 pre-builds on relational fixtures (events/
+    # lineitem/part; stratified_split_exact and
+    # dedup_canonical_selection read documents — generate() covers)
+    "attribution_last_touch",
+    "woe_iv_value_deciles",
+    "basket_association_rules",
+    "record_linkage_fuzzy_parts",
+    "percentile_cont_quartiles",
+    # r12 promotions on the events fixture
+    "cusum_changepoint_daily",
+    "retention_cohort_matrix",
+    "event_transition_matrix",
+    "rfm_customer_segments",
+    "revenue_concentration_gini",
 ]
 # (the remaining r5 closers — weighted_sample_aes, doc_token_entropy —
 # read the documents fixture, which generate() already covers, as does
@@ -307,6 +321,34 @@ def generate_relational(spark, mult: int, out_dir: str) -> None:
          ).alias("s_acctbal"),
     ).repartition(4).write.mode("overwrite").parquet(
         os.path.join(out_dir, "supplier.parquet"))
+
+    # part: the key domain the lineitem generator draws from
+    # (20_000 * mult); names from the driver tables' 8x8 vocab so
+    # string ops (record linkage blocking, name ranks) see the same
+    # distinct-name structure at every mult
+    adjs = F.array(*[F.lit(a) for a in (
+        "blue", "cold", "hot", "large", "new", "old", "red", "small")])
+    nouns = F.array(*[F.lit(n) for n in (
+        "anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")])
+    ptype = F.array(*[F.lit(t) for t in (
+        "ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")])
+    spark.range(20_000 * mult).withColumnRenamed("id", "p_partkey").select(
+        "p_partkey",
+        F.concat_ws(
+            " ",
+            F.element_at(adjs, h(F.col("p_partkey"), "adj", 8).cast("int") + 1),
+            F.element_at(nouns, h(F.col("p_partkey"), "nn", 8).cast("int") + 1),
+        ).alias("p_name"),
+        F.format_string(
+            "Brand#%d", h(F.col("p_partkey"), "br", 25).cast("int") + 1
+        ).alias("p_brand"),
+        F.element_at(ptype, h(F.col("p_partkey"), "pt", 6).cast("int") + 1
+                     ).alias("p_type"),
+        (h(F.col("p_partkey"), "sz", 50).cast("int") + 1).alias("p_size"),
+        (h(F.col("p_partkey"), "rp", 1000).cast("double") / 10.0 + 900.0
+         ).alias("p_retailprice"),
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "part.parquet"))
 
     et = F.array(*[F.lit(t) for t in ("signup", "view", "click", "purchase", "error")])
     spark.range(n_events).withColumnRenamed("id", "event_id").select(
@@ -532,6 +574,9 @@ def main() -> None:
         stale = (
             not os.path.exists(opath)
             or spark.read.parquet(opath).count() != expected
+            # part joined the generator in round 12; refresh dirs
+            # built before that
+            or not os.path.exists(os.path.join(scale_dir, "part.parquet"))
         )
         if stale:
             t0 = time.time()
