@@ -1904,3 +1904,259 @@ def percentile_cont_quartiles(spark, sf_dir):
         F.col("qs")[1].alias("q50"),
         F.col("qs")[2].alias("q75"),
     )
+
+
+# =====================================================================
+# Seasonal-naive forecast backtest (planted weekly seasonality)
+# =====================================================================
+
+_SNB_ANCHOR = "1995-01-02"  # a Monday; weekday = days-since mod 7
+
+
+@register_staged(
+    "seasonal_naive_backtest",
+    oracle=f"""
+        WITH daily0 AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                        * 100, 0) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        daily AS (
+            -- plant weekly seasonality: weekend days x2 (the signal
+            -- the lag-7 forecaster must exploit and lag-1 must not)
+            SELECT day,
+                   CASE WHEN date_diff('day', DATE '{_SNB_ANCHOR}', day)
+                             % 7 >= 5
+                        THEN cents * 2 ELSE cents END AS cents
+            FROM daily0
+            WHERE day >= DATE '{_SNB_ANCHOR}'
+        ),
+        lagged AS (
+            SELECT day, cents,
+                   lag(cents, 7) OVER (ORDER BY day) AS pred7,
+                   lag(cents, 1) OVER (ORDER BY day) AS pred1
+            FROM daily
+        ),
+        scored AS (SELECT * FROM lagged
+                   WHERE pred7 IS NOT NULL AND pred1 IS NOT NULL)
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(cents - pred7)) // count(*) AS BIGINT)
+                   AS mae7_cents,
+               CAST(sum(abs(cents - pred1)) // count(*) AS BIGINT)
+                   AS mae1_cents,
+               sum(abs(cents - pred7)) < sum(abs(cents - pred1))
+                   AS seasonal_beats_naive_ok,
+               CAST((sum(abs(cents - pred7)) * 10000)
+                    // sum(abs(cents - pred1)) AS BIGINT)
+                   AS mae_ratio_bp
+        FROM scored
+    """,
+    tags=("analytics", "window", "monitoring"),
+)
+def seasonal_naive_backtest(spark, sf_dir):
+    """Forecast-model backtesting in ALL-INTEGER cents: weekly
+    seasonality is PLANTED into the daily revenue series (weekend
+    days ×2 — the generator's hash-uniform dates carry no natural
+    weekday signal, so the contract is constructed, the CUSUM
+    pattern), then the seasonal-naive forecaster (lag 7) is scored
+    against the last-value baseline (lag 1) by exact integer MAE.
+    Falsifiable: lag-7 sees through the planted weekly pattern while
+    lag-1 keeps paying the weekend jumps, so
+    seasonal_beats_naive_ok must hold and the MAE ratio (integer
+    basis points) crosses the compare.
+
+    Scale shape: the heavy work is the daily partial-agg groupBy at
+    the scan; both lags run in ONE window pass over the bounded
+    daily series (≤ ~2,400 rows at any SF)."""
+    anchor = F.lit(_SNB_ANCHOR).cast("date")
+    daily0 = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .filter(F.col("day") >= anchor)
+    )
+    daily = daily0.select(
+        "day",
+        F.when(
+            F.pmod(F.datediff(F.col("day"), anchor), F.lit(7)) >= 5,
+            F.col("cents") * 2,
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", 7).over(w).alias("pred7"),
+        F.lag("cents", 1).over(w).alias("pred1"),
+    ).filter(F.col("pred7").isNotNull() & F.col("pred1").isNotNull())
+    e7 = F.sum(F.abs(F.col("cents") - F.col("pred7")))
+    e1 = F.sum(F.abs(F.col("cents") - F.col("pred1")))
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "sum(abs(cents - pred7)) div count(*)"
+        ).cast("long").alias("mae7_cents"),
+        F.expr(
+            "sum(abs(cents - pred1)) div count(*)"
+        ).cast("long").alias("mae1_cents"),
+        (e7 < e1).alias("seasonal_beats_naive_ok"),
+        F.expr(
+            "(sum(abs(cents - pred7)) * 10000)"
+            " div sum(abs(cents - pred1))"
+        ).cast("long").alias("mae_ratio_bp"),
+    )
+
+
+# =====================================================================
+# Incremental materialized-view maintenance (delta == recompute)
+# =====================================================================
+
+_IMV_CUT = "2000-06-01"
+
+
+@register_staged(
+    "incremental_cube_maintenance",
+    oracle=f"""
+        WITH full_cube AS (
+            SELECT o_orderpriority,
+                   date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                        * 100, 0) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT o_orderpriority,
+                   date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                        * 100, 0) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '{_IMV_CUT}'
+            GROUP BY 1, 2
+        ),
+        delta AS (
+            SELECT o_orderpriority,
+                   date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                        * 100, 0) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '{_IMV_CUT}'
+            GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT o_orderpriority, mo,
+                   CAST(sum(cents) AS BIGINT) AS cents,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+            GROUP BY 1, 2
+        ),
+        cmp AS (
+            SELECT coalesce(m.cents = f.cents AND m.n = f.n, FALSE) AS eq
+            FROM merged m FULL JOIN full_cube f
+              ON m.o_orderpriority = f.o_orderpriority AND m.mo = f.mo
+        )
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM full_cube) AS n_cells,
+            (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_base_cells,
+            (SELECT CAST(count(*) AS BIGINT) FROM delta) AS n_delta_cells,
+            (SELECT CAST(count(*) AS BIGINT) FROM merged) AS n_merged_cells,
+            (SELECT coalesce(min(eq), FALSE) FROM cmp)
+                AS merge_equals_recompute_ok
+    """,
+    tags=("analytics", "incremental", "money"),
+)
+def incremental_cube_maintenance(spark, sf_dir):
+    """Incremental materialized-view maintenance, the warehouse
+    refresh primitive: a (priority × month) revenue cube built from
+    the pre-cutoff base plus a delta partial re-aggregated on top
+    must equal the from-scratch recompute CELL FOR CELL — additive
+    aggregates (exact DECIMAL-cents sums, counts) are the class for
+    which delta maintenance is lossless, and the full-outer compare
+    (empty ⇒ FALSE, the _tables_equal discipline) makes the equality
+    falsifiable in both engines.
+
+    Scale shape: at 100 TB this is the partition-overwrite pattern —
+    the delta groupBy touches only new files, the merge re-aggregates
+    partials (map-side combined), and the full recompute here is the
+    CALIBRATION arm, not the production path."""
+    cut = F.lit(_IMV_CUT).cast("date")
+
+    def cube(df):
+        return df.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+                "mo"
+            ),
+        ).agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    # eager checkpoints: each cube is a bounded cell table that fans
+    # out to both the count row and the full-outer compare — without
+    # them every branch re-scans orders (6 scans, 26 shuffles in the
+    # plan audit; 3 scans / 11 shuffles with)
+    orders = _t(spark, sf_dir, "orders")
+    full_cube = cube(orders).localCheckpoint(eager=True)
+    base = cube(
+        orders.filter(F.col("o_orderdate").cast("date") < cut)
+    ).localCheckpoint(eager=True)
+    delta = cube(
+        orders.filter(F.col("o_orderdate").cast("date") >= cut)
+    ).localCheckpoint(eager=True)
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "mo")
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    )
+    eq = (
+        merged.alias("m")
+        .join(
+            full_cube.alias("f"),
+            (F.col("m.o_orderpriority") == F.col("f.o_orderpriority"))
+            & (F.col("m.mo") == F.col("f.mo")),
+            "full",
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.coalesce(
+                        (F.col("m.cents") == F.col("f.cents"))
+                        & (F.col("m.n") == F.col("f.n")),
+                        F.lit(False),
+                    )
+                ),
+                F.lit(False),
+            ).alias("merge_equals_recompute_ok")
+        )
+    )
+    counts = (
+        full_cube.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+        .crossJoin(
+            base.agg(F.count(F.lit(1)).cast("long").alias("n_base_cells"))
+        )
+        .crossJoin(
+            delta.agg(F.count(F.lit(1)).cast("long").alias("n_delta_cells"))
+        )
+        .crossJoin(
+            merged.agg(
+                F.count(F.lit(1)).cast("long").alias("n_merged_cells")
+            )
+        )
+    )
+    return counts.crossJoin(F.broadcast(eq))
