@@ -228,6 +228,9 @@ R5_RELATIONAL_OPS = [
     "event_transition_matrix",
     "rfm_customer_segments",
     "revenue_concentration_gini",
+    # r14 pre-builds on the orders fixture
+    "seasonal_naive_backtest",
+    "incremental_cube_maintenance",
 ]
 # (the remaining r5 closers — weighted_sample_aes, doc_token_entropy —
 # read the documents fixture, which generate() already covers, as does
