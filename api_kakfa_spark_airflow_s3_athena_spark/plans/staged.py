@@ -1,11 +1,18 @@
 """Staging area for not-yet-registered round queries.
 
-Round-13 pre-builds (the round-12 batch was promoted into
-``plans/queries.py``; these wait for the next 12-slot promotion
-window, fully verified): SCD2 interval builds, the equi-depth
-histogram selectivity audit, sort-merge-join cardinality bounds,
-funnel time-to-convert quantiles, weekday seasonality indices,
-top user-journey paths, and per-user behavioral entropy.
+THE ROUND-13 PROMOTION BATCH (12 entries, promote per the playbook,
+pins 236 -> 248): scd2_user_state_intervals,
+histogram_selectivity_audit, join_cardinality_bounds,
+funnel_time_to_convert, weekday_seasonality_index,
+user_journey_paths, user_activity_entropy (the seven r12-era
+pre-builds) + order_line_proration, user_activity_islands,
+peak_concurrent_activity, pareto_abc_parts, bigram_pmi_topk (the
+five round-12 warehouse/sequence entries). The remaining nine
+entries (stratified split, attribution, WOE, basket rules, canonical
+selection, record linkage, percentile parity, forecast backtest,
+incremental cube) are ROUND-14 pre-builds and wait one more round.
+Round 14 also executes the retire-or-merge plan (PARITY.md):
+promotion +12 and merge −5 land in the same commit, 248 -> 255.
 
 Promotion playbook (NOTES.md): move each ``@register_staged`` block
 into ``plans/queries.py`` as ``@register`` (specs are identical
