@@ -360,3 +360,67 @@ def weighted_discrete_quantiles(
             F.col("__tot").alias("total_weight"),
         )
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number under a TOTAL order WITHOUT the
+    single-partition window (``Window.orderBy`` with no partitionBy
+    serializes the whole sort through one task — the bottleneck the
+    round-12 scale sweep measured at 14.5× on a 10M-row ntile).
+    Classic two-phase distributed rank: one range exchange on the
+    order columns (sampled bounds), a per-partition local
+    row_number, and a broadcast of the ≤P-row cumulative partition
+    counts as offsets. Ranks are IDENTICAL to the serial window's
+    because the range partitioner is order-preserving across
+    partitions and the order is total within them.
+
+    ``order_cols`` MUST form a total order (include an id
+    tie-breaker): with duplicate keys the within-partition
+    row_number would be nondeterministic — the same caller contract
+    as every rank window in this package.
+
+    100 TB shape: sort work is P-way parallel; driver state is the
+    P-row count frame (broadcast), nothing else leaves the
+    executors."""
+    from ._util import scratch_name
+
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pid = scratch_name("__dr_pid", df)
+    lrk = scratch_name("__dr_lrank", df)
+    cnt = scratch_name("__dr_cnt", df)
+    off = scratch_name("__dr_off", df)
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(partitions, *cols).withColumn(
+        pid, F.spark_partition_id()
+    )
+    wlocal = Window.partitionBy(pid).orderBy(*cols)
+    # EAGER CHECKPOINT, load-bearing: the ranked frame fans out to the
+    # rank rows AND the per-partition counts. RangePartitioner samples
+    # its bounds with an rdd-id-dependent seed, so two EXECUTIONS of
+    # the same range exchange can pick DIFFERENT partition boundaries
+    # — the counts would then describe a different partitioning than
+    # the ranks and the offsets silently corrupt (caught live: decile
+    # sizes 999/996/1005... and a phantom 11th decile at sf0.01). One
+    # materialization makes both branches read the same partitioning.
+    local = ranged.withColumn(lrk, F.row_number().over(wlocal)).localCheckpoint(
+        eager=True
+    )
+    counts = local.groupBy(pid).agg(F.count(F.lit(1)).alias(cnt))
+    woff = Window.orderBy(pid).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        pid, F.coalesce(F.sum(cnt).over(woff), F.lit(0)).alias(off)
+    )
+    return (
+        local.join(F.broadcast(offsets), pid)
+        .withColumn(rank_col, (F.col(lrk) + F.col(off)).cast("long"))
+        .drop(pid, lrk, off)
+    )

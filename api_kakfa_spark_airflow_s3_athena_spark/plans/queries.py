@@ -15928,10 +15928,16 @@ def rfm_customer_segments(spark, sf_dir):
         ),
         gini AS (
             -- G = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n on the sorted
-            -- series: exact integer numerators, ONE rounded division
+            -- series: numerator and denominator computed EXACTLY in
+            -- wide integers (HUGEINT here, DECIMAL(38,0) engine-side
+            -- — rn*cents and (n+1)*tot overflow BIGINT at sf1-scale
+            -- customer counts), then ONE rounded division
             SELECT round(
-                       (2.0 * sum(rn * cents) - (max(n) + 1) * max(tot))
-                       / (max(n) * max(tot)), 6) AS gini
+                       CAST(2 * sum(CAST(rn AS HUGEINT) * cents)
+                            - (max(n) + 1) * CAST(max(tot) AS HUGEINT)
+                            AS DOUBLE)
+                       / CAST(CAST(max(n) AS HUGEINT) * max(tot)
+                              AS DOUBLE), 6) AS gini
             FROM ranked
         )
         SELECT d.decile, d.n_customers, d.decile_cents, d.revenue_share,
@@ -15980,13 +15986,23 @@ def revenue_concentration_gini(spark, sf_dir):
             F.round(F.sum("cents") / F.max("tot"), 6).alias("revenue_share"),
         )
     )
+    # DECIMAL(38,0) for the Gini numerator/denominator: Σ rn·cents and
+    # (n+1)·tot overflow BIGINT once the customer count reaches ~1.5M
+    # (the sf10 relational fixture tripped ANSI overflow — caught by
+    # the round-12 second-decade sweep; DuckDB's HUGEINT sums masked
+    # it from the small-SF dual-run). Exact wide-integer numerator and
+    # denominator, then ONE IEEE division, rounded 6 — identical to
+    # the old long math at every SF the dual-run checks.
     gini = ranked.agg(
         F.round(
-            (
-                2.0 * F.sum(F.col("rn") * F.col("cents"))
-                - (F.max("n") + 1) * F.max("tot")
-            )
-            / (F.max("n") * F.max("tot")),
+            F.expr(
+                "CAST(2 * sum(CAST(rn AS DECIMAL(38,0))"
+                "         * CAST(cents AS DECIMAL(38,0)))"
+                " - (CAST(max(n) AS DECIMAL(38,0)) + 1)"
+                "   * CAST(max(tot) AS DECIMAL(38,0)) AS DOUBLE)"
+                " / CAST(CAST(max(n) AS DECIMAL(38,0))"
+                "        * CAST(max(tot) AS DECIMAL(38,0)) AS DOUBLE)"
+            ),
             6,
         ).alias("gini")
     )

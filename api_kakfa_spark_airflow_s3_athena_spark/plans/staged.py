@@ -32,6 +32,7 @@ from typing import Dict, Optional, Tuple
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators import quantiles as QT
 from .queries import QueryFn, QuerySpec, _t
 
 STAGED: Dict[str, QuerySpec] = {}
@@ -1476,7 +1477,13 @@ def attribution_last_touch(spark, sf_dir):
             FROM events
         ),
         dec AS (
-            SELECT pos, ntile(10) OVER (ORDER BY v, event_id) AS decile
+            -- floor-rank deciles (the gini discipline), NOT ntile:
+            -- the engine computes the rank DISTRIBUTED (range
+            -- exchange + partition offsets) and the floor formula is
+            -- a pure function of (rank, n) both engines share
+            SELECT pos,
+                   ((row_number() OVER (ORDER BY v, event_id) - 1) * 10)
+                       // (count(*) OVER ()) + 1 AS decile
             FROM lab
         ),
         per AS (
@@ -1503,24 +1510,34 @@ def attribution_last_touch(spark, sf_dir):
 def woe_iv_value_deciles(spark, sf_dir):
     """Weight-of-evidence audit of the event value against the
     purchase label over exact deciles — the credit-scoring /
-    feature-engineering primitive: ntile(10) under the total
-    (value, event_id) order (the RFM bucketing discipline), exact
-    positive/negative counts per decile, WOE = ln(n_pos·N / n_neg·P)
-    on pure-integer inputs with one transcendental rounded to 4 dp
-    (the bm25 discipline). Zero-count deciles yield NULL woe rather
-    than ±inf (DuckDB's ln(0) raises; the guard is the contract).
+    feature-engineering primitive: floor-rank deciles under the total
+    (value, event_id) order, exact positive/negative counts per
+    decile, WOE = ln(n_pos·N / n_neg·P) on pure-integer inputs with
+    one transcendental rounded to 4 dp (the bm25 discipline).
+    Zero-count deciles yield NULL woe rather than ±inf (DuckDB's
+    ln(0) raises; the guard is the contract).
 
-    Scale shape: the decile assignment is one rank window (at true
-    scale the sampled_quantiles boundary path replaces it — the
-    histogram_selectivity_audit note); the rest is a 10-row
-    aggregate."""
+    Scale shape: the rank is ``quantiles.distributed_rank`` — a range
+    exchange + per-partition row_number + broadcast partition offsets
+    — NOT the single-partition global window (the first cut used
+    ntile and measured 14.5× on the sf1→sf10 decade; this shape
+    re-measured 2.0×). The oracle's serial row_number produces the
+    identical total-order rank."""
     lab = _t(spark, sf_dir, "events").select(
         F.col("value").cast("double").alias("v"),
         "event_id",
         (F.col("event_type") == "purchase").cast("int").alias("pos"),
     )
-    dec = lab.select(
-        "pos", F.ntile(10).over(Window.orderBy("v", "event_id")).alias("decile")
+    n1 = lab.agg(F.count(F.lit(1)).alias("n_all"))
+    dec = (
+        QT.distributed_rank(lab, ["v", "event_id"], "rk")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "pos",
+            (
+                F.expr("((rk - 1) * 10) div n_all") + 1
+            ).alias("decile"),
+        )
     )
     per = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -275,3 +275,65 @@ def test_proration_property_random(spark):
         got = _prorate_spark(spark, total, weights)
         assert got == _prorate_py(total, weights)
         assert sum(got) == total
+
+
+# ------------------------------------------------- distributed rank
+
+
+def test_distributed_rank_equals_serial_window(spark):
+    """distributed_rank must reproduce the single-partition window's
+    row_number EXACTLY under a total order — duplicates in the value
+    column broken by id, data spread over many input partitions."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        distributed_rank,
+    )
+
+    rows = [(i, (i * 37) % 11) for i in range(2000)]  # heavy value ties
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(13)
+    got = {
+        r.id: r.rk
+        for r in distributed_rank(df, ["v", "id"], "rk", partitions=7).collect()
+    }
+    serial = {
+        r.id: r.rk
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rk")
+        ).collect()
+    }
+    assert got == serial
+    assert sorted(got.values()) == list(range(1, 2001))  # a permutation
+
+
+def test_distributed_rank_empty_and_single_row(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        distributed_rank,
+    )
+
+    empty = spark.createDataFrame([], "id long, v long")
+    assert distributed_rank(empty, ["v", "id"]).count() == 0
+    one = spark.createDataFrame([(1, 5)], ["id", "v"])
+    assert distributed_rank(one, ["v", "id"], "rk").collect()[0].rk == 1
+
+
+def test_distributed_rank_consistent_under_fanout(spark):
+    """Regression for the RangePartitioner seed hazard: when the
+    ranked output fans out to SEVERAL consumers (here: the rank rows
+    joined against an aggregate over the same input), the partition
+    counts must describe the SAME partitioning as the ranks — without
+    the operator's internal materialization, a re-executed range
+    exchange can sample different bounds and the offsets corrupt
+    (observed live as a phantom 11th decile). The pin: ranks are a
+    permutation of 1..n even through the fan-out."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        distributed_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 131) % 997) for i in range(10_000)], ["id", "v"]
+    ).repartition(17)
+    ranked = distributed_rank(df, ["v", "id"], "rk", partitions=11)
+    n1 = df.agg(F.count(F.lit(1)).alias("n_all"))
+    out = ranked.crossJoin(F.broadcast(n1)).select("rk", "n_all")
+    rows = out.collect()
+    assert sorted(r.rk for r in rows) == list(range(1, 10_001))
+    assert all(r.n_all == 10_000 for r in rows)
