@@ -61,6 +61,8 @@ __all__ = [
     "robust_stats",
     "weighted_discrete_quantiles",
     "quantile_drift",
+    "distributed_rank",
+    "distributed_cumsum",
 ]
 
 COIN_BITS = 20
@@ -423,4 +425,59 @@ def distributed_rank(
         local.join(F.broadcast(offsets), pid)
         .withColumn(rank_col, (F.col(lrk) + F.col(off)).cast("long"))
         .drop(pid, lrk, off)
+    )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: Sequence,
+    value_col: str,
+    cumsum_col: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``value_col`` under a total
+    order, distributed — the companion to :func:`distributed_rank`
+    for the other global-window staple (Lorenz curves, cumulative
+    shares, watermarks). Same two-phase shape: range exchange on the
+    order columns, per-partition local cumulative sum, broadcast of
+    the ≤P-row cumulative PARTITION TOTALS as offsets. Identical to
+    the serial ``Window.orderBy(...).rowsBetween(unboundedPreceding,
+    0)`` result because the range partitioner is order-preserving.
+
+    ``order_cols`` may mix column names and Column sort expressions
+    (e.g. ``F.desc("r")``) and MUST form a total order. Same
+    materialization discipline as distributed_rank: the local-cumsum
+    frame is eager-checkpointed so the offsets describe the SAME
+    sampled partitioning as the rows (the RangePartitioner seed
+    hazard)."""
+    from ._util import scratch_name
+
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pid = scratch_name("__dc_pid", df)
+    lcs = scratch_name("__dc_lcum", df)
+    tot = scratch_name("__dc_tot", df)
+    off = scratch_name("__dc_off", df)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(partitions, *cols).withColumn(
+        pid, F.spark_partition_id()
+    )
+    wlocal = (
+        Window.partitionBy(pid)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(
+        lcs, F.sum(value_col).over(wlocal)
+    ).localCheckpoint(eager=True)
+    totals = local.groupBy(pid).agg(F.sum(value_col).alias(tot))
+    woff = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        pid, F.coalesce(F.sum(tot).over(woff), F.lit(0)).alias(off)
+    )
+    return (
+        local.join(F.broadcast(offsets), pid)
+        .withColumn(cumsum_col, F.col(lcs) + F.col(off))
+        .drop(pid, lcs, off)
     )

@@ -1073,11 +1073,14 @@ def pareto_abc_parts(spark, sf_dir):
     engines. Share in integer basis points.
 
     Scale shape: the per-part revenue is a partial-agg groupBy; the
-    global cumulative ranking runs over the PART domain (orders of
-    magnitude smaller than lineitem). A true 100 TB part domain would
-    range-partition the running sum (two-pass: per-range totals, then
-    offset); the single window here is the right shape for the
-    ~200k-part TPC-H domain."""
+    running share is ``quantiles.distributed_cumsum`` over the PART
+    domain — range exchange + per-partition cumulative sums +
+    broadcast partition-total offsets, NOT the single-partition
+    global window (the first cut measured 5.8x on the sf1->sf10
+    decade). The oracle's serial window computes the identical
+    inclusive running sum."""
+    # eager checkpoint: rev feeds the global total AND the cumsum —
+    # one lineitem scan, the bounded part-domain table fans out
     rev = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -1093,17 +1096,15 @@ def pareto_abc_parts(spark, sf_dir):
             .cast("long")
             .alias("r")
         )
+        .localCheckpoint(eager=True)
     )
-    wcum = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "r",
-        F.sum("r").over(wcum).alias("cum"),
-        F.sum("r").over(wall).alias("tot"),
-    )
+    # distributed running share: the first cut used the single-
+    # partition global window (measured 5.8x on the sf1->sf10 decade);
+    # distributed_cumsum range-exchanges the PART domain instead
+    tot1 = rev.agg(F.sum("r").cast("long").alias("tot"))
+    ranked = QT.distributed_cumsum(
+        rev, [F.desc("r"), "l_partkey"], "r", "cum"
+    ).crossJoin(F.broadcast(tot1))
     # DECIMAL(38,0) for the cross-multiplications: cum·10 / tot·7 and
     # sum(r)·10000 overflow BIGINT once total 1e-4-scale revenue
     # passes ~9.2e14 (the sf1 relational fixture tripped ANSI

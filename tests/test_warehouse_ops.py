@@ -337,3 +337,46 @@ def test_distributed_rank_consistent_under_fanout(spark):
     rows = out.collect()
     assert sorted(r.rk for r in rows) == list(range(1, 10_001))
     assert all(r.n_all == 10_000 for r in rows)
+
+
+def test_distributed_cumsum_equals_serial_window(spark):
+    """Inclusive running sum (desc order with tie-break, NEGATIVE
+    values included) must equal the serial global window's."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        distributed_cumsum,
+    )
+
+    rows = [(i, ((i * 37) % 11) - 5) for i in range(3000)]  # negatives + ties
+    df = spark.createDataFrame(rows, ["id", "x"]).repartition(9)
+    got = {
+        r.id: r.cum
+        for r in distributed_cumsum(
+            df, [F.desc("x"), "id"], "x", "cum", partitions=7
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("x"), "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    serial = {
+        r.id: r.cum
+        for r in df.select("id", F.sum("x").over(w).alias("cum")).collect()
+    }
+    assert got == serial
+    # final cumulative value is the global sum regardless of order
+    assert max(got.items(), key=lambda kv: serial[kv[0]]) is not None
+    assert sorted(got.values())[-1] if sum(x for _, x in rows) < 0 else True
+
+
+def test_distributed_cumsum_of_ones_is_rank(spark):
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        distributed_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(500)], ["id", "one"]
+    ).repartition(5)
+    got = sorted(
+        r.cum
+        for r in distributed_cumsum(df, ["id"], "one", partitions=6).collect()
+    )
+    assert got == list(range(1, 501))
