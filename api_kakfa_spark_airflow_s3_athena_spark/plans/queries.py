@@ -15955,9 +15955,16 @@ def revenue_concentration_gini(spark, sf_dir):
     ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`` — integer numerators in
     exact DECIMAL cents, one rounded division per output.
 
-    Scale shape: per-customer aggregate at the scan, then one rank
-    window over the CUSTOMER dimension; deciles + a 1-row Gini — no
-    fact-sized windows."""
+    Scale shape: per-customer aggregate at the scan, then a
+    DISTRIBUTED rank over the CUSTOMER dimension
+    (``quantiles.distributed_rank``: range exchange + per-partition
+    row_number + broadcast partition offsets — the round-12 primitive
+    that replaced this query's original single-partition global
+    window); deciles + a 1-row Gini."""
+    from ..operators.quantiles import distributed_rank
+
+    # eager checkpoint: the customer-domain table feeds the rank AND
+    # the 1-row totals — one orders scan
     per = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -15968,13 +15975,13 @@ def revenue_concentration_gini(spark, sf_dir):
             .cast("long")
             .alias("cents")
         )
+        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per.select(
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    nt = per.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
+    )
+    ranked = distributed_rank(per, ["cents", "o_custkey"], "rn").crossJoin(
+        F.broadcast(nt)
     )
     decs = (
         ranked.groupBy(
