@@ -63,6 +63,7 @@ __all__ = [
     "quantile_drift",
     "distributed_rank",
     "distributed_cumsum",
+    "ntile_from_rank",
 ]
 
 COIN_BITS = 20
@@ -480,4 +481,35 @@ def distributed_cumsum(
         local.join(F.broadcast(offsets), pid)
         .withColumn(cumsum_col, F.col(lcs) + F.col(off))
         .drop(pid, lcs, off)
+    )
+
+
+def ntile_from_rank(rank_col: Column, n_col: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` as a pure integer function of
+    ``(row_number, n)`` — so a DISTRIBUTED rank
+    (:func:`distributed_rank`) can reproduce the serial window's
+    ntile bit-for-bit: with ``n = q·k + rem``, the first ``rem``
+    buckets hold ``q+1`` rows, the rest ``q``. Divisions only ever
+    see an exactly-divisible numerator (x − x mod d), so the
+    double-division path is exact below 2^53 rows; the
+    ``greatest(q, 1)`` guard keeps the unused else-branch division
+    legal when ``n < k`` (every row then lands in the first
+    branch)."""
+
+    def exact_div(num: Column, den: Column) -> Column:
+        # num is always a multiple of den here; the double division of
+        # an exactly-divisible pair is exact below 2^53
+        return (num.cast("double") / den.cast("double")).cast("long")
+
+    n = n_col.cast("long")
+    rn = rank_col.cast("long")
+    qq = exact_div(n - (n % k), F.lit(k))
+    rem = (n % k).cast("long")
+    cut = rem * (qq + 1)
+    bucket_first = exact_div((rn - 1) - ((rn - 1) % (qq + 1)), qq + 1) + 1
+    g = F.greatest(qq, F.lit(1))
+    off = rn - cut - 1
+    bucket_rest = rem + exact_div(off - (off % g), g) + 1
+    return (
+        F.when(rn <= cut, bucket_first).otherwise(bucket_rest).cast("long")
     )

@@ -15837,15 +15837,21 @@ def rfm_customer_segments(spark, sf_dir):
     """RFM segmentation (the classic CRM/warehouse scoring): per
     customer, recency (days since last order, vs the corpus max
     date), frequency (order count), monetary (exact DECIMAL cents);
-    each scored into quintiles by ``ntile(5)`` under a FULLY
+    each scored into quintiles equal to ``ntile(5)`` under a FULLY
     DETERMINISTIC order (metric, custkey) — ntile's equal-bucket
     rule is engine-identical given a total order, so the 5x5x5
     segment grid and its aggregates are exact crossing values
     (recency inverted: 5 = most recent).
 
-    Scale shape: one per-customer aggregate (map-side combinable),
-    then three rank windows over the CUSTOMER table (dimension-sized,
-    not fact-sized) and a bounded segment groupBy."""
+    Scale shape: one per-customer aggregate (map-side combinable,
+    eager-checkpointed — one orders scan), then THREE DISTRIBUTED
+    ranks over the CUSTOMER table (``quantiles.distributed_rank``;
+    the original three single-partition ntile windows measured 5.2×
+    on the sf1→sf10 decade) with ``ntile_from_rank`` reproducing the
+    serial ntile's bucketing bit-for-bit, and a bounded segment
+    groupBy. Oracle unchanged."""
+    from ..operators.quantiles import distributed_rank, ntile_from_rank
+
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
     per = (
@@ -15868,26 +15874,30 @@ def rfm_customer_segments(spark, sf_dir):
             "frequency",
             "monetary_cents",
         )
+        .localCheckpoint(eager=True)
     )
-    scored = per.select(
+    n1 = per.agg(F.count(F.lit(1)).alias("n_cust"))
+    ranked = distributed_rank(
+        distributed_rank(
+            distributed_rank(per, ["recency_days", "o_custkey"], "rn_r"),
+            ["frequency", "o_custkey"],
+            "rn_f",
+        ),
+        ["monetary_cents", "o_custkey"],
+        "rn_m",
+    ).crossJoin(F.broadcast(n1))
+    scored = ranked.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
         (
-            F.lit(6)
-            - F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
+            F.lit(6) - ntile_from_rank(F.col("rn_r"), F.col("n_cust"), 5)
         )
         .cast("long")
         .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .cast("long")
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .cast("long")
-        .alias("m"),
+        ntile_from_rank(F.col("rn_f"), F.col("n_cust"), 5).alias("f"),
+        ntile_from_rank(F.col("rn_m"), F.col("n_cust"), 5).alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

@@ -380,3 +380,26 @@ def test_distributed_cumsum_of_ones_is_rank(spark):
         for r in distributed_cumsum(df, ["id"], "one", partitions=6).collect()
     )
     assert got == list(range(1, 501))
+
+
+def test_ntile_from_rank_matches_builtin(spark):
+    """ntile_from_rank(row_number, n, k) must equal F.ntile(k) under
+    the same total order for every (n, k) shape: n divisible by k,
+    n < k, and ragged remainders."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        ntile_from_rank,
+    )
+
+    for n, k in [(20, 5), (23, 5), (3, 5), (1, 4), (100, 7), (9, 3)]:
+        df = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        w = Window.orderBy("id")
+        both = df.select(
+            "id",
+            F.ntile(k).over(w).cast("long").alias("builtin"),
+            ntile_from_rank(
+                F.row_number().over(w), F.count(F.lit(1)).over(
+                    Window.partitionBy()
+                ), k
+            ).alias("formula"),
+        ).collect()
+        assert all(r.builtin == r.formula for r in both), (n, k)
