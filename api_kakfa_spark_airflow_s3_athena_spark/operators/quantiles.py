@@ -365,6 +365,18 @@ def weighted_discrete_quantiles(
     )
 
 
+def _shuffle_partitions(spark, df: DataFrame) -> int:
+    """Default partition count for the range exchange: the session's
+    ``spark.sql.shuffle.partitions`` when it parses as an integer;
+    on deployments where the conf is symbolic (e.g. ``auto`` under
+    some AQE-managed runtimes) fall back to the input frame's
+    current partition count rather than raising."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return max(1, df.rdd.getNumPartitions())
+
+
 def distributed_rank(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -389,12 +401,18 @@ def distributed_rank(
 
     100 TB shape: sort work is P-way parallel; driver state is the
     P-row count frame (broadcast), nothing else leaves the
-    executors."""
-    from ._util import scratch_name
+    executors. Resilience caveat: the eager ``localCheckpoint``
+    stores executor-local, non-replayable blocks — on a long-lived
+    cluster with dynamic allocation or executor loss, pass a frame
+    you have reliably ``checkpoint()``-ed (or persisted to storage)
+    if the job must survive executor churn; the local variant is the
+    right default for bounded batch stages."""
+    from ._util import require_absent, scratch_name
 
+    require_absent(df, rank_col, "distributed_rank")
     spark = df.sparkSession
     if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partitions = _shuffle_partitions(spark, df)
     pid = scratch_name("__dr_pid", df)
     lrk = scratch_name("__dr_lrank", df)
     cnt = scratch_name("__dr_cnt", df)
@@ -441,21 +459,28 @@ def distributed_cumsum(
     for the other global-window staple (Lorenz curves, cumulative
     shares, watermarks). Same two-phase shape: range exchange on the
     order columns, per-partition local cumulative sum, broadcast of
-    the ≤P-row cumulative PARTITION TOTALS as offsets. Identical to
-    the serial ``Window.orderBy(...).rowsBetween(unboundedPreceding,
-    0)`` result because the range partitioner is order-preserving.
+    the ≤P-row cumulative PARTITION TOTALS as offsets. For EXACT
+    value types (integer/decimal — how every in-repo caller uses it)
+    the result is identical to the serial
+    ``Window.orderBy(...).rowsBetween(unboundedPreceding, 0)``
+    because the range partitioner is order-preserving and exact
+    addition is associative; for DOUBLE values the broadcast
+    partition-total offsets change float summation order, so
+    last-ulp divergence from the serial window is possible.
 
     ``order_cols`` may mix column names and Column sort expressions
     (e.g. ``F.desc("r")``) and MUST form a total order. Same
     materialization discipline as distributed_rank: the local-cumsum
     frame is eager-checkpointed so the offsets describe the SAME
     sampled partitioning as the rows (the RangePartitioner seed
-    hazard)."""
-    from ._util import scratch_name
+    hazard); see :func:`distributed_rank` for the executor-loss
+    resilience caveat of localCheckpoint."""
+    from ._util import require_absent, scratch_name
 
+    require_absent(df, cumsum_col, "distributed_cumsum")
     spark = df.sparkSession
     if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partitions = _shuffle_partitions(spark, df)
     pid = scratch_name("__dc_pid", df)
     lcs = scratch_name("__dc_lcum", df)
     tot = scratch_name("__dc_tot", df)

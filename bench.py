@@ -270,24 +270,60 @@ _NOISE_FLOOR_SEC = 0.05
 SUSPECT_FRAC = float(os.environ.get("SPARK_GRAFT_BENCH_SUSPECT_FRAC", "0.35"))
 
 
-def _prior_round_queries() -> dict:
-    """Per-query seconds from the newest recorded round artifact
-    (BENCH_r*.json written by the round driver next to this script);
-    {} when none exists or the newest one failed to parse."""
+def _prior_round_artifact() -> tuple:
+    """(round_number, parsed dict) from the newest recorded round
+    artifact (BENCH_r*.json written by the round driver next to this
+    script); (None, {}) when none exists or it failed to parse.
+    Rounds are sorted NUMERICALLY (lexicographic sort breaks at r100
+    and would misorder BENCH_r9 vs BENCH_r10), and an artifact whose
+    round matches ``SPARK_GRAFT_BENCH_ROUND`` (the in-flight round,
+    when the driver exports it) is excluded so a re-run after the
+    current round's artifact lands never adjudicates against itself."""
     import glob
+    import re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
-    if not files:
-        return {}
+    rounds = []
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    inflight = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if inflight and inflight.isdigit():
+        rounds = [rp for rp in rounds if rp[0] != int(inflight)]
+    if not rounds:
+        return None, {}
+    rnum, path = max(rounds)
     try:
-        with open(files[-1]) as fh:
+        with open(path) as fh:
             data = json.load(fh)
     except (OSError, ValueError):
-        return {}
+        return None, {}
     parsed = data.get("parsed") if isinstance(data, dict) else None
-    queries = (parsed or {}).get("queries")
+    return rnum, (parsed if isinstance(parsed, dict) else {})
+
+
+def _prior_round_queries() -> dict:
+    """Per-query seconds from the newest prior round artifact."""
+    _, parsed = _prior_round_artifact()
+    queries = parsed.get("queries")
     return queries if isinstance(queries, dict) else {}
+
+
+def _r01_delta_vs_prior(r01_total: float):
+    """{"prior_round": N, "prior_sec": x, "delta_sec": d, "ratio": r}
+    against the newest prior round artifact's r01-set subtotal, or
+    None when no prior artifact carries one."""
+    rnum, parsed = _prior_round_artifact()
+    prior = parsed.get("r01_set_total_sec")
+    if rnum is None or not isinstance(prior, (int, float)) or prior <= 0:
+        return None
+    return {
+        "prior_round": rnum,
+        "prior_sec": prior,
+        "delta_sec": round(r01_total - prior, 3),
+        "ratio": round(r01_total / prior, 3),
+    }
 
 
 def _is_suspect(in_suite, prior_sec) -> bool:
@@ -519,6 +555,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "all_queries_total_sec": total,
         "r01_set_total_sec": r01_total,
+        # single-source headline narrative (VERDICT r12 #4): the delta
+        # of this run's r01-set subtotal vs the prior ROUND ARTIFACT's
+        # — NOTES quotes this field, never a separate local run.
+        "r01_delta_vs_prior": _r01_delta_vs_prior(r01_total),
         "r01_set_total_worst_sec": r01_worst,
         "spread_sec": spread_sec,
         "contended": contended,

@@ -362,9 +362,9 @@ def test_distributed_cumsum_equals_serial_window(spark):
         for r in df.select("id", F.sum("x").over(w).alias("cum")).collect()
     }
     assert got == serial
-    # final cumulative value is the global sum regardless of order
-    assert max(got.items(), key=lambda kv: serial[kv[0]]) is not None
-    assert sorted(got.values())[-1] if sum(x for _, x in rows) < 0 else True
+    # the LAST row in the total order carries the exact global sum
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    assert got[order[-1][0]] == sum(x for _, x in rows)
 
 
 def test_distributed_cumsum_of_ones_is_rank(spark):
