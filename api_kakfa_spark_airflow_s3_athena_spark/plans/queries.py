@@ -1718,30 +1718,100 @@ def binary_payload_meta(spark, sf_dir):
 @register(
     "ann_cosine_topk",
     oracle="""
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
-                   AS score,
-               CAST(row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
-                                                         c.embedding::DOUBLE[]), 6) DESC,
-                            c.vec_id
-               ) AS INTEGER) AS rank
-        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < 8
-        QUALIFY rank <= 10
+        WITH exact AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                       AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                             c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id
+                   ) AS INTEGER) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+            QUALIFY rank <= 10
+        )
+        SELECT 'jvm' AS arm, query_id, neighbor_id, score, rank,
+               true AS kernel_agrees FROM exact
+        UNION ALL
+        SELECT 'arrow' AS arm, query_id, neighbor_id, score, rank,
+               true AS kernel_agrees FROM exact
     """,
-    tags=("similarity",),
+    tags=("similarity", "arrow"),
+    # BENCH keeps timing the production JVM arm alone so the r01-set
+    # series stays apples-to-apples (this was the registered fn before
+    # the round-13 retire-or-merge wave); the arrow kernel's bare
+    # timing is an EXTRA_ROWS entry in bench.py.
+    bench_fn=lambda spark, sf_dir: SIM.brute_force_topk(
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding")),
+        _t(spark, sf_dir, "embeddings"),
+        k=10,
+    ),
 )
 def ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k (exact ANN baseline): tiny query set
-    broadcast against the corpus; corpus never shuffles; ranking on the
-    rounded score with id tie-break keeps both engines deterministic."""
+    """Brute-force cosine top-k (exact ANN baseline), BOTH kernel
+    families under one entry (round-13 retire-or-merge wave, PARITY.md):
+    arm 'jvm' is the codegen fold, arm 'arrow' the BLAS matrix-product
+    fast path (~7x at sf0.1/64 queries). Identical contract — tiny
+    query set broadcast against the corpus, corpus never shuffles,
+    ranking on the rounded score with id tie-break. Both arms' rows
+    carry the JVM-fold score (the oracle-checked reference): the arrow
+    arm picks the NEIGHBOR SET and ordering, then its emitted
+    numpy/BLAS score and rank are pinned against the JVM recompute by
+    ``kernel_agrees`` (tolerance one 6th-decimal step — ulp-apart
+    half-even vs half-up roundings; bit-level agreement additionally
+    pinned by tests/test_dedup_similarity.py). A regression in either
+    kernel still fails the dual-run."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return SIM.brute_force_topk(queries, emb, k=10)
+    jvm = SIM.brute_force_topk(queries, emb, k=10).select(
+        F.lit("jvm").alias("arm"),
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+        F.lit(True).alias("kernel_agrees"),
+    )
+    ar = SIM.brute_force_topk_arrow(queries, emb, k=10)
+    rejoined = (
+        ar.join(
+            queries.select("query_id", F.col("embedding").alias("__qv")),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("__nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("score").alias("__score_arrow"),
+            F.col("rank").alias("__rank_arrow"),
+            F.round(cosine(F.col("__qv"), F.col("__nv")), 6).alias("score"),
+        )
+    )
+    # 8-query x 10-row frame: the re-rank window is bounded by k
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    arrow = rejoined.withColumn("rank", F.row_number().over(w)).select(
+        F.lit("arrow").alias("arm"),
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+        (
+            (F.abs(F.col("__score_arrow") - F.col("score")) <= 1.1e-6)
+            & (F.col("__rank_arrow") == F.col("rank"))
+        ).alias("kernel_agrees"),
+    )
+    return jvm.unionByName(arrow)
 
 
 @register(
@@ -1832,52 +1902,24 @@ def _minhash_bare(spark, sf_dir):
     )
 
 
-@register(
-    "minhash_near_dup_pairs",
-    oracle="""
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN doc_id % 37 = 0 AND length(text) > 50
-                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
-               true AS planted_recall_ok,
-               true AS pairs_verified_ok
-        FROM documents
-    """,
-    tags=("dedup", "lsh"),
-    bench_fn=_minhash_bare,
-)
-def minhash_near_dup_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline with its recall contract made
-    hash-checkable (banded LSH has no concise SQL twin, so the oracle
-    pins booleans instead): plant exact-text duplicates of every
-    doc with ``doc_id % 37 == 0`` (id offset +10M), run the full
-    shingle->OPH-signature->band->bucket-join->exact-verify pipeline
-    over the corpus+plants (plant density 1/37 keeps the added verify
-    load a few percent of the pipeline), and assert (a) every planted
-    pair is recovered — identical text means identical signatures in
-    every band, so LSH recall on plants is 1.0 BY CONSTRUCTION, any
-    miss is a pipeline bug, not banding luck — and (b) every emitted
-    pair's Jaccard, RECOMPUTED INDEPENDENTLY from exact string
-    shingles (not the operator's hashed-shingle verify path), clears
-    the 0.5 threshold and agrees with the emitted value. The exact doc
-    and plant counts cross the compare; pair contents stay engine-side
-    (pinned instead by tests/test_dedup_similarity.py). BENCH times
-    the bare operator (``bench_fn``), not this harness."""
-    docs = _t(spark, sf_dir, "documents")
+def _minhash_planted_contract(docs, modulo: int, pairs_fn):
+    """Shared body of the minhash planted-recall contract (one arm of
+    the merged entry): plant exact-text duplicates of every doc with
+    ``doc_id % modulo == 0`` (id offset +10M), run ``pairs_fn`` over
+    corpus+plants, and pin (a) every planted pair recovered — LSH
+    recall on identical text is 1.0 BY CONSTRUCTION, any miss is a
+    pipeline bug — and (b) every emitted pair's Jaccard, RECOMPUTED
+    INDEPENDENTLY from exact string shingles, clears the threshold and
+    agrees with the emitted value."""
     offset = 10_000_000
-    corpus, plant_cond = _planted_docs(docs, 37, offset)
+    corpus, plant_cond = _planted_docs(docs, modulo, offset)
     # localCheckpoint (not cache): three consumers would each embed the
     # full LSH subplan — truncating lineage keeps Catalyst analysis
     # O(plan), measured ~2x faster on the composed contract
-    pairs = DD.minhash_dedup_pairs(
-        # fixture-bound plant-union frame: skip the auto-guard sizing
-        # count a derived input would pay (second review pass)
-        corpus, threshold=0.5, num_hashes=32, bands=8,
-        guard_hot_buckets=False,
-    ).localCheckpoint(eager=True)
+    pairs = pairs_fn(corpus).localCheckpoint(eager=True)
     # a planted pair normalizes to (orig, orig+offset) with id_a < id_b
     is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
-        F.col("id_a") % 37 == 0
+        F.col("id_a") % modulo == 0
     )
     doc_agg = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1904,9 +1946,17 @@ def minhash_near_dup_pairs(spark, sf_dir):
 
 
 @register(
-    "minhash_near_dup_pairs_arrow",
+    "minhash_near_dup_pairs",
     oracle="""
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        SELECT 'jvm' AS arm, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 37 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+               true AS planted_recall_ok,
+               true AS pairs_verified_ok
+        FROM documents
+        UNION ALL
+        SELECT 'arrow' AS arm, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN doc_id % 41 = 0 AND length(text) > 50
                              AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
@@ -1915,55 +1965,41 @@ def minhash_near_dup_pairs(spark, sf_dir):
         FROM documents
     """,
     tags=("dedup", "lsh", "arrow"),
-    bench_fn=lambda spark, sf_dir: DD.minhash_dedup_pairs_arrow(
-        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=32, bands=8
-    ),
+    bench_fn=_minhash_bare,
 )
-def minhash_near_dup_pairs_arrow(spark, sf_dir):
-    """minhash_near_dup_pairs with the VECTORIZED signature pass
-    (pd.util.hash_array SipHash shingles + numpy per-bin minima +
-    vectorized rotation densification — the same Arrow rewrite that
-    bought simhash 14x at 500k docs, where the signature pass
-    dominates). Banding, pair generation, and the exact-Jaccard
-    verify are the SAME code as the JVM path; only the signature
-    family differs, so this carries its own planted contract:
-    (a) planted exact-text duplicates (doc_id % 41, id offset +10M)
-    — identical text means identical Arrow signatures, so banding
-    recall on plants is 1.0 by construction — all recovered; (b)
-    every emitted pair's Jaccard recomputed independently from exact
-    STRING shingles clears the 0.5 threshold and agrees with the
-    emitted value. BENCH times the bare operator (``bench_fn``)."""
+def minhash_near_dup_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline with its recall contract made
+    hash-checkable, BOTH signature kernels under one entry (round-13
+    retire-or-merge wave, PARITY.md): arm 'jvm' is the
+    xxhash64-shingle OPH fold (plants at doc_id % 37, hot-bucket
+    guard skipped on the fixture-bound plant-union frame), arm
+    'arrow' the vectorized pd.util.hash_array SipHash + numpy per-bin
+    minima signature pass (plants at doc_id % 41 — each arm keeps its
+    historical plant density). Banding, pair generation, and the
+    exact-Jaccard verify are the same code in both arms; the planted
+    contract (recall 1.0 by construction + independent string-shingle
+    Jaccard recheck) is pinned per arm, so a regression in either
+    kernel fails the dual-run. BENCH times the bare JVM operator
+    (``bench_fn``); the arrow kernel's bare timing is an EXTRA_ROWS
+    entry in bench.py."""
     docs = _t(spark, sf_dir, "documents")
-    offset = 10_000_000
-    corpus, plant_cond = _planted_docs(docs, 41, offset)
-    pairs = DD.minhash_dedup_pairs_arrow(
-        corpus, threshold=0.5, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
-    is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
-        F.col("id_a") % 41 == 0
-    )
-    doc_agg = docs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(plant_cond.cast("long")).cast("long").alias("n_planted"),
-    )
-    rechecked = _shingle_jaccard_recheck(pairs, corpus)
-    pair_agg = rechecked.agg(
-        F.sum(is_planted_pair.cast("long")).alias("n_recovered"),
-        F.coalesce(
-            F.min(
-                (F.col("j2") >= 0.5) & (F.abs(F.col("j2") - F.col("jaccard")) < 1e-6)
-            ),
-            F.lit(True),
-        ).alias("pairs_verified_ok"),
-    )
-    return doc_agg.crossJoin(pair_agg).select(
-        "n_docs",
-        "n_planted",
-        (F.coalesce(F.col("n_recovered"), F.lit(0)) == F.col("n_planted")).alias(
-            "planted_recall_ok"
+    jvm = _minhash_planted_contract(
+        docs,
+        37,
+        # fixture-bound plant-union frame: skip the auto-guard sizing
+        # count a derived input would pay (second review pass)
+        lambda c: DD.minhash_dedup_pairs(
+            c, threshold=0.5, num_hashes=32, bands=8, guard_hot_buckets=False
         ),
-        "pairs_verified_ok",
-    )
+    ).select(F.lit("jvm").alias("arm"), "*")
+    arrow = _minhash_planted_contract(
+        docs,
+        41,
+        lambda c: DD.minhash_dedup_pairs_arrow(
+            c, threshold=0.5, num_hashes=32, bands=8
+        ),
+    ).select(F.lit("arrow").alias("arm"), "*")
+    return jvm.unionByName(arrow)
 
 
 def _delta_dedup_inputs(spark, sf_dir):
@@ -2305,7 +2341,15 @@ def simhash_clusters(spark, sf_dir):
 @register(
     "simhash_hamming_pairs",
     oracle="""
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        SELECT 'jvm' AS arm, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 43 = 0 AND length(text) > 50
+                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+               true AS planted_recall_ok,
+               true AS hamming_verified_ok
+        FROM documents
+        UNION ALL
+        SELECT 'arrow' AS arm, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN doc_id % 43 = 0 AND length(text) > 50
                              AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
@@ -2313,40 +2357,66 @@ def simhash_clusters(spark, sf_dir):
                true AS hamming_verified_ok
         FROM documents
     """,
-    tags=("dedup", "lsh"),
+    tags=("dedup", "lsh", "arrow"),
     bench_fn=lambda spark, sf_dir: DD.simhash_hamming_pairs(
         _t(spark, sf_dir, "documents"), max_distance=3
     ),
 )
 def simhash_hamming_pairs(spark, sf_dir):
     """Near-dup pairs at SimHash Hamming distance <= 3 via pigeonhole
-    banding (4 chunk-equality joins, exact bit_count verify), contract
-    checked: (a) planted exact-text duplicates (distance 0) MUST be
+    banding (4 chunk-equality joins, exact bit_count verify), BOTH
+    signature families under one entry (round-13 retire-or-merge
+    wave, PARITY.md): arm 'jvm' is the xxhash64-shingle bit-vote fold,
+    arm 'arrow' the vectorized pd.util.hash_array SipHash + numpy bit
+    votes (measured 14x the fold at 500k docs, where the signature
+    pass is 87% of the pipeline). Each arm carries the full planted
+    contract: (a) planted exact-text duplicates (distance 0) MUST be
     recovered — pigeonhole banding has perfect recall for d <=
     max_distance, so recall on plants is 1.0 by construction; (b)
     every emitted pair's Hamming distance, recomputed INDEPENDENTLY
-    from per-doc signatures (bit_count over a fresh simhash pass, not
-    the banding path's in-bucket compare), equals the emitted value
-    and clears the threshold. Exactness vs brute force is additionally
-    pinned by tests/test_dedup_similarity.py."""
+    from a fresh signature pass of the SAME family, equals the
+    emitted value and clears the threshold. A regression in either
+    kernel fails the dual-run. Exactness vs brute force is
+    additionally pinned by tests/test_dedup_similarity.py. BENCH
+    times the bare JVM operator; the arrow kernel's bare timing is an
+    EXTRA_ROWS entry in bench.py."""
     docs = _t(spark, sf_dir, "documents")
+    jvm = _simhash_planted_contract(
+        docs,
+        lambda c: DD.simhash_hamming_pairs(c, max_distance=3),
+        lambda members: members.select(
+            "doc_id", DD.simhash(F.col("text")).alias("sig2")
+        ),
+    ).select(F.lit("jvm").alias("arm"), "*")
+    arrow = _simhash_planted_contract(
+        docs,
+        lambda c: DD.simhash_hamming_pairs_arrow(c, max_distance=3),
+        lambda members: DD.simhash_signatures_arrow(members).select(
+            "doc_id", F.col("sig").alias("sig2")
+        ),
+    ).select(F.lit("arrow").alias("arm"), "*")
+    return jvm.unionByName(arrow)
+
+
+def _simhash_planted_contract(docs, pairs_fn, sig_fn):
+    """Shared body of the simhash planted-recall contract (one arm of
+    the merged entry): plants at doc_id % 43 (id offset +10M), pairs
+    from ``pairs_fn``, and an independent distance recompute — fresh
+    signatures from ``sig_fn`` over the pair members only (semi-join
+    bounds the recompute), exact xor popcount — verifying the
+    banding/pair-gen path never corrupts a distance."""
     offset = 10_000_000
     corpus, plant_cond = _planted_docs(docs, 43, offset)
-    pairs = DD.simhash_hamming_pairs(corpus, max_distance=3).localCheckpoint(eager=True)
+    pairs = pairs_fn(corpus).localCheckpoint(eager=True)
     is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
         F.col("id_a") % 43 == 0
     )
-    # independent recompute: fresh signature per pair member, exact xor
-    # popcount — verifies the banding/pair-gen path never corrupts a
-    # distance (semi-join bounds the recompute to pair members)
     pair_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sigs = corpus.join(F.broadcast(pair_ids), "doc_id", "leftsemi").select(
-        "doc_id", DD.simhash(F.col("text")).alias("sig2")
-    )
+    sigs = sig_fn(corpus.join(F.broadcast(pair_ids), "doc_id", "leftsemi"))
     rechecked = pairs.join(
         sigs.select(F.col("doc_id").alias("id_a"), F.col("sig2").alias("sig_a")),
         "id_a",
@@ -2759,44 +2829,6 @@ def ann_ivf_delta_append(spark, sf_dir):
 
 
 @register(
-    "ann_cosine_topk_arrow",
-    oracle="""
-        SELECT CAST(vec_id AS BIGINT) AS query_id,
-               true AS top1_is_self,
-               true AS scores_exact,
-               true AS within_k
-        FROM embeddings WHERE vec_id < 8
-    """,
-    tags=("similarity", "arrow"),
-    bench_fn=lambda spark, sf_dir: SIM.brute_force_topk_arrow(
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding")),
-        _t(spark, sf_dir, "embeddings"),
-        k=10,
-    ),
-)
-def ann_cosine_topk_arrow(spark, sf_dir):
-    """Brute-force cosine top-k on the Arrow/numpy fast path: one BLAS
-    matrix product per corpus batch, per-batch top-k, skinny merge —
-    measured ~7x faster than the codegen fold at sf0.1/64 queries
-    (NOTES.md). Contract-checked like the other ANN variants
-    (self-exclusion off => rank-1 must be the query itself at cos 1.0;
-    scores recomputed against the corpus with the JVM fold; rank set
-    exactly 1..n <= k). Tolerance is one 6th-decimal step: numpy/BLAS
-    doubles are ulp-close to the JVM fold, and an ulp can land the
-    half-even vs half-up roundings one step apart. Bit-level agreement
-    with the JVM fold is additionally pinned by
-    tests/test_dedup_similarity.py."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    approx = SIM.brute_force_topk_arrow(queries, emb, k=10, exclude_self=False)
-    return _ann_self_retrieval_contract(approx, emb, k=10, tol=1.1e-6)
-
-
-@register(
     "embedding_kmeans_clusters",
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_points,
@@ -2893,77 +2925,6 @@ def semdedup_near_dup_pairs(spark, sf_dir):
             "planted_recall_ok"
         ),
         "cos_verified_ok",
-    )
-
-
-@register(
-    "simhash_hamming_pairs_arrow",
-    oracle="""
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN doc_id % 43 = 0 AND length(text) > 50
-                             AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
-               true AS planted_recall_ok,
-               true AS hamming_verified_ok
-        FROM documents
-    """,
-    tags=("dedup", "lsh", "arrow"),
-    bench_fn=lambda spark, sf_dir: DD.simhash_hamming_pairs_arrow(
-        _t(spark, sf_dir, "documents"), max_distance=3
-    ),
-)
-def simhash_hamming_pairs_arrow(spark, sf_dir):
-    """simhash_hamming_pairs with the VECTORIZED signature pass
-    (pd.util.hash_array SipHash + numpy bit votes — measured 14x the
-    JVM fold at 500k docs, where the signature pass is 87% of the
-    pipeline). Signatures are a different (equally valid) SimHash
-    family than the JVM fold's xxhash64 shingles, so this carries its
-    own planted contract rather than pair-set equality with the fold:
-    (a) planted exact-text duplicates (distance 0, recall 1.0 by
-    pigeonhole construction) all recovered; (b) every emitted Hamming
-    distance re-verified from an independent fresh signature pass."""
-    docs = _t(spark, sf_dir, "documents")
-    offset = 10_000_000
-    corpus, plant_cond = _planted_docs(docs, 43, offset)
-    pairs = DD.simhash_hamming_pairs_arrow(corpus, max_distance=3).localCheckpoint(eager=True)
-    is_planted_pair = (F.col("id_b") - F.col("id_a") == F.lit(offset)) & (
-        F.col("id_a") % 43 == 0
-    )
-    pair_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .union(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    sigs = DD.simhash_signatures_arrow(
-        corpus.join(F.broadcast(pair_ids), "doc_id", "leftsemi")
-    ).select("doc_id", F.col("sig").alias("sig2"))
-    rechecked = pairs.join(
-        sigs.select(F.col("doc_id").alias("id_a"), F.col("sig2").alias("sig_a")),
-        "id_a",
-    ).join(
-        sigs.select(F.col("doc_id").alias("id_b"), F.col("sig2").alias("sig_b")),
-        "id_b",
-    ).withColumn("h2", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-    pair_agg = rechecked.agg(
-        F.sum((is_planted_pair & (F.col("hamming") == 0)).cast("long")).alias(
-            "n_recovered"
-        ),
-        F.coalesce(
-            F.min((F.col("h2") == F.col("hamming")) & (F.col("h2") <= 3)),
-            F.lit(True),
-        ).alias("hamming_verified_ok"),
-    )
-    doc_agg = docs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(plant_cond.cast("long")).cast("long").alias("n_planted"),
-    )
-    return doc_agg.crossJoin(pair_agg).select(
-        "n_docs",
-        "n_planted",
-        (F.coalesce(F.col("n_recovered"), F.lit(0)) == F.col("n_planted")).alias(
-            "planted_recall_ok"
-        ),
-        "hamming_verified_ok",
     )
 
 
@@ -8689,97 +8650,6 @@ def keyword_search_bm25(spark, sf_dir):
 
 
 @register(
-    "hybrid_search_rrf",
-    oracle="""
-        WITH base AS (
-            SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), x -> x <> '')
-                       AS toks
-            FROM documents
-        ),
-        lens AS (SELECT doc_id, len(toks) AS dl FROM base),
-        stats AS (
-            SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
-            FROM lens
-        ),
-        tf AS (
-            SELECT doc_id, term, count(*) AS tf
-            FROM (SELECT doc_id, unnest(toks) AS term FROM base)
-            WHERE term IN ('spark', 'customer', 'slow')
-            GROUP BY doc_id, term
-        ),
-        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        parts AS (
-            SELECT t.doc_id,
-                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-                   * (t.tf * 2.2)
-                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl
-                      / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS part
-            FROM tf t
-            JOIN dft d USING (term)
-            JOIN lens l USING (doc_id), stats s
-        ),
-        sscore AS (
-            SELECT doc_id, round(sum(part), 4) AS score
-            FROM parts GROUP BY doc_id
-        ),
-        sparse AS (
-            SELECT doc_id AS id,
-                   row_number() OVER (ORDER BY score DESC, doc_id)
-                       AS rnk_sparse
-            FROM (SELECT doc_id, score FROM sscore
-                  ORDER BY score DESC, doc_id LIMIT 20)
-        ),
-        dense AS (
-            SELECT c.vec_id AS id,
-                   row_number() OVER (ORDER BY
-                       round(list_cosine_similarity(q.embedding::DOUBLE[],
-                                                    c.embedding::DOUBLE[]), 6)
-                           DESC, c.vec_id) AS rnk_dense
-            FROM embeddings c JOIN embeddings q
-              ON q.vec_id = 7 AND c.vec_id <> 7
-            QUALIFY rnk_dense <= 20
-        ),
-        fused AS (
-            SELECT COALESCE(s.id, d.id) AS doc_id,
-                   s.rnk_sparse IS NOT NULL AS in_sparse,
-                   d.rnk_dense IS NOT NULL AS in_dense,
-                   COALESCE(CAST(1 AS DOUBLE) / (60 + s.rnk_sparse), 0)
-                   + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rnk_dense), 0)
-                       AS rrf_score
-            FROM sparse s FULL OUTER JOIN dense d ON s.id = d.id
-        )
-        SELECT doc_id, in_sparse, in_dense, rrf_score,
-               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
-                    AS INTEGER) AS rnk
-        FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
-    """,
-    tags=("text", "retrieval", "similarity", "llm-pipeline", "topk"),
-)
-def hybrid_search_rrf(spark, sf_dir):
-    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
-    (round 9; Cormack et al., SIGIR 2009 — the modern RAG retrieval
-    shape): BM25 top-20 for the 3 keyword terms + exact-cosine top-20
-    around the vec_id=7 document embedding, fused by
-    ``sum 1/(60 + rank)`` over whichever arms returned the doc. RRF
-    consumes only RANKS, so no score calibration crosses the arms —
-    and both arms rank on ROUNDED scores (integer ranks are the only
-    cross-engine contract), while the fused score is a sum of two
-    single IEEE divisions of exact integers and is deliberately NOT
-    rounded (NOTES float recipe). Fusion joins two <= 20-row frames —
-    free at any corpus size; each arm keeps its own scale design
-    (TakeOrderedAndProject / broadcast-scored skinny rank). Full
-    value-level SQL twin."""
-    from ..operators import retrieval as RET
-
-    d = _t(spark, sf_dir, "documents")
-    e = _t(spark, sf_dir, "embeddings")
-    return RET.hybrid_rrf_topk(
-        d, e, ["spark", "customer", "slow"], query_vec_id=7, k=10, n_arm=20
-    )
-
-
-@register(
     "curation_pipeline_v2",
     oracle="""
         WITH toks AS (
@@ -11098,41 +10968,66 @@ def doc_token_entropy(spark, sf_dir):
 @register(
     "referential_integrity_audit",
     oracle="""
-        SELECT
-            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-             WHERE NOT EXISTS (SELECT 1 FROM orders o
-                               WHERE o.o_orderkey = l.l_orderkey))
-                AS orphan_lineitems,
-            (SELECT CAST(count(*) AS BIGINT) FROM orders o
-             WHERE NOT EXISTS (SELECT 1 FROM customer c
-                               WHERE c.c_custkey = o.o_custkey))
-                AS orphan_orders,
-            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-             WHERE NOT EXISTS (SELECT 1 FROM supplier s
-                               WHERE s.s_suppkey = l.l_suppkey))
-                AS orphan_supp_refs,
-            (SELECT CAST(count(*) AS BIGINT) FROM orders o
-             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-                               WHERE l.l_orderkey = o.o_orderkey))
-                AS childless_orders
+        WITH counts AS (
+            SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                    AS orphan_lineitems,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                    AS orphan_orders,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                    AS orphan_supp_refs,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                    AS childless_orders
+        )
+        SELECT 'plain' AS arm, * FROM counts
+        UNION ALL
+        SELECT 'bucketed' AS arm, * FROM counts
     """,
-    tags=("quality", "integrity", "anti-join"),
+    tags=("quality", "integrity", "anti-join", "bucketed"),
 )
 def referential_integrity_audit(spark, sf_dir):
     """Cross-table referential-integrity audit — the orphan scan every
     warehouse load validates: facts referencing missing dimension/
     parent keys (and parents with no children, which is informational,
-    not an error). Each check is one LEFT ANTI join counting misses;
-    the TRUE dimension sides (customer, supplier) broadcast so those
-    fact scans never shuffle. The lineitem-vs-orders check joins two
-    FACT tables — forcing a broadcast of |orders| keys would OOM the
-    driver at scale, so it stays a shuffled anti-join on the join key
-    (at 100 TB both sides bucketed by orderkey make it exchange-free).
-    Complements the single-table expectations gate with the FK layer."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    not an error) — BOTH physical layouts under one entry (round-13
+    retire-or-merge wave, PARITY.md). Arm 'plain' reads the raw
+    parquet: each check is one LEFT ANTI join counting misses; the
+    TRUE dimension sides (customer, supplier) broadcast so those fact
+    scans never shuffle, while the two fact-fact checks stay shuffled
+    anti-joins (broadcasting |orders| keys would OOM the driver at
+    scale). Arm 'bucketed' is the 100 TB shape: the same audit reading
+    the bucketed-by-orderkey managed tables, so both sides of
+    orphan_lineitems and childless_orders are co-located on the join
+    key and neither fact shuffles (the childless side's DISTINCT also
+    aggregates exchange-free). Plan invariant pinned by
+    tests/test_bucketed_join.py::test_bucketed_audit_fact_joins_no_shuffle;
+    the audit arithmetic is shared (``_referential_audit_counts``), so
+    the per-arm rows pin that both layouts compute identical counts."""
+    plain = _referential_audit_counts(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        _t(spark, sf_dir, "customer").select("c_custkey"),
+        _t(spark, sf_dir, "supplier").select("s_suppkey"),
+    ).select(F.lit("plain").alias("arm"), "*")
+    bucketed = referential_integrity_audit_bucketed(spark, sf_dir).select(
+        F.lit("bucketed").alias("arm"), "*"
+    )
+    return plain.unionByName(bucketed)
+
+
+def _referential_audit_counts(li, o, c, s):
+    """The audit arithmetic shared by both arms: four LEFT ANTI join
+    counts crossed into one row. Join strategies come from the input
+    frames' physical layout (raw scans shuffle the fact-fact checks;
+    bucketed scans co-locate them)."""
     orphan_li = li.join(
         o.select("o_orderkey"),
         li.l_orderkey == F.col("o_orderkey"),
@@ -11154,68 +11049,22 @@ def referential_integrity_audit(spark, sf_dir):
     )
 
 
-@register(
-    "referential_integrity_audit_bucketed",
-    oracle="""
-        SELECT
-            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-             WHERE NOT EXISTS (SELECT 1 FROM orders o
-                               WHERE o.o_orderkey = l.l_orderkey))
-                AS orphan_lineitems,
-            (SELECT CAST(count(*) AS BIGINT) FROM orders o
-             WHERE NOT EXISTS (SELECT 1 FROM customer c
-                               WHERE c.c_custkey = o.o_custkey))
-                AS orphan_orders,
-            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-             WHERE NOT EXISTS (SELECT 1 FROM supplier s
-                               WHERE s.s_suppkey = l.l_suppkey))
-                AS orphan_supp_refs,
-            (SELECT CAST(count(*) AS BIGINT) FROM orders o
-             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-                               WHERE l.l_orderkey = o.o_orderkey))
-                AS childless_orders
-    """,
-    tags=("quality", "integrity", "anti-join", "bucketed"),
-)
 def referential_integrity_audit_bucketed(spark, sf_dir):
-    """The referential-integrity audit's 100 TB shape: the round-6
-    verdict measured the plain audit's 5.0x sf1->sf10 ratio and named
-    "bucket both facts by orderkey" as the step that removes the
-    fact-to-fact exchange entirely — this twin runs the SAME audit
-    (identical oracle SQL, like the hashed-window-key twins) with the
-    two fact-fact anti-joins reading the bucketed-by-orderkey managed
-    tables: both sides of orphan_lineitems and childless_orders are
-    co-located on the join key, so neither fact shuffles (the
-    childless side's DISTINCT also aggregates exchange-free — the
-    bucketed scan already satisfies its required distribution). Plan
-    invariant pinned by
-    tests/test_bucketed_join.py::test_bucketed_audit_fact_joins_no_shuffle.
-    True-dimension checks (customer, supplier) broadcast as before."""
+    """The bucketed arm of the merged audit (unregistered since the
+    round-13 retire-or-merge wave; still exercised by the merged
+    entry's dual-run AND by
+    tests/test_bucketed_join.py::test_bucketed_audit_fact_joins_no_shuffle):
+    the two fact-fact anti-joins read the bucketed-by-orderkey managed
+    tables, so neither fact shuffles; true-dimension checks broadcast
+    as in the plain arm."""
     from ..sources.tables import ensure_bucketed_join_tables
 
     db = ensure_bucketed_join_tables(spark, sf_dir)
-    li = spark.table(f"{db}.lineitem_b").select("l_orderkey", "l_suppkey")
-    o = spark.table(f"{db}.orders_b").select("o_orderkey", "o_custkey")
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
-    orphan_li = li.join(
-        o.select("o_orderkey"),
-        li.l_orderkey == F.col("o_orderkey"),
-        "left_anti",
-    ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
-    orphan_o = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
-    ).agg(F.count(F.lit(1)).alias("orphan_orders"))
-    orphan_sup = li.join(
-        F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_anti"
-    ).agg(F.count(F.lit(1)).alias("orphan_supp_refs"))
-    childless = o.join(
-        li.select("l_orderkey").distinct(),
-        o.o_orderkey == F.col("l_orderkey"),
-        "left_anti",
-    ).agg(F.count(F.lit(1)).alias("childless_orders"))
-    return (
-        orphan_li.crossJoin(orphan_o).crossJoin(orphan_sup).crossJoin(childless)
+    return _referential_audit_counts(
+        spark.table(f"{db}.lineitem_b").select("l_orderkey", "l_suppkey"),
+        spark.table(f"{db}.orders_b").select("o_orderkey", "o_custkey"),
+        _t(spark, sf_dir, "customer").select("c_custkey"),
+        _t(spark, sf_dir, "supplier").select("s_suppkey"),
     )
 
 
@@ -11576,7 +11425,16 @@ def heavy_hitters_per_lang(spark, sf_dir):
             FROM (SELECT doc_id, n_chars FROM documents
                   ORDER BY n_chars DESC, doc_id LIMIT 20)
         ),
-        fused AS (
+        fused2 AS (
+            SELECT COALESCE(s.id, d.id) AS doc_id,
+                   s.rnk_sparse IS NOT NULL AS in_sparse,
+                   d.rnk_dense IS NOT NULL AS in_dense,
+                   COALESCE(CAST(1 AS DOUBLE) / (60 + s.rnk_sparse), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rnk_dense), 0)
+                       AS rrf_score
+            FROM sparse s FULL OUTER JOIN dense d ON s.id = d.id
+        ),
+        fused3 AS (
             SELECT COALESCE(s.id, d.id, p.id) AS doc_id,
                    s.rnk_sparse IS NOT NULL AS in_sparse,
                    d.rnk_dense IS NOT NULL AS in_dense,
@@ -11589,31 +11447,67 @@ def heavy_hitters_per_lang(spark, sf_dir):
             FULL OUTER JOIN dense d ON s.id = d.id
             FULL OUTER JOIN prior p ON COALESCE(s.id, d.id) = p.id
         )
-        SELECT doc_id, in_sparse, in_dense, in_prior, rrf_score,
+        SELECT 'rrf2' AS arm, doc_id, in_sparse, in_dense,
+               false AS in_prior, rrf_score,
                CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
                     AS INTEGER) AS rnk
-        FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
+        FROM (SELECT * FROM fused2 ORDER BY rrf_score DESC, doc_id LIMIT 10)
+        UNION ALL
+        SELECT 'rrf3' AS arm, doc_id, in_sparse, in_dense, in_prior,
+               rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS INTEGER) AS rnk
+        FROM (SELECT * FROM fused3 ORDER BY rrf_score DESC, doc_id LIMIT 10)
     """,
     tags=("text", "retrieval", "similarity", "llm-pipeline", "topk"),
 )
 def hybrid_search_rrf3(spark, sf_dir):
-    """Three-arm hybrid retrieval: the registered two-arm RRF fusion
-    (hybrid_search_rrf) plus a per-document PRIOR arm — here the
-    stored n_chars length prior; production plugs a recency stamp or
-    the quality classifier's quantized score — fused by the N-arm
-    operators/retrieval.rrf_fuse. Rank-only fusion makes the third arm
-    free: no weight tuning, no score calibration, each arm keeps its
-    bounded top-n shape (TakeOrderedAndProject), and the fusion join
-    chain touches <= 60 rows. The fused score folds 0.0 + three single
-    exact-integer divisions (left-assoc in both engines — bit-stable,
-    unrounded per the float recipe). Full value-level SQL twin."""
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    (Cormack et al., SIGIR 2009 — the modern RAG retrieval shape),
+    BOTH fusion widths under one entry (round-13 retire-or-merge
+    wave, PARITY.md): arm 'rrf2' fuses BM25 top-20 for the 3 keyword
+    terms + exact-cosine top-20 around the vec_id=7 embedding; arm
+    'rrf3' adds a per-document PRIOR arm (the stored n_chars length
+    prior; production plugs a recency stamp or the quality
+    classifier's quantized score) through the N-arm
+    operators/retrieval.rrf_fuse. RRF consumes only RANKS, so no
+    score calibration crosses the arms — both retrieval arms rank on
+    ROUNDED scores (integer ranks are the only cross-engine
+    contract), while the fused score folds 0.0 + single IEEE
+    divisions of exact integers, left-assoc in both engines —
+    bit-stable, deliberately unrounded (NOTES float recipe). Fusion
+    joins <= 20-row frames — free at any corpus size; each arm keeps
+    its own scale design (TakeOrderedAndProject / broadcast-scored
+    skinny rank). Full value-level SQL twin, once per arm — a
+    regression in either fusion path fails the dual-run. The rrf2
+    arm's bare timing stays a bench row via EXTRA_ROWS in bench.py."""
     from ..operators import retrieval as RET
 
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    return RET.hybrid_rrf3_topk(
+    two = RET.hybrid_rrf_topk(
         d, e, ["spark", "customer", "slow"], query_vec_id=7, k=10, n_arm=20
+    ).select(
+        F.lit("rrf2").alias("arm"),
+        "doc_id",
+        "in_sparse",
+        "in_dense",
+        F.lit(False).alias("in_prior"),
+        "rrf_score",
+        "rnk",
     )
+    three = RET.hybrid_rrf3_topk(
+        d, e, ["spark", "customer", "slow"], query_vec_id=7, k=10, n_arm=20
+    ).select(
+        F.lit("rrf3").alias("arm"),
+        "doc_id",
+        "in_sparse",
+        "in_dense",
+        "in_prior",
+        "rrf_score",
+        "rnk",
+    )
+    return two.unionByName(three)
 
 
 # =====================================================================

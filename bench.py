@@ -102,10 +102,11 @@ HEADLINE = HEADLINE_R01 + [
     "ann_cosine_topk_ivf_indexed",
     "streaming_dedup_ingest",
     "heavy_hitter_tokens",
-    # round-5 additions
+    # round-5 additions. The retired registry twins
+    # simhash_hamming_pairs_arrow / minhash_near_dup_pairs_arrow
+    # (round-13 retire-or-merge wave) keep their bare-operator perf
+    # series via EXTRA_ROWS below, not HEADLINE.
     "semdedup_pairs_arrow",
-    "simhash_hamming_pairs_arrow",
-    "minhash_near_dup_pairs_arrow",
     "simhash_delta_incremental",
     "keyword_search_bm25",
     "quality_classifier_scores",
@@ -160,10 +161,10 @@ HEADLINE = HEADLINE_R01 + [
     # training + one full-corpus Arrow encode pass + token count)
     "bpe_tokenizer_encode",
     # round-9 additions: 4-round synchronous LPA over the co-purchase
-    # graph, and the BM25+cosine RRF hybrid retriever (fusion joins
-    # two <=20-row frames; the arms carry the cost)
+    # graph. (The two-arm RRF retriever hybrid_search_rrf was merged
+    # into hybrid_search_rrf3 in the round-13 retire-or-merge wave;
+    # its bare timing series continues via EXTRA_ROWS below.)
     "graph_label_propagation",
-    "hybrid_search_rrf",
     # round-9 addition: composed IVF-PQ delta append (bench_fn = one
     # Arrow encode + one broadcast cell assignment over the delta
     # against the reloaded frozen artifacts; staging session-cached)
@@ -404,7 +405,32 @@ def main() -> None:
             spark.read.parquet(zipf_docs_path), threshold=0.95
         )
 
-    EXTRA_ROWS = {"exact_jaccard_join_prefix_zipf": _zipf_prefix_join}
+    # Bare-operator rows for the round-13 retire-or-merge retirements:
+    # the registry twins are gone (their code paths run inside the
+    # merged entries' dual-run), but the perf SERIES stays unbroken by
+    # timing the same bare operators under the same artifact names.
+    from api_kakfa_spark_airflow_s3_athena_spark.operators import retrieval as RET
+
+    EXTRA_ROWS = {
+        "exact_jaccard_join_prefix_zipf": _zipf_prefix_join,
+        "simhash_hamming_pairs_arrow": lambda spark, sf: (
+            DD.simhash_hamming_pairs_arrow(
+                load_table(spark, sf, "documents"), max_distance=3
+            )
+        ),
+        "minhash_near_dup_pairs_arrow": lambda spark, sf: (
+            DD.minhash_dedup_pairs_arrow(
+                load_table(spark, sf, "documents"),
+                threshold=0.5, num_hashes=32, bands=8,
+            )
+        ),
+        "hybrid_search_rrf": lambda spark, sf: RET.hybrid_rrf_topk(
+            load_table(spark, sf, "documents"),
+            load_table(spark, sf, "embeddings"),
+            ["spark", "customer", "slow"],
+            query_vec_id=7, k=10, n_arm=20,
+        ),
+    }
 
     timings, query_runs = {}, {}
     for name in HEADLINE + list(EXTRA_ROWS):

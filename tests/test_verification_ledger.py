@@ -154,7 +154,8 @@ def test_repo_ledger_prioritizes_converted_queries(tmp_path):
         "embedding_near_dup_lsh",
         "semdedup_near_dup_pairs",
         "semdedup_survivors",
-        "ann_cosine_topk_arrow",
+        # ann_cosine_topk_arrow was in this cohort until the round-13
+        # retire-or-merge wave folded it into ann_cosine_topk
         "approx_distinct_and_quantiles",
         "multimodal_feature_extract",
         "user_api_source_ingest",

@@ -132,9 +132,15 @@ def main() -> None:
     from api_kakfa_spark_airflow_s3_athena_spark.plans.staged import STAGED
     from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
 
+    from tools import retired_ops
+
     spark = local_test_session("plan-audit")
     for name in names:
-        df = (REGISTRY.get(name) or STAGED[name]).fn(spark, sf_dir)
+        spec = REGISTRY.get(name) or STAGED.get(name)
+        fn = spec.fn if spec is not None else retired_ops.get(name)
+        if fn is None:
+            raise KeyError(name)
+        df = fn(spark, sf_dir)
         # materialize so AQE finalizes: the pre-execution adaptive plan
         # carries neither the final join strategies nor codegen spans
         df.collect()

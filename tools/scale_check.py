@@ -591,9 +591,15 @@ def main() -> None:
 
     graph_fns = _graph_fns()
 
+    from tools import retired_ops
+
     def run(name: str, sf_dir: str) -> float:
         if name in graph_fns:
             fn = graph_fns[name]
+        elif retired_ops.get(name) is not None:
+            # names retired by the retire-or-merge waves keep their
+            # bare-operator decade series
+            fn = retired_ops.get(name)
         else:
             # staged (not-yet-registered) specs resolve too, so new
             # operators get their scale evidence BEFORE promotion
