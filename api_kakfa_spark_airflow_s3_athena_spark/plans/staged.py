@@ -992,3 +992,300 @@ def incremental_cube_maintenance(spark, sf_dir):
         )
     )
     return counts.crossJoin(F.broadcast(eq))
+
+
+# =====================================================================
+# Round-14 restock (added round 13: the promotion took the staged
+# count 21 -> 9; these three return it to 12, keeping two rounds of
+# promotion headroom stocked)
+# =====================================================================
+
+
+@register_staged(
+    "fuzzy_join_edit1_fastss",
+    oracle="""
+        WITH v AS (
+            SELECT c_custkey, c_name,
+                   unnest(list_append(
+                       list_transform(
+                           range(1, length(c_name) + 1),
+                           i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+                       ),
+                       c_name)) AS v
+            FROM customer
+        ),
+        cand AS (
+            SELECT DISTINCT a.c_custkey AS id_a, a.c_name AS name_a,
+                            b.c_custkey AS id_b, b.c_name AS name_b
+            FROM v a JOIN v b ON a.v = b.v AND a.c_custkey < b.c_custkey
+        ),
+        verified AS (
+            SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
+            FROM cand
+            WHERE levenshtein(name_a, name_b) <= 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(coalesce(sum(id_a + id_b), 0) AS BIGINT) AS key_sum,
+               coalesce(min(dist) = 1 AND max(dist) = 1, true)
+                   AS all_distance_1
+        FROM verified
+    """,
+    tags=("dedup", "fuzzy", "join", "llm-pipeline"),
+)
+def fuzzy_join_edit1_fastss(spark, sf_dir):
+    """Edit-distance<=1 fuzzy self-join via FastSS deletion
+    neighborhoods (Bocek et al. 2007 — the all-pairs fuzzy-match shape
+    record linkage and query-log canonicalization run at scale): two
+    strings are within edit distance 1 iff their deletion
+    neighborhoods U(s) = {s} + one-char deletions intersect, so
+    blocking = explode each name into |s|+1 short keys, equi-join on
+    the key, then verify the surviving candidates with the exact
+    levenshtein kernel. NEVER an all-pairs compare: candidates are
+    bounded by the neighborhood-key collision count (near-match pairs
+    + same-variant ties), and the verify runs only on candidates.
+    The customer names ("Customer#000000042") make the contract dense
+    — every pair of ids differing in one decimal digit is a true
+    match, so the pair COUNT, the id-sum checksum, and the
+    all-distance-1 invariant all cross the engine compare.
+    Completeness vs brute force is pinned by
+    tests/test_staged_round14.py (FastSS recovers exactly the
+    brute-force pair set on a sampled frame).
+
+    100 TB shape: the explode is a row-local map (x|s|+1 rows of
+    short keys), the join is a hash equi-join on those keys, and the
+    only quadratic term is per-key group size — bounded here by how
+    many strings share a deletion variant (a skew census on the
+    variant key is the guard at open-vocabulary scale, same recipe as
+    the MinHash hot-bucket census)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "array_union(array(c_name), transform("
+                "sequence(1, length(c_name)), i -> concat("
+                "substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, length(c_name)))))"
+            )
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        "v",
+    )
+    b = variants.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        "v",
+    )
+    cand = (
+        a.join(b, "v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "name_a", "id_b", "name_b")
+        .distinct()
+    )
+    verified = cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).where(F.col("dist") <= 1)
+    return verified.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
+        .cast("long")
+        .alias("key_sum"),
+        F.coalesce(
+            (F.min("dist") == 1) & (F.max("dist") == 1), F.lit(True)
+        ).alias("all_distance_1"),
+    )
+
+
+@register_staged(
+    "trend_ols_by_nation",
+    oracle="""
+        WITH daily AS (
+            SELECT n.n_name,
+                   date_diff('day', DATE '1992-01-01',
+                             CAST(o.o_orderdate AS DATE)) AS x,
+                   CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                              * 100) AS BIGINT) AS y
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1, 2
+        ),
+        sums AS (
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(sum(CAST(x AS DECIMAL(38,0))
+                            * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS sxy,
+                   CAST(sum(CAST(x AS DECIMAL(38,0))
+                            * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS sxx
+            FROM daily GROUP BY 1
+        )
+        SELECT n_name, n_days,
+               round(CAST(CAST(n_days AS DECIMAL(38,0)) * sxy - sx * sy
+                          AS DOUBLE)
+                     / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx
+                            AS DOUBLE), 6) AS slope_cents_per_day,
+               round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx
+                            AS DOUBLE), 6) AS intercept_cents
+        FROM sums
+    """,
+    tags=("analytics", "timeseries", "agg"),
+)
+def trend_ols_by_nation(spark, sf_dir):
+    """Per-nation revenue trend via closed-form OLS over the daily
+    series — the grouped-regression staple (is revenue growing, and
+    how fast, per segment) computed WITHOUT any iterative solver:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) and the matching
+    exact-numerator intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2),
+    where x = days since 1992-01-01 and y = the day's revenue in
+    integer cents. All five sufficient statistics accumulate in
+    DECIMAL(38,0) (the gini/pareto headroom discipline: n*Sxy at
+    sf100 daily-cents scale exceeds BIGINT, and DuckDB's HUGEINT
+    would mask the overflow from small-SF dual-runs), then each
+    output is ONE IEEE division of exact integers, rounded 6 —
+    bit-identical in both engines.
+
+    100 TB shape: one groupBy to the (nation, day) grain, one
+    groupBy to nations — both map-side combinable; no window, no
+    sort, no driver state. The regression never sees row-level data,
+    only per-group sums — the classic sufficient-statistics
+    pushdown."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.datediff("day", F.lit("1992-01-01")).alias("x"))
+        .agg(F.expr("CAST(round(sum(price) * 100) AS BIGINT)").alias("y"))
+    )
+    sums = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("sy"),
+        F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("sxx"),
+    )
+    return sums.select(
+        "n_name",
+        "n_days",
+        F.round(
+            F.expr(
+                "CAST(CAST(n_days AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
+                " / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx"
+                " AS DOUBLE)"
+            ),
+            6,
+        ).alias("slope_cents_per_day"),
+        F.round(
+            F.expr(
+                "CAST(sy * sxx - sx * sxy AS DOUBLE)"
+                " / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx"
+                " AS DOUBLE)"
+            ),
+            6,
+        ).alias("intercept_cents"),
+    )
+
+
+@register_staged(
+    "ht_sampled_total_audit",
+    oracle="""
+        WITH li AS (
+            SELECT l_returnflag,
+                   CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)
+                        AS BIGINT) AS cents,
+                   CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                        || ':' || CAST(l_linenumber AS VARCHAR)
+                        || ':ht'), 1, 5) AS BIGINT) AS coin
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN coin < 65536 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(sum(cents) AS BIGINT) AS exact_cents,
+               CAST(sum(CASE WHEN coin < 65536 THEN cents ELSE 0 END) * 16
+                    AS BIGINT) AS ht_est_cents,
+               round(abs(sum(CASE WHEN coin < 65536 THEN cents ELSE 0 END)
+                         * 16 - sum(cents))
+                     / CAST(sum(cents) AS DOUBLE), 6) AS rel_err
+        FROM li GROUP BY 1
+    """,
+    tags=("sampling", "approx", "agg"),
+)
+def ht_sampled_total_audit(spark, sf_dir):
+    """Horvitz-Thompson total estimation from a deterministic
+    scan-level Bernoulli sample, audited against the exact total —
+    the estimate-before-you-scan primitive (BlinkDB-style approximate
+    aggregation): rows whose md5 coin lands under p = 1/16 of the
+    coin span are the sample; the HT estimator sum(y)/p = 16 * the
+    sampled cents is an EXACT integer in both engines because the
+    sample membership is a pure function of the key (the repo's
+    hash_coin recipe — run/retry/engine-stable, and MERGEABLE:
+    sample(A u B) = sample(A) u sample(B)). Per returnflag the exact
+    total, the estimate, and the realized relative error (one IEEE
+    division, rounded 6) all cross the compare — the estimator
+    arithmetic is value-pinned, not just bounded.
+
+    100 TB shape: the sample predicate is a plain scan filter (no
+    shuffle, no state, prunes before any exchange), so the estimator
+    touches ~6% of the data; the audit's exact branch exists for the
+    contract and is exactly what the production path SKIPS."""
+    from ..operators.quantiles import COIN_SPAN, hash_coin
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("cents"),
+        hash_coin(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            ":ht",
+        ).alias("coin"),
+    )
+    thresh = COIN_SPAN // 16
+    sampled = (F.col("coin") < thresh).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(sampled).cast("long").alias("n_sampled"),
+            F.sum("cents").cast("long").alias("exact_cents"),
+            (F.sum(F.col("cents") * sampled) * 16)
+            .cast("long")
+            .alias("ht_est_cents"),
+            F.round(
+                F.abs(
+                    F.sum(F.col("cents") * sampled) * 16 - F.sum("cents")
+                )
+                / F.sum("cents").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

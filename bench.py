@@ -237,12 +237,29 @@ HEADLINE = HEADLINE_R01 + [
     "event_transition_matrix",
     "rfm_customer_segments",
     "revenue_concentration_gini",
+    # round-13 additions: the twelve promoted staged operators. All are
+    # registry shapes (contract and production path coincide) except
+    # histogram_selectivity_audit and funnel_time_to_convert, whose
+    # global ranks run on quantiles.distributed_rank (rewired off the
+    # serial window before promotion).
+    "scd2_user_state_intervals",
+    "histogram_selectivity_audit",
+    "join_cardinality_bounds",
+    "funnel_time_to_convert",
+    "weekday_seasonality_index",
+    "user_journey_paths",
+    "user_activity_entropy",
+    "order_line_proration",
+    "user_activity_islands",
+    "peak_concurrent_activity",
+    "pareto_abc_parts",
+    "bigram_pmi_topk",
 ]
 
 # The current round's additions — kept in the final fitted stdout line
 # when the full per-query map no longer fits the recorder's window
 # (see _fitted_headline_line). Update per round alongside HEADLINE.
-HEADLINE_LATEST = HEADLINE[HEADLINE.index("quantile_drift_monitor"):]
+HEADLINE_LATEST = HEADLINE[HEADLINE.index("scd2_user_state_intervals"):]
 
 # Best-of-N per query: a single-shot timing showed double-digit
 # run-to-run swings on queries whose code hadn't changed (r03->r04
