@@ -387,26 +387,38 @@ def distributed_rank(
     single-partition window (``Window.orderBy`` with no partitionBy
     serializes the whole sort through one task — the bottleneck the
     round-12 scale sweep measured at 14.5× on a 10M-row ntile).
-    Classic two-phase distributed rank: one range exchange on the
-    order columns (sampled bounds), a per-partition local
-    row_number, and a broadcast of the ≤P-row cumulative partition
-    counts as offsets. Ranks are IDENTICAL to the serial window's
-    because the range partitioner is order-preserving across
-    partitions and the order is total within them.
+    Two-phase distributed rank with DRIVER-FROZEN range bounds
+    (round-13 redesign): one approxQuantile pass over the first order
+    column freezes P−1 boundary values as a literal array, every row
+    gets a bucket id by counting bounds ≤ value, then (a) one
+    sort-free counts pass per bucket and (b) one per-bucket
+    row_number window, joined on the broadcast cumulative offsets.
+    Ranks are IDENTICAL to the serial window's because the bucket
+    assignment is monotone in the first order column and the order
+    is total within buckets.
+
+    Freezing the bounds on the driver removes BOTH problems of the
+    round-12 ``repartitionByRange`` + eager-localCheckpoint shape at
+    the root: the RangePartitioner re-execution hazard (its bounds
+    sampler is seeded by rdd id, so a fan-out could silently re-plan
+    a DIFFERENT partitioning — frozen literals make every execution
+    identical, no materialization needed), and the checkpoint's
+    executor-local non-replayable blocks (this plan is pure lineage —
+    executor loss just recomputes; measured at 60M rows the
+    checkpoint's ~35 s storage toll disappears and the counts pass
+    skips the sort entirely).
 
     ``order_cols`` MUST form a total order (include an id
-    tie-breaker): with duplicate keys the within-partition
-    row_number would be nondeterministic — the same caller contract
-    as every rank window in this package.
+    tie-breaker) and the FIRST order column must be a numeric column
+    name (the approxQuantile target). All rows sharing one value of
+    the first column land in one bucket, so a column where one value
+    dominates degenerates toward a single-bucket sort — the same tie
+    caveat as any range exchange; pick a high-cardinality leading
+    column.
 
-    100 TB shape: sort work is P-way parallel; driver state is the
-    P-row count frame (broadcast), nothing else leaves the
-    executors. Resilience caveat: the eager ``localCheckpoint``
-    stores executor-local, non-replayable blocks — on a long-lived
-    cluster with dynamic allocation or executor loss, pass a frame
-    you have reliably ``checkpoint()``-ed (or persisted to storage)
-    if the job must survive executor churn; the local variant is the
-    right default for bounded batch stages."""
+    100 TB shape: one GK-sketch aggregate (approxQuantile), one
+    cheap bucket-count aggregate, one P-way parallel sort; driver
+    state is P−1 doubles + the P-row offset frame (broadcast)."""
     from ._util import require_absent, scratch_name
 
     require_absent(df, rank_col, "distributed_rank")
@@ -417,31 +429,46 @@ def distributed_rank(
     lrk = scratch_name("__dr_lrank", df)
     cnt = scratch_name("__dr_cnt", df)
     off = scratch_name("__dr_off", df)
+    first = order_cols[0]
+    # P-1 frozen bounds; rel-err only skews bucket BALANCE, never
+    # correctness (ranks come from counts + local sort, not bounds)
+    qs = [i / partitions for i in range(1, partitions)]
+    bounds = sorted(
+        set(
+            df.select(F.col(first).cast("double").alias("__q")).stat.approxQuantile(
+                "__q", qs, 0.001
+            )
+        )
+    )
+    if bounds:
+        # branchless Σ (x >= bound) — stays inside whole-stage codegen
+        # (a higher-order array filter here ran interpreted and showed
+        # up as ~2x on the 60M-row sweep); NULL first-col values make
+        # every term NULL -> coalesce sends them to bucket 0, matching
+        # the serial window's NULLS FIRST
+        x = F.col(first).cast("double")
+        total = None
+        for b in bounds:
+            term = (x >= F.lit(float(b))).cast("int")
+            total = term if total is None else total + term
+        bucket = F.coalesce(total, F.lit(0))
+    else:
+        bucket = F.lit(0)  # empty input (or all-null first column)
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(partitions, *cols).withColumn(
-        pid, F.spark_partition_id()
-    )
-    wlocal = Window.partitionBy(pid).orderBy(*cols)
-    # EAGER CHECKPOINT, load-bearing: the ranked frame fans out to the
-    # rank rows AND the per-partition counts. RangePartitioner samples
-    # its bounds with an rdd-id-dependent seed, so two EXECUTIONS of
-    # the same range exchange can pick DIFFERENT partition boundaries
-    # — the counts would then describe a different partitioning than
-    # the ranks and the offsets silently corrupt (caught live: decile
-    # sizes 999/996/1005... and a phantom 11th decile at sf0.01). One
-    # materialization makes both branches read the same partitioning.
-    local = ranged.withColumn(lrk, F.row_number().over(wlocal)).localCheckpoint(
-        eager=True
-    )
-    counts = local.groupBy(pid).agg(F.count(F.lit(1)).alias(cnt))
-    woff = Window.orderBy(pid).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    keyed = df.withColumn(pid, bucket)
+    # pass 1: bucket census — a plain aggregate, NO sort
+    counts = keyed.groupBy(pid).agg(F.count(F.lit(1)).alias(cnt))
+    woff = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         pid, F.coalesce(F.sum(cnt).over(woff), F.lit(0)).alias(off)
     )
+    # pass 2: per-bucket local rank (hash exchange on pid + in-bucket
+    # sort, planned by the window itself); both passes re-derive pid
+    # from the SAME literal bounds, so re-execution is harmless
+    wlocal = Window.partitionBy(pid).orderBy(*cols)
     return (
-        local.join(F.broadcast(offsets), pid)
+        keyed.withColumn(lrk, F.row_number().over(wlocal))
+        .join(F.broadcast(offsets), pid)
         .withColumn(rank_col, (F.col(lrk) + F.col(off)).cast("long"))
         .drop(pid, lrk, off)
     )
@@ -473,8 +500,15 @@ def distributed_cumsum(
     materialization discipline as distributed_rank: the local-cumsum
     frame is eager-checkpointed so the offsets describe the SAME
     sampled partitioning as the rows (the RangePartitioner seed
-    hazard); see :func:`distributed_rank` for the executor-loss
-    resilience caveat of localCheckpoint."""
+    hazard — :func:`distributed_rank` eliminated it by freezing
+    driver-side bounds, a redesign that applies here too when the
+    leading order expression is a plain ascending numeric column;
+    this operator keeps the checkpoint shape because callers pass
+    arbitrary sort EXPRESSIONS, e.g. ``F.desc``). Resilience caveat:
+    the eager ``localCheckpoint`` stores executor-local,
+    non-replayable blocks — on a long-lived cluster with dynamic
+    allocation or executor loss, reliably ``checkpoint()`` the input
+    if the job must survive executor churn."""
     from ._util import require_absent, scratch_name
 
     require_absent(df, cumsum_col, "distributed_cumsum")

@@ -16073,11 +16073,16 @@ def histogram_selectivity_audit(spark, sf_dir):
     Scale posture: the exact global rank runs on
     ``quantiles.distributed_rank`` (range exchange + local rank +
     broadcast offsets — ranks identical to the serial window, no
-    single-partition sort), so boundary selection is P-way parallel;
-    the sampled 100 TB variant (``sampled_quantiles``, scan-level
-    Bernoulli filter, same discrete-rank rule) changes the bound only
-    by the sampling eps. Estimates and errors are all integer
-    crossing values."""
+    single-partition sort); boundary selection is a BROADCAST HASH
+    JOIN of the ranked frame against the K-row target-rank table
+    (the first sf1->sf10 sweep of the crossJoin(K)-then-filter shape
+    measured 19.5x — evaluating the rank predicate K times per row
+    turned a linear probe into a K-times scan); the exact counts are
+    ONE conditional-aggregate pass over the fact (stack-unpivoted),
+    not a |preds|-times row explosion. The sampled 100 TB variant
+    (``sampled_quantiles``, scan-level Bernoulli filter, same
+    discrete-rank rule) changes the bound only by the sampling eps.
+    Estimates and errors are all integer crossing values."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("x"),
         "l_orderkey",
@@ -16086,28 +16091,39 @@ def histogram_selectivity_audit(spark, sf_dir):
     n1 = li.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranked = QT.distributed_rank(
         li, ["x", "l_orderkey", "l_linenumber"], rank_col="rn"
-    ).crossJoin(F.broadcast(n1))
+    )
     idx = ranked.sparkSession.range(1, _HIST_K + 1).select(
         F.col("id").cast("int").alias("i")
     )
-    bounds = (
-        ranked.crossJoin(F.broadcast(idx))
-        .where(
-            F.col("rn")
-            == F.greatest(
-                F.lit(1),
-                F.ceil(F.col("i").cast("double") * F.col("n") / _HIST_K),
-            )
+    # K-row (i -> target rank) table; the 60M+ ranked frame meets it
+    # through one broadcast equi-join probe, not a K-wide explode
+    targets = idx.crossJoin(F.broadcast(n1)).select(
+        "i",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("i").cast("double") * F.col("n") / _HIST_K),
         )
-        .select("i", F.col("x").alias("bv"))
+        .cast("long")
+        .alias("target_rn"),
     )
+    bounds = ranked.join(
+        F.broadcast(targets), ranked.rn == targets.target_rn
+    ).select("i", F.col("x").alias("bv"))
     preds = ranked.sparkSession.createDataFrame(
         [(float(p),) for p in _HIST_PREDS], "t double"
     )
-    exact = (
-        li.crossJoin(F.broadcast(preds))
-        .groupBy("t")
-        .agg(F.sum((F.col("x") <= F.col("t")).cast("long")).alias("exact_count"))
+    # one scan, |preds| conditional sums, unpivoted back to rows
+    cnt_cols = [
+        F.sum((F.col("x") <= F.lit(float(t))).cast("long")).alias(f"c{k}")
+        for k, t in enumerate(_HIST_PREDS)
+    ]
+    stack_args = ", ".join(
+        f"CAST({float(t)!r} AS DOUBLE), c{k}" for k, t in enumerate(_HIST_PREDS)
+    )
+    exact = li.agg(*cnt_cols).select(
+        F.expr(
+            f"stack({len(_HIST_PREDS)}, {stack_args}) AS (t, exact_count)"
+        )
     )
     jcount = (
         bounds.crossJoin(F.broadcast(preds))

@@ -658,7 +658,8 @@ def _fitted_headline_line(summary: dict, budget: int = None) -> str:
 
     slim = {k: summary[k] for k in (
         "metric", "value", "unit", "queries", "sf",
-        "all_queries_total_sec", "r01_set_total_sec", "contended",
+        "all_queries_total_sec", "r01_set_total_sec",
+        "r01_delta_vs_prior", "contended",
     ) if k in summary}
     slim["queries"] = _rounded(summary["queries"])
     line = json.dumps(slim, **compact)

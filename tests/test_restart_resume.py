@@ -334,3 +334,69 @@ def test_kmv_resume_across_restart_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert final == batch
+
+
+def test_sessionize_state_survives_restart(spark, tmp_path):
+    """Completes the restart matrix for the SESSION-STORE family
+    (VERDICT r12 next #7): an applyInPandasWithState session that is
+    OPEN when the query stops must be restored from the checkpointed
+    state store on restart — the resumed run sees only the NEW file
+    (offsets tracked) yet the closed session counts the pre-restart
+    events. n_events == 4 proves both halves at once: a lost session
+    store would yield 1-2, a replayed first file 6-7."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from api_kakfa_spark_airflow_s3_athena_spark.streaming.stateful import (
+        sessionize_with_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_epoch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        sessions = sessionize_with_state(stream, gap_seconds=1800)
+        emitted = []
+        q = (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(lambda b, _e: emitted.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    # epoch 1: three user-1 events; watermark stays near t0+2min, far
+    # below last_event + gap, so the session remains OPEN in state
+    first = run_epoch(
+        [
+            (101, 1, t0, 10.25),
+            (102, 1, t0 + dt.timedelta(minutes=1), 0.50),
+            (103, 1, t0 + dt.timedelta(minutes=2), 20.00),
+        ]
+    )
+    assert first == []  # nothing closed yet — the session is in state
+
+    # restart: one more user-1 event inside the gap, plus a sentinel
+    # that drives the watermark past user 1's timeout
+    second = run_epoch(
+        [
+            (104, 1, t0 + dt.timedelta(minutes=3), 4.00),
+            (201, 9, t0 + dt.timedelta(minutes=120), 1.0),
+        ]
+    )
+    by_user = {r.user_id: r for r in second}
+    assert set(by_user) == {1}
+    sess = by_user[1]
+    assert sess.n_events == 4
+    assert sess.session_start == t0
+    assert sess.session_end == t0 + dt.timedelta(minutes=3)
+    assert sess.sum_value == 34.75  # exact cents across the restart
