@@ -400,3 +400,69 @@ def test_sessionize_state_survives_restart(spark, tmp_path):
     assert sess.session_start == t0
     assert sess.session_end == t0 + dt.timedelta(minutes=3)
     assert sess.sum_value == 34.75  # exact cents across the restart
+
+
+# ------------------------------------------- dropDuplicatesWithinWatermark
+
+
+def test_dedup_within_watermark_state_survives_restart(spark, tmp_path):
+    """Completes the restart matrix for the DEDUP-STATE family
+    (VERDICT r12 next #7): ``dropDuplicatesWithinWatermark`` keys seen
+    before a query restart must still be suppressed after it — the
+    ingest-side dedup of streaming_dedup_funnel /
+    streaming_quality_sessionize_funnel is only exactly-once under
+    redelivery if its key store survives the checkpoint round-trip.
+    Epoch 2 delivers a DUPLICATE of a key first seen in epoch 1: a
+    lost key store would re-emit it (2 rows), lost offsets would
+    replay epoch 1 (3 rows); exactly 1 new row proves both halves.
+    (The quality-gate fold composes a stateless filter in front of
+    this same operator, so this proof covers its stateful half.)"""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, event_type string, ts timestamp"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_epoch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        )
+        emitted = []
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(lambda b, _e: emitted.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    # epoch 1: key (1, click) arrives twice in one file — in-epoch
+    # dedup — plus a second distinct key
+    first = run_epoch(
+        [
+            (1, "click", t0),
+            (1, "click", t0 + dt.timedelta(seconds=30)),
+            (2, "click", t0 + dt.timedelta(minutes=1)),
+        ]
+    )
+    assert sorted((r.user_id, r.event_type) for r in first) == [
+        (1, "click"),
+        (2, "click"),
+    ]
+
+    # restart from the same checkpoint: a redelivery of key (1, click)
+    # well inside the 1 h watermark delay, plus one genuinely new key
+    second = run_epoch(
+        [
+            (1, "click", t0 + dt.timedelta(minutes=2)),
+            (3, "purchase", t0 + dt.timedelta(minutes=3)),
+        ]
+    )
+    assert [(r.user_id, r.event_type) for r in second] == [(3, "purchase")]
