@@ -15771,15 +15771,29 @@ def rfm_customer_segments(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     n1 = per.agg(F.count(F.lit(1)).alias("n_cust"))
-    ranked = distributed_rank(
-        distributed_rank(
-            distributed_rank(per, ["recency_days", "o_custkey"], "rn_r"),
-            ["frequency", "o_custkey"],
-            "rn_f",
-        ),
-        ["monetary_cents", "o_custkey"],
-        "rn_m",
-    ).crossJoin(F.broadcast(n1))
+    # three INDEPENDENT ranks over the materialized per-customer
+    # frame, joined skinny on custkey — NOT nested dr(dr(dr(per))):
+    # distributed_rank's pure-lineage plan (round-13 frozen-bounds
+    # redesign) executes its input 3x (quantile probe, census,
+    # window), so nesting compounds to ~27 window re-executions while
+    # independent ranks each read the checkpointed per directly
+    # (bench caught the nested shape at 3.2x on sf0.1)
+    ranked = (
+        distributed_rank(per, ["recency_days", "o_custkey"], "rn_r")
+        .join(
+            distributed_rank(per, ["frequency", "o_custkey"], "rn_f").select(
+                "o_custkey", "rn_f"
+            ),
+            "o_custkey",
+        )
+        .join(
+            distributed_rank(per, ["monetary_cents", "o_custkey"], "rn_m").select(
+                "o_custkey", "rn_m"
+            ),
+            "o_custkey",
+        )
+        .crossJoin(F.broadcast(n1))
+    )
     scored = ranked.select(
         "o_custkey",
         "recency_days",
@@ -15887,6 +15901,18 @@ def revenue_concentration_gini(spark, sf_dir):
     ranked = distributed_rank(per, ["cents", "o_custkey"], "rn").crossJoin(
         F.broadcast(nt)
     )
+    # ONE aggregation pass over the ranked frame: the decile rows
+    # carry a per-decile partial Σ rn·cents, so the global Gini
+    # derives from the 10-row decile frame and the rank window never
+    # executes twice (the old decs/gini fan-out re-ran the whole rank
+    # lineage per consumer — bench caught it at 1.8x on sf0.1).
+    # DECIMAL(38,0) for the Gini numerator/denominator: Σ rn·cents and
+    # (n+1)·tot overflow BIGINT once the customer count reaches ~1.5M
+    # (the sf10 relational fixture tripped ANSI overflow — caught by
+    # the round-12 second-decade sweep; DuckDB's HUGEINT sums masked
+    # it from the small-SF dual-run). Exact wide-integer partials,
+    # then ONE IEEE division, rounded 6 — identical values at every
+    # SF the dual-run checks.
     decs = (
         ranked.groupBy(
             F.expr("((rn - 1) * 10) div n").cast("long").alias("decile")
@@ -15895,29 +15921,28 @@ def revenue_concentration_gini(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("cents").cast("long").alias("decile_cents"),
             F.round(F.sum("cents") / F.max("tot"), 6).alias("revenue_share"),
+            F.expr(
+                "sum(CAST(rn AS DECIMAL(38,0))"
+                " * CAST(cents AS DECIMAL(38,0)))"
+            ).alias("__rncents"),
+            F.max("n").alias("__n"),
+            F.max("tot").alias("__tot"),
         )
+        .localCheckpoint(eager=True)  # 10 rows — one rank execution
     )
-    # DECIMAL(38,0) for the Gini numerator/denominator: Σ rn·cents and
-    # (n+1)·tot overflow BIGINT once the customer count reaches ~1.5M
-    # (the sf10 relational fixture tripped ANSI overflow — caught by
-    # the round-12 second-decade sweep; DuckDB's HUGEINT sums masked
-    # it from the small-SF dual-run). Exact wide-integer numerator and
-    # denominator, then ONE IEEE division, rounded 6 — identical to
-    # the old long math at every SF the dual-run checks.
-    gini = ranked.agg(
+    gini = decs.agg(
         F.round(
             F.expr(
-                "CAST(2 * sum(CAST(rn AS DECIMAL(38,0))"
-                "         * CAST(cents AS DECIMAL(38,0)))"
-                " - (CAST(max(n) AS DECIMAL(38,0)) + 1)"
-                "   * CAST(max(tot) AS DECIMAL(38,0)) AS DOUBLE)"
-                " / CAST(CAST(max(n) AS DECIMAL(38,0))"
-                "        * CAST(max(tot) AS DECIMAL(38,0)) AS DOUBLE)"
+                "CAST(2 * sum(__rncents)"
+                " - (CAST(max(__n) AS DECIMAL(38,0)) + 1)"
+                "   * CAST(max(__tot) AS DECIMAL(38,0)) AS DOUBLE)"
+                " / CAST(CAST(max(__n) AS DECIMAL(38,0))"
+                "        * CAST(max(__tot) AS DECIMAL(38,0)) AS DOUBLE)"
             ),
             6,
         ).alias("gini")
     )
-    return decs.crossJoin(F.broadcast(gini))
+    return decs.drop("__rncents", "__n", "__tot").crossJoin(F.broadcast(gini))
 
 
 
