@@ -543,6 +543,110 @@ def distributed_cumsum(
     )
 
 
+def grouped_distributed_cumsum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence,
+    value_col: str,
+    cumsum_col: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group inclusive running sum where the GROUP count is
+    small — the sweep-line shape (`peak_concurrent_activity`: 5 event
+    types over 2x-intervals endpoint rows). A plain
+    ``Window.partitionBy(group).orderBy(...)`` gives only
+    #groups-way parallelism — every group's whole series sorts
+    through ONE task; this operator splits each group into
+    ``partitions`` sub-buckets by EQUAL-WIDTH ranges of the leading
+    numeric order column (per-group min/max aggregate — fully
+    deterministic, NO sampling, so unlike ``repartitionByRange``
+    every re-execution derives the identical bucketing and nothing
+    needs materializing), computes per-(group, bucket) local cumsums
+    in parallel, and adds broadcast exclusive bucket offsets.
+
+    Identical to the serial per-group window for exact value types
+    (integer/decimal) because bucketing is monotone in the leading
+    column (ties share a bucket) and exact addition is associative.
+
+    ``order_cols[0]`` must be a NUMERIC COLUMN NAME (the bucketing
+    target; NULLs land in bucket 0 = NULLS FIRST); the rest may be
+    names or sort expressions (``F.desc(...)``) and must complete a
+    total order within each group. ``group_cols`` must be LOW
+    cardinality (the per-group bounds and the group x partitions
+    offset frame are broadcast); for high-cardinality groups the
+    plain window is already parallel — use that.
+
+    Equal-width (not equi-depth) buckets only skew BALANCE, never
+    correctness; a clustered leading column degrades toward the
+    serial window's parallelism in the worst case.
+
+    100 TB shape: one per-group min/max aggregate, one per-bucket
+    totals aggregate, one (group x partitions)-parallel window;
+    driver state is the broadcast bounds + offsets frames
+    (O(groups x partitions) rows)."""
+    from ._util import require_absent, scratch_name
+
+    require_absent(df, cumsum_col, "grouped_distributed_cumsum")
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = _shuffle_partitions(spark, df)
+    first = order_cols[0]
+    if not isinstance(first, str):
+        raise TypeError(
+            "grouped_distributed_cumsum: order_cols[0] must be a numeric "
+            "column name (the equal-width bucketing target)"
+        )
+    gcols = list(group_cols)
+    pid = scratch_name("__gc_pid", df)
+    lcs = scratch_name("__gc_lcum", df)
+    tot = scratch_name("__gc_tot", df)
+    off = scratch_name("__gc_off", df)
+    mn = scratch_name("__gc_mn", df)
+    mx = scratch_name("__gc_mx", df)
+    bounds = df.groupBy(*gcols).agg(
+        F.min(F.col(first).cast("double")).alias(mn),
+        F.max(F.col(first).cast("double")).alias(mx),
+    )
+    x = F.col(first).cast("double")
+    span = F.col(mx) - F.col(mn)
+    bucket = (
+        F.when(F.col(first).isNull() | (span <= 0), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(partitions - 1),
+                F.floor((x - F.col(mn)) / (span + F.lit(1.0)) * partitions),
+            )
+        )
+        .cast("int")
+    )
+    keyed = (
+        df.join(F.broadcast(bounds), gcols)
+        .withColumn(pid, bucket)
+        .drop(mn, mx)
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    wlocal = (
+        Window.partitionBy(*gcols, pid)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = keyed.groupBy(*gcols, pid).agg(F.sum(value_col).alias(tot))
+    woff = (
+        Window.partitionBy(*gcols)
+        .orderBy(pid)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *gcols, pid, F.coalesce(F.sum(tot).over(woff), F.lit(0)).alias(off)
+    )
+    return (
+        keyed.withColumn(lcs, F.sum(value_col).over(wlocal))
+        .join(F.broadcast(offsets), [*gcols, pid])
+        .withColumn(cumsum_col, F.col(lcs) + F.col(off))
+        .drop(pid, lcs, off)
+    )
+
+
 def ntile_from_rank(rank_col: Column, n_col: Column, k: int) -> Column:
     """SQL ``ntile(k)`` as a pure integer function of
     ``(row_number, n)`` — so a DISTRIBUTED rank

@@ -16891,11 +16891,15 @@ def peak_concurrent_activity(spark, sf_dir):
     exact integers (µs).
 
     Scale shape: the interval build is one partial-agg groupBy at the
-    scan; the sweep window partitions by event_type over 2×intervals
-    rows — never the raw event stream. At 100 TB a single global
-    sweep would serialize one partition; the per-type partitioning is
-    the parallelism, and a finer sweep (per day) composes the same
-    way."""
+    scan; the sweep runs on ``quantiles.grouped_distributed_cumsum``
+    — each event_type's endpoint series splits into equal-width time
+    sub-buckets with broadcast exclusive offsets, so parallelism is
+    types × partitions, not the 5-way type partitioning that made
+    the plain per-type window the batch's worst decade (5.0×;
+    re-measured 2.9× after the rewire). Peak AND its first time come
+    from ONE ``max(struct(running, -t))`` aggregate (lexicographic
+    struct max = peak, then earliest t at peak) — no second window,
+    no peak-filter re-scan of the sweep."""
     # eager checkpoint: iv feeds three branches (starts, ends, counts)
     # — without it each branch re-scans the raw event stream; with it
     # the corpus is read ONCE and the bounded users×types interval
@@ -16919,24 +16923,29 @@ def peak_concurrent_activity(spark, sf_dir):
             F.lit(-1).alias("d"),
         )
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("t"), F.desc("d"), F.col("user_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    sweep = QT.grouped_distributed_cumsum(
+        pts,
+        ["event_type"],
+        ["t", F.desc("d"), "user_id"],
+        "d",
+        cumsum_col="running",
     )
-    wmax = Window.partitionBy("event_type")
-    sweep = pts.select(
-        "event_type", "t", "d", F.sum("d").over(w).alias("running")
-    ).withColumn("peak", F.max("running").over(wmax))
     n_iv = iv.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals")
     )
     stats = (
-        sweep.filter(F.col("running") == F.col("peak"))
-        .groupBy("event_type")
+        sweep.groupBy("event_type")
         .agg(
-            F.max("peak").cast("long").alias("peak_concurrency"),
-            F.min("t").cast("long").alias("first_peak_us"),
+            F.max(
+                F.struct(
+                    F.col("running").alias("r"), (-F.col("t")).alias("negt")
+                )
+            ).alias("pk")
+        )
+        .select(
+            "event_type",
+            F.col("pk.r").cast("long").alias("peak_concurrency"),
+            (-F.col("pk.negt")).cast("long").alias("first_peak_us"),
         )
     )
     return n_iv.join(stats, "event_type").select(

@@ -205,6 +205,15 @@ def build_session(config: Optional[SessionConfig] = None) -> SparkSession:
         # coalesces post-shuffle partitions back down.
         "spark.sql.files.maxPartitionBytes": "128m",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # Spill-merge reads can hang forever in ReadAheadInputStream's
+        # lost-wakeup race (task parked in waitForAsyncReadComplete
+        # while every read-ahead pool thread idles — observed live on
+        # a 150M-row hash-aggregate spill merge during the sf100 scale
+        # sweep: rchar frozen for minutes, one task pinned at 31+1/32).
+        # Plain buffered spill reads cost a little sequential-read
+        # overlap and buy the hang away — the right trade for any
+        # long-running job that is allowed to spill.
+        "spark.unsafe.sorter.spill.read.ahead.enabled": "false",
     }
     if config.object_store:
         defaults.update(config.object_store.spark_conf())

@@ -403,3 +403,50 @@ def test_ntile_from_rank_matches_builtin(spark):
             ).alias("formula"),
         ).collect()
         assert all(r.builtin == r.formula for r in both), (n, k)
+
+
+def test_grouped_distributed_cumsum_equals_serial_window(spark):
+    """Per-group inclusive running sum (ties on the bucketing column,
+    desc tie-breaker, negative values, a single-value group, and a
+    NULL leading value) must equal the serial per-group window's."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        grouped_distributed_cumsum,
+    )
+
+    rows = [
+        (f"g{i % 3}", i, (i * 13) % 7, ((i * 37) % 11) - 5)
+        for i in range(3000)
+    ]
+    rows += [("g3", 90001, 5, 2)]  # single-row group (span 0)
+    rows += [("g0", 90002, None, 3)]  # NULL leading value -> bucket 0
+    df = spark.createDataFrame(rows, ["g", "id", "t", "x"]).repartition(9)
+    got = {
+        r.id: r.cum
+        for r in grouped_distributed_cumsum(
+            df, ["g"], ["t", F.desc("x"), "id"], "x", "cum", partitions=7
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("t", F.desc("x"), "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    serial = {
+        r.id: r.cum
+        for r in df.select("id", F.sum("x").over(w).alias("cum")).collect()
+    }
+    assert got == serial
+
+
+def test_grouped_distributed_cumsum_guards(spark):
+    import pytest
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.quantiles import (
+        grouped_distributed_cumsum,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1)], ["g", "t", "x"])
+    with pytest.raises(TypeError):  # leading order col must be a name
+        grouped_distributed_cumsum(df, ["g"], [F.desc("t"), "g"], "x")
+    with pytest.raises(ValueError):  # output-column collision
+        grouped_distributed_cumsum(df, ["g"], ["t"], "x", cumsum_col="x")
