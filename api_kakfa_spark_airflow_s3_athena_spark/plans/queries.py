@@ -16896,7 +16896,9 @@ def peak_concurrent_activity(spark, sf_dir):
     sub-buckets with broadcast exclusive offsets, so parallelism is
     types × partitions, not the 5-way type partitioning that made
     the plain per-type window the batch's worst decade (5.0×;
-    re-measured 2.9× after the rewire). Peak AND its first time come
+    re-measured 1.7× after the rewire — 1.09→2.48 s at sf1 is the
+    two-phase toll, 5.40→4.14 s at sf10 is where it pays). Peak AND
+    its first time come
     from ONE ``max(struct(running, -t))`` aggregate (lexicographic
     struct max = peak, then earliest t at peak) — no second window,
     no peak-filter re-scan of the sweep."""
