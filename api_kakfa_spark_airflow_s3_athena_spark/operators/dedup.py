@@ -1986,17 +1986,26 @@ def containment_join(
     ``CASE len = 0`` evaluates to 0 and never passes a positive
     threshold).
     """
+    # Materialize each side's unit arrays ONCE (round-13, guide §1.2:
+    # the distributed algorithm first). The DAG below references ev
+    # twice (prefix ranking, verify) and tr three times (df census,
+    # postings, verify); without a materialization point every branch
+    # re-runs the upstream tokenize+shingle+distinct — the single most
+    # expensive subtree — per execution. localCheckpoint is the repo's
+    # standard cut (eager, GC-released); at 100 TB it is the persisted
+    # unit table a multi-pass decontamination job writes anyway.
     ev = (
         eval_units.select(
             F.col(eval_id).alias("__ea"),
             F.array_distinct(F.col(units_col)).alias("__ua"),
         )
         .where(F.size("__ua") > 0)
+        .localCheckpoint(eager=True)
     )
     tr = train_units.select(
         F.col(train_id).alias("__tb"),
         F.array_distinct(F.col(units_col)).alias("__ub"),
-    )
+    ).localCheckpoint(eager=True)
     tr_tok = tr.select(F.col("__tb"), F.explode("__ub").alias("__tok"))
     census = tr_tok.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("long").alias("__df")
@@ -2015,10 +2024,14 @@ def containment_join(
     o_min = F.ceil(F.lit(threshold) * F.col("__na") - F.lit(1e-9)).cast("int")
     prefix_len = F.col("__na") - o_min + 1
     w = Window.partitionBy("__ea").orderBy(F.col("__df").asc(), F.col("__tok").asc())
+    # prefix is read twice (vocabulary broadcast + candidate join);
+    # materializing the small (eval_id, token) frame keeps the census
+    # shuffle + ranking window single-execution
     prefix = (
         ranked.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= prefix_len)
         .select("__ea", "__tok")
+        .localCheckpoint(eager=True)
     )
     # train postings collapse against the eval-prefix vocabulary
     # BEFORE the candidate shuffle

@@ -89,17 +89,38 @@ def brute_force_topk(
             "use lsh_topk for large query sets — brute force would be "
             "O(|Q|*|corpus|)"
         )
+    # Norms hoisted out of the per-pair cosine (round-13, guide §1.2
+    # "per-task work"): each side's L2 norm is computed ONCE per row in
+    # its own projection (an attribute flowing through the join — the
+    # join boundary stops Catalyst from re-inlining the fold), so each
+    # of the |Q|·|corpus| pairs pays one dot fold instead of three.
+    # Same IEEE ops on the same operands => bit-identical scores.
+    from ..functions.vectors import dot, l2_norm
+
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(~(F.col("neighbor_id") == F.col("query_id")) if exclude_self else F.lit(True))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+            F.round(
+                F.when(
+                    F.col("__qn") * F.col("__cn") > 0,
+                    dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("__qn") * F.col("__cn")),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     return _ranked_topk(scored, "query_id", k)
@@ -224,19 +245,102 @@ def ivf_centroids(
 def _ivf_assign(
     df: DataFrame, centroids: DataFrame, id_out: str, vec_out: str, keep: int
 ) -> DataFrame:
-    """Assign each row to its ``keep`` nearest centroid cells (one
-    broadcast scoring pass; ties break on the lower centroid id)."""
-    scored = df.join(F.broadcast(centroids)).select(
-        F.col(id_out),
-        F.col(vec_out),
-        F.col("centroid_id"),
-        cosine(F.col(vec_out), F.col("centroid_vec")).alias("__cs"),
+    """Assign each row to its ``keep`` nearest centroid cells (ties
+    break on the lower centroid id).
+
+    Round-13 optimization (guide §2.4 "remove shuffles outright" +
+    §4.2 "vectorized native code per batch"): the former shape
+    broadcast-joined the centroid set — an ×n_centroids row explosion
+    carrying the FULL vector — then hash-exchanged the exploded frame
+    by id and ranked a window: a shuffle+sort of n_centroids·|df| wide
+    rows whose only product is one small cell id per row. The centroid
+    set is bounded and tiny (the same bound ``ivf_topk_from_index``
+    already collects for its probe list), so the nearest-cell choice
+    is computed ROW-LOCALLY in one Arrow pass. Plan shape:
+    scan → MapInPandas; zero Exchange, zero sort, nothing widened.
+
+    Bit-exactness: scores accumulate in strict ascending-dimension
+    order with separate multiply/add steps and per-side norms folded
+    the same way — the exact IEEE-754 op sequence of the former
+    per-pair ``cosine`` higher-order fold (zip_with products, left
+    aggregate, one divide), so every (row, centroid) score and
+    therefore every cell choice is bit-identical to the former
+    window plan (pinned by
+    tests/test_ivf_sq8.py::test_assign_matches_window_reference).
+    A zero/NULL vector scores ``-inf`` everywhere, reproducing the
+    former NULL-cosine → NULLS LAST → lowest-centroid-id outcome.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cell_type = centroids.schema["centroid_id"].dataType.simpleString()
+    id_type = df.schema[id_out].dataType.simpleString()
+    vec_type = df.schema[vec_out].dataType.simpleString()
+    out_schema = f"{id_out} {id_type}, {vec_out} {vec_type}, cell {cell_type}"
+    # bounded collect: n_centroids rows of (id, small vector)
+    cent_rows = sorted(
+        centroids.select("centroid_id", "centroid_vec").collect(),
+        key=lambda r: r["centroid_id"],
     )
-    w = Window.partitionBy(id_out).orderBy(F.col("__cs").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= keep)
-        .select(id_out, vec_out, F.col("centroid_id").alias("cell"))
+    if not cent_rows:
+        return (
+            df.select(
+                F.col(id_out),
+                F.col(vec_out),
+                F.lit(None).cast(cell_type).alias("cell"),
+            ).limit(0)
+        )
+    cent_ids = np.array([r["centroid_id"] for r in cent_rows])
+    cmat = np.asarray([r["centroid_vec"] for r in cent_rows], dtype=np.float64)
+    # per-centroid norm: the identical left fold of squares + sqrt the
+    # JVM cosine performs (Python floats are IEEE-754 doubles)
+    cnorm = np.empty(len(cent_rows), dtype=np.float64)
+    for ci, r in enumerate(cent_rows):
+        acc = 0.0
+        for x in r["centroid_vec"]:
+            acc = acc + float(x) * float(x)
+        cnorm[ci] = math.sqrt(acc)
+    keep_eff = min(keep, len(cent_rows))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = pdf[vec_out]
+            null_mask = np.array([v is None for v in raw])
+            vals = [
+                (np.zeros(cmat.shape[1]) if n else v)
+                for v, n in zip(raw, null_mask)
+            ]
+            v = np.asarray([np.asarray(x, dtype=np.float64) for x in vals])
+            n_rows, dim = v.shape
+            dots = np.zeros((n_rows, cmat.shape[0]), dtype=np.float64)
+            sq = np.zeros(n_rows, dtype=np.float64)
+            # strict ascending-dimension accumulation: one IEEE multiply
+            # + one IEEE add per element — the JVM fold's op order
+            for d in range(dim):
+                col = v[:, d]
+                dots += col[:, None] * cmat[None, :, d]
+                sq += col * col
+            denom = np.sqrt(sq)[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(denom > 0, dots / denom, -np.inf)
+            # stable ascending sort on the negated score: equal scores
+            # keep centroid-id order (cent_rows sorted asc) — the
+            # former (score desc, centroid_id asc) window tie-break
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :keep_eff]
+            yield pd.DataFrame(
+                {
+                    id_out: np.repeat(pdf[id_out].to_numpy(), keep_eff),
+                    vec_out: np.repeat(raw.to_numpy(), keep_eff),
+                    "cell": cent_ids[order].ravel(),
+                }
+            )
+
+    return df.select(F.col(id_out), F.col(vec_out)).mapInPandas(
+        assign, schema=out_schema
     )
 
 
@@ -911,6 +1015,7 @@ def pq_encode(
     books,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Encode every vector as m byte-sized codes (nearest codeword per
     subspace, first-min tie-break => deterministic): 64-dim float
@@ -919,13 +1024,25 @@ def pq_encode(
     persists (and re-encodes incrementally per ingest batch). The
     output ``vec_id`` inherits ``id_col``'s actual type (string ids
     work end to end — round-8 review fix; a hardcoded int64 cast
-    crashed one step after the trainer accepted them)."""
+    crashed one step after the trainer accepted them).
+
+    ``keep_cols`` passes extra input columns through the Arrow pass
+    unchanged (round-13 optimization: the IVF-PQ builders carry
+    ``cell`` through the encode instead of re-attaching it with a
+    corpus-sized shuffle join on the id — guide §2.4)."""
     import numpy as np
     import pandas as pd
 
     books = np.asarray(books)
     m, _, dsub = books.shape
     id_type = corpus.schema[id_col].dataType.simpleString()
+    keep_cols = tuple(keep_cols)
+    keep_types = {
+        c: corpus.schema[c].dataType.simpleString() for c in keep_cols
+    }
+    out_schema = f"vec_id {id_type}, codes array<int>" + "".join(
+        f", {c} {keep_types[c]}" for c in keep_cols
+    )
 
     def enc(batches):
         for pdf in batches:
@@ -937,15 +1054,16 @@ def pq_encode(
                 sub = v[:, j * dsub : (j + 1) * dsub]
                 d = sub @ books[j].T * -2.0 + (books[j] ** 2).sum(axis=1)
                 codes[:, j] = np.argmin(d, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "codes": list(codes),
-                }
-            )
+            out = {
+                "vec_id": pdf[id_col].to_numpy(),
+                "codes": list(codes),
+            }
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        enc, schema=f"vec_id {id_type}, codes array<int>"
+    return corpus.select(id_col, vec_col, *keep_cols).mapInPandas(
+        enc, schema=out_schema
     )
 
 
@@ -1300,9 +1418,11 @@ def ivfpq_index(
         corpus, m=m, ksub=ksub, iters=iters, vec_col=vec_col,
         id_col=corpus_id, seed=seed, train_sample=train_sample,
     )
-    encoded = pq_encode(corpus, books, vec_col=vec_col, id_col=corpus_id)
-    encoded_cells = encoded.join(
-        cells.select(F.col("neighbor_id").alias("vec_id"), "cell"), "vec_id"
+    # cell rides through the encode pass — no corpus-sized id join
+    # (round-13: the former join cost two Exchanges + a sort-merge)
+    encoded_cells = pq_encode(
+        cells, books, vec_col="c_vec", id_col="neighbor_id",
+        keep_cols=("cell",),
     )
     return centroids, books, encoded_cells
 
@@ -1416,10 +1536,12 @@ def ivfpq_index_append(
     Retraining either artifact is a REBUILD — the drift trigger is
     :func:`pq_quantization_error` measured per delta batch, exactly
     as documented on :func:`pq_index_append`."""
-    codes = pq_encode(delta, books, vec_col=vec_col, id_col=corpus_id)
     cells = ivf_index_append(delta, centroids, corpus_id=corpus_id, vec_col=vec_col)
-    return codes.join(
-        cells.select(F.col("neighbor_id").alias("vec_id"), "cell"), "vec_id"
+    # one fused delta pass: assign (row-local) then encode, cell riding
+    # through the Arrow pass — no delta-sized id join
+    return pq_encode(
+        cells, books, vec_col="c_vec", id_col="neighbor_id",
+        keep_cols=("cell",),
     )
 
 
@@ -1500,8 +1622,9 @@ def ivfpq_residual_index(
         resid, m=m, ksub=ksub, iters=iters, vec_col="__resid",
         id_col="vec_id", seed=seed, train_sample=train_sample,
     )
-    encoded = pq_encode(resid, books, vec_col="__resid", id_col="vec_id")
-    encoded_cells = encoded.join(resid.select("vec_id", "cell"), "vec_id")
+    encoded_cells = pq_encode(
+        resid, books, vec_col="__resid", id_col="vec_id", keep_cols=("cell",)
+    )
     return centroids, books, encoded_cells
 
 
@@ -1530,8 +1653,9 @@ def ivfpq_residual_index_append(
         keep=1,
     )
     resid = _ivf_residuals(cells, centroids, "vec_id", "c_vec")
-    codes = pq_encode(resid, books, vec_col="__resid", id_col="vec_id")
-    return codes.join(resid.select("vec_id", "cell"), "vec_id")
+    return pq_encode(
+        resid, books, vec_col="__resid", id_col="vec_id", keep_cols=("cell",)
+    )
 
 
 def ivfpq_residual_topk(

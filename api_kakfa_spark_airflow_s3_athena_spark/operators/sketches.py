@@ -137,9 +137,29 @@ def kmv_sketch(
     semantics for sketches: NULL is not a value).
     """
     gcols = list(group_cols)
-    hashed = df.select(*gcols, kmv_hash(value_col).alias("__h")).where(F.col("__h").isNotNull())
-    schema_src = hashed.schema
-    partial = hashed.mapInPandas(_partial_kmin(gcols, k), schema=schema_src)
+    return kmv_sketch_from_hashes(
+        df.select(*gcols, kmv_hash(value_col).alias("__h")), gcols, "__h", k
+    )
+
+
+def kmv_sketch_from_hashes(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    hash_col: str = "__h",
+    k: int = 256,
+) -> DataFrame:
+    """:func:`kmv_sketch` over ALREADY-HASHED values (a ``kmv_hash``
+    column) — round-13 optimization seam: callers that also need the
+    raw hash stream (containment screens, exact verifies) materialize
+    it once and sketch from it, instead of re-running the
+    tokenize+shingle+md5 pass a second time inside the sketch.
+    Identical output to :func:`kmv_sketch` on the same values
+    (duplicate hash rows are dropped by the k-min pass either way)."""
+    gcols = list(group_cols)
+    hashed = df.select(*gcols, F.col(hash_col).alias("__h")).where(
+        F.col("__h").isNotNull()
+    )
+    partial = hashed.mapInPandas(_partial_kmin(gcols, k), schema=hashed.schema)
     # Merge phase: per group ≤ k·P candidate rows — collect_set is
     # bounded by construction; the global k smallest of the union of
     # local k-smallest sets is exactly the global sketch.
@@ -266,6 +286,7 @@ def kmv_containment_screen(
     k: int,
     threshold_num: int = 4,
     threshold_den: int = 5,
+    values_prehashed: bool = False,
 ) -> DataFrame:
     """Containment SCREEN at synopsis cost (the decontamination
     direction of Beyer et al. 2007 §5): estimate, for every
@@ -305,10 +326,14 @@ def kmv_containment_screen(
     exploits), and the corpus is never touched. The exact phase then
     pays corpus cost only for surviving pairs.
     """
+    # ``values_prehashed``: value_col already carries kmv_hash output
+    # (round-13: callers that materialize the hash stream once — for
+    # the exact phase — pass it straight through instead of paying the
+    # shingle+md5 pass again here)
     hashed = (
         eval_units.select(
             F.col(eval_id_col).alias("eval_id"),
-            kmv_hash(value_col).alias("__h"),
+            (value_col if values_prehashed else kmv_hash(value_col)).alias("__h"),
         )
         .where(F.col("__h").isNotNull())
         .distinct()

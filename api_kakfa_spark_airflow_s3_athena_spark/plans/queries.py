@@ -12378,8 +12378,18 @@ _KCS_NUM, _KCS_DEN = 4, 5
 
 
 def _kcs_frames(spark, sf_dir):
-    from ..operators.sketches import kmv_containment_screen, kmv_hash
+    from ..operators.sketches import (
+        kmv_containment_screen,
+        kmv_hash,
+        kmv_sketch_from_hashes,
+    )
 
+    # Round-13: hash each side ONCE and materialize the distinct hash
+    # stream; screen, synopsis AND exact phase all read the stored
+    # stream instead of re-running tokenize+shingle+md5 per branch
+    # (formerly 4 full shingle passes per execution). At 100 TB the
+    # distinct (key, unit-hash) table is exactly what a production
+    # decontamination pipeline persists.
     docs = _t(spark, sf_dir, "documents")
     tri = docs.select(
         "doc_id",
@@ -12390,14 +12400,23 @@ def _kcs_frames(spark, sf_dir):
     )
     ev = tri.where(F.col("source") == "src0")
     tr = tri.where(F.col("source") != "src0")
-    syn = kmv_sketch(tr, ["source"], F.col("val"), k=_KCS_K)
-    screen = kmv_containment_screen(
-        ev, syn, "doc_id", F.col("val"), "source", _KCS_K,
-        threshold_num=_KCS_NUM, threshold_den=_KCS_DEN,
+    evh = (
+        ev.select("doc_id", kmv_hash(F.col("val")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    evh = ev.select("doc_id", kmv_hash(F.col("val")).alias("h")).distinct()
-    trh_raw = tr.select("source", kmv_hash(F.col("val")).alias("h"))
-    return screen, evh, trh_raw
+    trh = (
+        tr.select("source", kmv_hash(F.col("val")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    syn = kmv_sketch_from_hashes(trh, ["source"], "h", k=_KCS_K)
+    screen = kmv_containment_screen(
+        evh, syn, "doc_id", F.col("h"), "source", _KCS_K,
+        threshold_num=_KCS_NUM, threshold_den=_KCS_DEN,
+        values_prehashed=True,
+    )
+    return screen, evh, trh
 
 
 def _kcs_exact(screen_rows, evh, trh_raw, keep_keys=None):
@@ -12408,10 +12427,11 @@ def _kcs_exact(screen_rows, evh, trh_raw, keep_keys=None):
     against the surviving key set, so the exact phase pays corpus
     cost only where the screen kept a question open."""
     ev_vocab = evh.select("h").distinct()
+    # trh_raw arrives DISTINCT from _kcs_frames (materialized once);
+    # semi-joins preserve distinctness, so no re-distinct shuffle here
     trh = trh_raw.join(F.broadcast(ev_vocab), "h", "leftsemi")
     if keep_keys is not None:
         trh = trh.join(F.broadcast(keep_keys), "source", "leftsemi")
-    trh = trh.distinct()
     inter = (
         evh.join(trh, "h")
         .groupBy("doc_id", "source")

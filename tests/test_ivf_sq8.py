@@ -120,3 +120,55 @@ def test_recall_matches_brute_force_on_clustered_data(spark):
     # same-cluster neighbors dominate the exact top-8; nprobe=1 probes
     # exactly that cluster's cell
     assert len(a & e) / len(e) >= 0.75
+
+
+def test_assign_matches_window_reference(spark):
+    """The round-13 row-local Arrow `_ivf_assign` must choose exactly
+    the cells the former broadcast-join + window plan chose — on real
+    driver embeddings, on exact ties (planted duplicates), on a zero
+    vector (former NULL cosine), and for keep > 1."""
+    from pyspark.sql import Window
+
+    from api_kakfa_spark_airflow_s3_athena_spark.functions.vectors import cosine
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        _ivf_assign,
+        ivf_centroids,
+    )
+
+    real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    plants = real.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(99_999_999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    df = real.unionByName(plants).unionByName(zero).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    centroids = ivf_centroids(real, n_centroids=8)
+
+    def reference(keep):
+        scored = df.join(F.broadcast(centroids)).select(
+            F.col("neighbor_id"),
+            F.col("centroid_id"),
+            cosine(F.col("c_vec"), F.col("centroid_vec")).alias("__cs"),
+        )
+        w = Window.partitionBy("neighbor_id").orderBy(
+            F.col("__cs").desc(), F.col("centroid_id")
+        )
+        return {
+            (r.neighbor_id, r.cell)
+            for r in scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep)
+            .select("neighbor_id", F.col("centroid_id").alias("cell"))
+            .collect()
+        }
+
+    for keep in (1, 3):
+        got = {
+            (r.neighbor_id, r.cell)
+            for r in _ivf_assign(df, centroids, "neighbor_id", "c_vec", keep).collect()
+        }
+        assert got == reference(keep), f"keep={keep}: cell choice diverged"
