@@ -50,25 +50,26 @@ def bm25_scores(
     base = docs.select(
         F.col(id_col).alias("id"), TX.tokens(F.lower(F.col(text_col))).alias("toks")
     )
-    lens = base.select("id", F.size("toks").alias("dl"))
-    stats = lens.agg(
+    stats = base.select(F.size("toks").alias("dl")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
     # term frequencies, query terms only: the explode is corpus-wide
-    # but the filter collapses it before the shuffle
+    # but the filter collapses it before the shuffle. Round-13 shape:
+    # ``dl`` rides through the explode as a grouping key (functionally
+    # dependent on the id — identical groups), which deletes the former
+    # corpus-wide (id, dl) SortMergeJoin; the tf frame is materialized
+    # once (bounded by the matching-docs working set) so the df census
+    # and the scoring pass don't each re-run tokenize+explode.
     tf = (
-        base.select("id", F.explode("toks").alias("term"))
+        base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
         .filter(F.col("term").isin(lower_terms))
-        .groupBy("id", "term")
+        .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(lens, "id")
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     idf = F.log(
         F.lit(1.0)
@@ -160,10 +161,22 @@ def rrf_fuse(
     is exact, so the fold is bit-identical to the plain left-to-right
     sum an SQL twin writes (NOTES.md float recipe — never round
     exact-ratio arithmetic)."""
-    joined: Optional[DataFrame] = None
+    # Round-13 shape: the former full-outer JOIN chain is not
+    # broadcastable (FullOuter has no BHJ), so N arms cost 2N sorted
+    # exchanges however tiny the frames; a tagged UNION + one pivot
+    # aggregate produces the identical (id, rnk_<arm>...) rows with a
+    # single exchange. Arm ids are unique per arm (each arm is a
+    # ranked top-n), so max(when) recovers exactly the joined rank.
+    tagged: Optional[DataFrame] = None
     for name, arm in arms.items():
-        a = arm.select(F.col("id"), F.col("rnk").alias(f"rnk_{name}"))
-        joined = a if joined is None else joined.join(a, "id", "full_outer")
+        a = arm.select(F.col("id"), F.lit(name).alias("__arm"), F.col("rnk"))
+        tagged = a if tagged is None else tagged.unionByName(a)
+    joined = tagged.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("__arm") == name, F.col("rnk"))).alias(f"rnk_{name}")
+            for name in arms
+        ]
+    )
     one = F.lit(1).cast("double")
     score = F.lit(0.0)
     flags = []
@@ -270,8 +283,19 @@ def hybrid_rrf_topk(
         q, emb, k=n_arm, corpus_id=emb_id, vec_col=vec_col
     ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("rnk_dense"))
     one = F.lit(1).cast("double")
+    # union + pivot aggregate instead of the unbroadcastable FullOuter
+    # join (see rrf_fuse) — identical rows, one exchange instead of two
+    tagged = sparse.select(
+        "id", F.lit("s").alias("__arm"), F.col("rnk_sparse").alias("rnk")
+    ).unionByName(
+        dense.select("id", F.lit("d").alias("__arm"), F.col("rnk_dense").alias("rnk"))
+    )
     fused = (
-        sparse.join(dense, "id", "full_outer")
+        tagged.groupBy("id")
+        .agg(
+            F.max(F.when(F.col("__arm") == "s", F.col("rnk"))).alias("rnk_sparse"),
+            F.max(F.when(F.col("__arm") == "d", F.col("rnk"))).alias("rnk_dense"),
+        )
         .select(
             F.col("id").alias(id_col),
             F.col("rnk_sparse").isNotNull().alias("in_sparse"),

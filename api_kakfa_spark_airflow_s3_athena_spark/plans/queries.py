@@ -319,27 +319,40 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     tags=("analytics", "join", "agg"),
 )
 def revenue_by_nation(spark, sf_dir):
-    """Five-table star join -> revenue rollup. Join order: fact table
-    last-shuffled; nation/region (25/5 rows) broadcast explicitly,
-    customer broadcast under the threshold at small SF and
-    shuffle-joined beyond it (AQE decides) — the same code is the right
-    plan at every scale."""
+    """Five-table star join -> revenue rollup. Round-13 shape (guide
+    §2.4): the fact stream aggregates BY ``c_nationkey`` (25 groups,
+    map-side partials) BEFORE the nation/region name joins, so the
+    name dimensions join onto a 25-row frame instead of standing
+    between the fact table and its aggregate. The former plan's
+    inflated post-join size estimate forced a 600k-row Exchange + sort
+    + SortMergeJoin against the enriched customer dim; now the only
+    fact-side exchange is the 25-key partial-aggregate merge. Customer
+    stays estimate-driven (broadcast at small SF, shuffle beyond —
+    AQE decides), same code at every scale. DECIMAL partials re-sum
+    exactly, so results are bit-identical to the one-shot aggregate."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = _t(spark, sf_dir, "region")
-    enriched_cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
-    )
-    return (
+    per_nation = (
         li.select("l_orderkey", "l_extendedprice", "l_discount")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(enriched_cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("r_name", "n_name")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
         .agg(
-            _money_sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount")), "revenue"),
+            F.sum(_m("l_extendedprice") * (F.lit(1) - _r("l_discount"))).alias("__rev"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return (
+        per_nation.join(F.broadcast(n), per_nation.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+            "n_lines",
         )
     )
 
@@ -7927,7 +7940,35 @@ def _span_coverage(spark, sf_dir, hashed: bool):
         )
 
     if not hashed:
-        # reference shape, byte-identical window strings for the oracle
+        # reference shape, byte-identical window strings for the oracle.
+        # Round-13: same discipline as the hashed twin below — the
+        # census explodes per-doc-DISTINCT windows with NO positions
+        # (count(*) over them == the former count_distinct(doc_id),
+        # with narrower exchange rows and no two-phase distinct), the
+        # boilerplate key set is materialized eagerly (tiny) so the
+        # positioned window stream is computed ONCE and only in the
+        # join branch, and the key set broadcasts.
+        census = d.select(
+            "source",
+            F.explode(F.array_distinct(TX.word_shingles(F.col("text"), 8))).alias(
+                "win"
+            ),
+        )
+        bp = (
+            census.groupBy("source", "win")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= 3)
+            .select("source", "win")
+            .localCheckpoint(eager=True)
+        )
+        n_bp = bp.count()
+        if n_bp == 0:
+            return base.select(
+                "doc_id",
+                "n_tokens",
+                F.lit(0).cast("bigint").alias("n_covered"),
+                F.lit(0.0).alias("coverage_frac"),
+            )
         wins = (
             d.select(
                 "doc_id",
@@ -7938,14 +7979,9 @@ def _span_coverage(spark, sf_dir, hashed: bool):
             )
             .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "win")
         )
-        bp = (
-            wins.groupBy("source", "win")
-            .agg(F.count_distinct("doc_id").alias("nd"))
-            .filter(F.col("nd") >= 3)
-            .select("source", F.col("win").alias("bw"))
-        )
+        bp_side = F.broadcast(bp) if n_bp <= 2_000_000 else bp
         cov = (
-            wins.join(bp, (wins.source == bp.source) & (wins.win == bp.bw))
+            wins.join(bp_side, ["source", "win"])
             .select(
                 "doc_id",
                 F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p"),
@@ -13469,18 +13505,32 @@ def ngram_novelty_scores(spark, sf_dir):
     broadcast-free join back and a per-doc aggregate. No all-pairs
     anything; at 100 TB this is the same shape as the registered
     token_histogram."""
-    units = _tri_units(spark, sf_dir).select("doc_id", "val").distinct()
-    df = units.groupBy("val").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    return (
-        units.join(df, "val")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_units"),
-            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_singleton"),
-            F.round(
-                F.sum((F.col("df") == 1).cast("long")) / F.count(F.lit(1)), 6
-            ).alias("novelty"),
-        )
+    # Round-13 shape (guide §2.4): per-doc distinct is ROW-LOCAL
+    # (array_distinct before the explode), so the former global
+    # (doc_id, val) distinct exchange vanishes; a singleton's owning
+    # doc is recoverable as min(doc_id) of its df=1 group, so the
+    # corpus-sized units⋈df join-back collapses to a doc-count-sized
+    # left join. One corpus exchange (the df census) instead of three.
+    d = _t(spark, sf_dir, "documents")
+    arr = F.array_distinct(word_shingles_from_tokens(tokens(F.col("text")), 3))
+    per_doc = d.select(
+        "doc_id", F.size(arr).cast("long").alias("n_units")
+    ).where(F.col("n_units") > 0)
+    units = d.select("doc_id", F.explode(arr).alias("val"))
+    singles = (
+        units.groupBy("val")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("sd"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("sd").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_singleton"))
+    )
+    return per_doc.join(singles, "doc_id", "left").select(
+        "doc_id",
+        "n_units",
+        F.coalesce("n_singleton", F.lit(0)).cast("long").alias("n_singleton"),
+        F.round(
+            F.coalesce("n_singleton", F.lit(0)) / F.col("n_units"), 6
+        ).alias("novelty"),
     )
 
 
@@ -15147,22 +15197,40 @@ def gopher_repetition_filter(spark, sf_dir):
         F.concat(F.col("text"), F.repeat(F.concat(F.lit(" "), w0), _REP_COPIES)),
     ).otherwise(F.col("text"))
     planted = d.select("doc_id", "lang", text2.alias("text"))
-    tri = planted.select(
+    # Round-13 shape (guide §2.4): the statistic is per-document, so
+    # nothing needs to cross an exchange — the most frequent trigram's
+    # count is the LONGEST RUN in the per-doc SORTED shingle array,
+    # computed row-locally (the former explode + (doc, lang, trigram)
+    # corpus shuffle + two aggregates are gone; the final per-lang
+    # rollup below is the only exchange, over 5 skinny partials).
+    sh = F.array_sort(word_shingles_from_tokens(tokens(F.col("text")), 3))
+    run_best = F.aggregate(
+        sh,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    per = planted.select(
         "doc_id",
         "lang",
-        F.explode(word_shingles_from_tokens(tokens(F.col("text")), 3)).alias(
-            "val"
-        ),
-    )
-    per = (
-        tri.groupBy("doc_id", "lang", "val")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("c").cast("long").alias("n_tri"),
-            F.max("c").cast("long").alias("max_c"),
-        )
-    )
+        F.size(sh).cast("long").alias("n_tri"),
+        run_best.alias("max_c"),
+    ).where(F.col("n_tri") > 0)
     scored = per.select(
         "doc_id",
         "lang",
