@@ -11292,6 +11292,11 @@ def _kmv_overlap_frames(spark, sf_dir):
             F.explode(word_shingles_from_tokens(F.col("t"), 5)).alias("val"),
         )
     )
+    # (Round-13 note: a single grouped sketch pass with is_a as an
+    # extra group key was tried and A/B-measured ~40% SLOWER at sf0.1
+    # — the source filter pushes down to the parquet scan, so the two
+    # filtered passes each tokenize only their half and the k-min
+    # carry state stays smaller. Kept as-is.)
     a = kmv_sketch(units.where("is_a"), ["lang", "unit"], F.col("val"), k=_KMV_K)
     b = kmv_sketch(units.where("NOT is_a"), ["lang", "unit"], F.col("val"), k=_KMV_K)
     return units, a, b
@@ -15197,40 +15202,46 @@ def gopher_repetition_filter(spark, sf_dir):
         F.concat(F.col("text"), F.repeat(F.concat(F.lit(" "), w0), _REP_COPIES)),
     ).otherwise(F.col("text"))
     planted = d.select("doc_id", "lang", text2.alias("text"))
-    # Round-13 shape (guide §2.4): the statistic is per-document, so
-    # nothing needs to cross an exchange — the most frequent trigram's
-    # count is the LONGEST RUN in the per-doc SORTED shingle array,
-    # computed row-locally (the former explode + (doc, lang, trigram)
-    # corpus shuffle + two aggregates are gone; the final per-lang
-    # rollup below is the only exchange, over 5 skinny partials).
-    sh = F.array_sort(word_shingles_from_tokens(tokens(F.col("text")), 3))
-    run_best = F.aggregate(
-        sh,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-                    F.lit(1).cast("long")
-                ),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    per = planted.select(
+    # Round-13 shape (guide §2.4 + §4.2): the statistic is
+    # per-document, so nothing needs to cross an exchange — the former
+    # explode + corpus-wide (doc, lang, trigram) shuffle + two
+    # aggregates become one row-local Arrow pass (shingles split in
+    # the JVM, occurrences counted per doc with a C-speed Counter;
+    # exact integer counts — identical results). A first cut used a
+    # JVM array_sort + higher-order fold instead: zero-shuffle too,
+    # but the interpreted per-element fold measured SLOWER than the
+    # shuffle it replaced (1.29 → 1.88 s at sf0.1) — the NOTES HOF
+    # lesson again. The only exchange left is the per-lang rollup
+    # below, over 5-row partials.
+    shingled = planted.select(
         "doc_id",
         "lang",
-        F.size(sh).cast("long").alias("n_tri"),
-        run_best.alias("max_c"),
-    ).where(F.col("n_tri") > 0)
+        word_shingles_from_tokens(tokens(F.col("text")), 3).alias("sh"),
+    )
+
+    def _per_doc(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, langs, ntri, maxc = [], [], [], []
+            for did, lang, arr in zip(pdf["doc_id"], pdf["lang"], pdf["sh"]):
+                if arr is None or len(arr) == 0:
+                    continue
+                ids.append(did)
+                langs.append(lang)
+                ntri.append(len(arr))
+                maxc.append(max(Counter(arr).values()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "lang": langs, "n_tri": ntri, "max_c": maxc}
+            )
+
+    per = shingled.mapInPandas(
+        _per_doc, schema="doc_id long, lang string, n_tri long, max_c long"
+    )
     scored = per.select(
         "doc_id",
         "lang",

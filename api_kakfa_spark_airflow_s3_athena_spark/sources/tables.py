@@ -50,6 +50,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# (applicationId, path, mtime_ns) -> StructType. Round-13: a bare
+# ``spark.read.parquet`` runs a schema-inference footer job on EVERY
+# call (~160 ms warm on local[32]); the engine's query builders call
+# load_table inside the measured region, so that job both inflates
+# every query and multiplies across the suite. Caching the INFERRED
+# SCHEMA (metadata only — what any catalog/metastore provides) and
+# re-reading with ``.schema(...)`` skips the job; the mtime key
+# invalidates the entry if the file is ever rewritten. Plans and
+# results are identical — only the redundant footer re-read goes.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one testdata table. Filters/projections applied by
     the caller push down to the parquet reader via Catalyst.
@@ -72,7 +84,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp semantics (date_trunc/month/hour buckets) must be
     # timezone-stable regardless of who built the session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    import os as _os
+
+    path = table_path(sf_dir, name)
+    try:
+        mtime = _os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
+    schema = _SCHEMA_CACHE.get(key) if mtime is not None else None
+    if schema is None:
+        df = spark.read.parquet(path)
+        if mtime is not None:
+            _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             # integer division: ns values exceed double's 2^53 mantissa
