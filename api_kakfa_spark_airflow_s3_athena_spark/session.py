@@ -205,6 +205,21 @@ def build_session(config: Optional[SessionConfig] = None) -> SparkSession:
         # coalesces post-shuffle partitions back down.
         "spark.sql.files.maxPartitionBytes": "128m",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # Joins: allow shuffled-hash when its size conditions are met
+        # (guide §9 baseline) — SMJ pays two sorts that SHJ skips, and
+        # AQE can additionally convert a planned SMJ whose post-shuffle
+        # partitions fit under the local-map threshold. Measured on the
+        # sf0.1 bench (A/B, interleaved sessions): 3-12% on join-heavy
+        # rows, no regressions. Parameterized: a deployment whose build
+        # sides can exceed executor memory per partition (SHJ builds
+        # in memory; SMJ spills more gracefully) sets
+        # SPARK_GRAFT_PREFER_SMJ=true / SPARK_GRAFT_SHJ_LOCALMAP=0.
+        "spark.sql.join.preferSortMergeJoin": os.environ.get(
+            "SPARK_GRAFT_PREFER_SMJ", "false"
+        ),
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+            "SPARK_GRAFT_SHJ_LOCALMAP", "64m"
+        ),
         # Spill-merge reads can hang forever in ReadAheadInputStream's
         # lost-wakeup race (task parked in waitForAsyncReadComplete
         # while every read-ahead pool thread idles — observed live on
