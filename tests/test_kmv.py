@@ -260,3 +260,23 @@ def test_epoch_fold_gap_fails_loudly(spark, tmp_path):
     fresh = str(tmp_path / "fresh")
     kmv_sketch_batch(batch, 5, ["g"], "v", k=8, store_path=fresh)
     assert spark.read.parquet(f"{fresh}/epoch=5").count() > 0
+
+
+def test_sketch_from_hashes_equals_sketch(spark):
+    """The round-13 prehashed seam: sketching a materialized kmv_hash
+    stream must produce the identical synopsis kmv_sketch builds from
+    raw values (incl. duplicate rows, which the k-min pass drops)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.sketches import (
+        kmv_hash,
+        kmv_sketch_from_hashes,
+    )
+
+    values = [f"tok{i % 300}" for i in range(900)]  # heavy duplication
+    df = _frame(spark, values)
+    k = 64
+    plain = kmv_sketch(df, ["grp"], F.col("val"), k=k).collect()
+    hashed = df.select("grp", kmv_hash(F.col("val")).alias("h"))
+    from_h = kmv_sketch_from_hashes(hashed, ["grp"], "h", k=k).collect()
+    assert {(r.grp, tuple(r.kmv_hashes)) for r in plain} == {
+        (r.grp, tuple(r.kmv_hashes)) for r in from_h
+    }

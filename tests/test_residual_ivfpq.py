@@ -159,3 +159,28 @@ def test_residual_topk_empty_queries(spark):
     out = SIM.ivfpq_residual_topk(empty, centroids, books, enc, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "adist", "rnk"]
+
+
+def test_pq_encode_keep_cols_equals_join_reattach(spark):
+    """The round-13 keep_cols passthrough must emit exactly the rows
+    the former encode-then-join-on-id shape produced."""
+    import math
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    vecs = [(i, [math.cos(i * 0.7 + j) for j in range(8)], i % 5) for i in range(60)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, cell int"
+    ).repartition(4)
+    books = pq_codebooks(df, m=4, ksub=8, iters=2, vec_col="embedding")
+    fused = pq_encode(df, books, keep_cols=("cell",)).collect()
+    joined = (
+        pq_encode(df, books)
+        .join(df.select("vec_id", "cell"), "vec_id")
+        .collect()
+    )
+    key = lambda rows: {(r.vec_id, tuple(r.codes), r.cell) for r in rows}
+    assert key(fused) == key(joined) and len(fused) == 60
