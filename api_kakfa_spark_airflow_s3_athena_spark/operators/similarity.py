@@ -242,6 +242,55 @@ def ivf_centroids(
     )
 
 
+def _centroid_arrays(centroids: DataFrame):
+    """Bounded collect of the centroid set, sorted by id: returns
+    ``(cent_ids ndarray, cmat float64 ndarray, cnorm float64 ndarray)``
+    with the per-centroid norm computed by the identical left fold of
+    squares + sqrt the JVM cosine performs (Python floats are
+    IEEE-754 doubles). Shared by :func:`_ivf_assign` and the fused
+    encode pass so the two can never drift."""
+    import math
+
+    import numpy as np
+
+    cent_rows = sorted(
+        centroids.select("centroid_id", "centroid_vec").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    if not cent_rows:
+        return None, None, None
+    cent_ids = np.array([r["centroid_id"] for r in cent_rows])
+    cmat = np.asarray([r["centroid_vec"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.empty(len(cent_rows), dtype=np.float64)
+    for ci, r in enumerate(cent_rows):
+        acc = 0.0
+        for x in r["centroid_vec"]:
+            acc = acc + float(x) * float(x)
+        cnorm[ci] = math.sqrt(acc)
+    return cent_ids, cmat, cnorm
+
+
+def _assign_order_np(v, cmat, cnorm):
+    """The row-local nearest-cell math over a float64 batch ``v``:
+    strict ascending-dimension accumulation (one IEEE multiply + one
+    IEEE add per element — the JVM cosine fold's op order), NULL/zero
+    vectors scoring -inf, stable argsort so ties keep centroid-id
+    order. Returns the (n_rows, n_centroids) preference order."""
+    import numpy as np
+
+    n_rows, dim = v.shape
+    dots = np.zeros((n_rows, cmat.shape[0]), dtype=np.float64)
+    sq = np.zeros(n_rows, dtype=np.float64)
+    for d in range(dim):
+        col = v[:, d]
+        dots += col[:, None] * cmat[None, :, d]
+        sq += col * col
+    denom = np.sqrt(sq)[:, None] * cnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scores = np.where(denom > 0, dots / denom, -np.inf)
+    return np.argsort(-scores, axis=1, kind="stable")
+
+
 def _ivf_assign(
     df: DataFrame, centroids: DataFrame, id_out: str, vec_out: str, keep: int
 ) -> DataFrame:
@@ -270,8 +319,6 @@ def _ivf_assign(
     A zero/NULL vector scores ``-inf`` everywhere, reproducing the
     former NULL-cosine → NULLS LAST → lowest-centroid-id outcome.
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -280,11 +327,8 @@ def _ivf_assign(
     vec_type = df.schema[vec_out].dataType.simpleString()
     out_schema = f"{id_out} {id_type}, {vec_out} {vec_type}, cell {cell_type}"
     # bounded collect: n_centroids rows of (id, small vector)
-    cent_rows = sorted(
-        centroids.select("centroid_id", "centroid_vec").collect(),
-        key=lambda r: r["centroid_id"],
-    )
-    if not cent_rows:
+    cent_ids, cmat, cnorm = _centroid_arrays(centroids)
+    if cent_ids is None:
         return (
             df.select(
                 F.col(id_out),
@@ -292,17 +336,7 @@ def _ivf_assign(
                 F.lit(None).cast(cell_type).alias("cell"),
             ).limit(0)
         )
-    cent_ids = np.array([r["centroid_id"] for r in cent_rows])
-    cmat = np.asarray([r["centroid_vec"] for r in cent_rows], dtype=np.float64)
-    # per-centroid norm: the identical left fold of squares + sqrt the
-    # JVM cosine performs (Python floats are IEEE-754 doubles)
-    cnorm = np.empty(len(cent_rows), dtype=np.float64)
-    for ci, r in enumerate(cent_rows):
-        acc = 0.0
-        for x in r["centroid_vec"]:
-            acc = acc + float(x) * float(x)
-        cnorm[ci] = math.sqrt(acc)
-    keep_eff = min(keep, len(cent_rows))
+    keep_eff = min(keep, len(cent_ids))
 
     def assign(batches):
         for pdf in batches:
@@ -315,22 +349,10 @@ def _ivf_assign(
                 for v, n in zip(raw, null_mask)
             ]
             v = np.asarray([np.asarray(x, dtype=np.float64) for x in vals])
-            n_rows, dim = v.shape
-            dots = np.zeros((n_rows, cmat.shape[0]), dtype=np.float64)
-            sq = np.zeros(n_rows, dtype=np.float64)
-            # strict ascending-dimension accumulation: one IEEE multiply
-            # + one IEEE add per element — the JVM fold's op order
-            for d in range(dim):
-                col = v[:, d]
-                dots += col[:, None] * cmat[None, :, d]
-                sq += col * col
-            denom = np.sqrt(sq)[:, None] * cnorm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                scores = np.where(denom > 0, dots / denom, -np.inf)
             # stable ascending sort on the negated score: equal scores
             # keep centroid-id order (cent_rows sorted asc) — the
             # former (score desc, centroid_id asc) window tie-break
-            order = np.argsort(-scores, axis=1, kind="stable")[:, :keep_eff]
+            order = _assign_order_np(v, cmat, cnorm)[:, :keep_eff]
             yield pd.DataFrame(
                 {
                     id_out: np.repeat(pdf[id_out].to_numpy(), keep_eff),
@@ -1373,6 +1395,61 @@ def _ranked_adist_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _pq_encode_with_cells(
+    corpus: DataFrame,
+    books,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE Arrow pass producing the non-residual ``encoded_cells``
+    rows ``(vec_id, codes, cell)``: nearest-cell assignment (the
+    :func:`_ivf_assign` math via the shared helpers — bit-identical
+    cells) and the PQ codes computed on the same float64 batch
+    (identical argmin inputs to :func:`pq_encode`). Round-13: the
+    former assign-pass → encode-pass chain crossed the Python
+    boundary twice per corpus row; the builders and the delta append
+    now cross once."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(books)
+    m, _, dsub = books.shape
+    id_type = corpus.schema[corpus_id].dataType.simpleString()
+    cell_type = centroids.schema["centroid_id"].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, codes array<int>, cell {cell_type}"
+    cent_ids, cmat, cnorm = _centroid_arrays(centroids)
+    if cent_ids is None:
+        return (
+            corpus.select(
+                F.col(corpus_id).alias("vec_id"),
+                F.array().cast("array<int>").alias("codes"),
+                F.lit(None).cast(cell_type).alias("cell"),
+            ).limit(0)
+        )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            order = _assign_order_np(v, cmat, cnorm)[:, 0]
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                d = sub @ books[j].T * -2.0 + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[corpus_id].to_numpy(),
+                    "codes": list(codes),
+                    "cell": cent_ids[order],
+                }
+            )
+
+    return corpus.select(corpus_id, vec_col).mapInPandas(run, schema=out_schema)
+
+
 def ivfpq_index(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -1405,24 +1482,15 @@ def ivfpq_index(
     existing delta paths: :func:`ivf_index_append` for the cell,
     :func:`pq_index_append` for the codes, joined on the id."""
     centroids = ivf_centroids(corpus, n_centroids, corpus_id, vec_col, seed)
-    cells = _ivf_assign(
-        corpus.select(
-            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        ),
-        centroids,
-        "neighbor_id",
-        "c_vec",
-        keep=1,
-    )
     books = pq_codebooks(
         corpus, m=m, ksub=ksub, iters=iters, vec_col=vec_col,
         id_col=corpus_id, seed=seed, train_sample=train_sample,
     )
-    # cell rides through the encode pass — no corpus-sized id join
-    # (round-13: the former join cost two Exchanges + a sort-merge)
-    encoded_cells = pq_encode(
-        cells, books, vec_col="c_vec", id_col="neighbor_id",
-        keep_cols=("cell",),
+    # assignment + codes in ONE Arrow pass — no corpus-sized id join
+    # (the pre-round shape), no second Python crossing (the first
+    # round-13 cut): see _pq_encode_with_cells
+    encoded_cells = _pq_encode_with_cells(
+        corpus, books, centroids, corpus_id=corpus_id, vec_col=vec_col
     )
     return centroids, books, encoded_cells
 
@@ -1536,12 +1604,10 @@ def ivfpq_index_append(
     Retraining either artifact is a REBUILD — the drift trigger is
     :func:`pq_quantization_error` measured per delta batch, exactly
     as documented on :func:`pq_index_append`."""
-    cells = ivf_index_append(delta, centroids, corpus_id=corpus_id, vec_col=vec_col)
-    # one fused delta pass: assign (row-local) then encode, cell riding
-    # through the Arrow pass — no delta-sized id join
-    return pq_encode(
-        cells, books, vec_col="c_vec", id_col="neighbor_id",
-        keep_cols=("cell",),
+    # one fused delta pass: assignment + codes in a single Arrow
+    # crossing — no delta-sized id join, no chained second crossing
+    return _pq_encode_with_cells(
+        delta, books, centroids, corpus_id=corpus_id, vec_col=vec_col
     )
 
 
