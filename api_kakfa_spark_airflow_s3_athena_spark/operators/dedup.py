@@ -539,10 +539,19 @@ def minhash_delta_dedup_pairs(
     shingle_n: int = 3,
     seed: int = 1,
     max_bucket: int = 4096,
+    delta_bands: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs touching a NEW batch, found
     against a PERSISTED corpus band index — the shape a 100 TB
     training pipeline actually runs per crawl snapshot.
+
+    ``delta_bands``: optionally the delta's ALREADY-COMPUTED band
+    index (``minhash_band_index(delta, ...)`` with identical params),
+    for callers that also persist it — the streaming ingest sink both
+    appends the batch's bands to the index store and dedups with
+    them, and passing the materialized frame here means ONE signature
+    pass per batch instead of two (round-14, guide §1.2). The caller
+    owns the frame's lifecycle (it is not unpersisted here).
 
     ``index`` is ``minhash_band_index(corpus)`` written once (at scale:
     stored partitioned by ``(band, bucket)``); ``corpus`` supplies text
@@ -568,9 +577,14 @@ def minhash_delta_dedup_pairs(
     pinned in tests/test_dedup_similarity.py. Returns distinct
     ``(id_a, id_b, jaccard)``, id_a < id_b.
     """
-    dband = minhash_band_index(
-        delta, text_col, id_col, num_hashes, bands, shingle_n, seed
-    ).cache()
+    caller_bands = delta_bands is not None
+    dband = (
+        delta_bands
+        if caller_bands
+        else minhash_band_index(
+            delta, text_col, id_col, num_hashes, bands, shingle_n, seed
+        ).cache()
+    )
     all_b = index.select(F.col(id_col), "band", "bucket").withColumn(
         "__delta", F.lit(False)
     ).unionByName(dband.withColumn("__delta", F.lit(True)))
@@ -645,7 +659,7 @@ def minhash_delta_dedup_pairs(
         threshold,
         shingle_n,
         seed,
-        release=(cands, dband),
+        release=(cands,) if caller_bands else (cands, dband),
     )
 
 

@@ -1211,7 +1211,12 @@ def pq_load_books(spark, path: str):
     """Reload a :func:`pq_save_books` artifact, bit-identical."""
     import numpy as np
 
-    rows = spark.read.parquet(path).collect()
+    # the artifact's schema is fixed by pq_save_books — declaring it
+    # skips the footer-inference job a bare read runs per reload (the
+    # streaming sink reloads every epoch; round-14, guide §6)
+    rows = spark.read.schema(
+        "subspace int, code int, centroid array<double>"
+    ).parquet(path).collect()
     m = 1 + max(r.subspace for r in rows)
     ksub = 1 + max(r.code for r in rows)
     dsub = len(rows[0].centroid)
@@ -1450,6 +1455,114 @@ def _pq_encode_with_cells(
     return corpus.select(corpus_id, vec_col).mapInPandas(run, schema=out_schema)
 
 
+def _pq_encode_with_error(
+    corpus: DataFrame,
+    books,
+    centroids: DataFrame = None,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """One Arrow pass emitting BOTH the encoded rows and the
+    quantization-error partials — the streaming index sink's per-epoch
+    fusion (round-14, guide §4.2): the former shape ran one crossing
+    for the append (:func:`_pq_encode_with_cells` / :func:`pq_encode`)
+    and a SECOND full crossing for the drift metric
+    (:func:`pq_quantization_error`), re-computing the identical argmin
+    codes both times.
+
+    With ``centroids`` given, behaves like :func:`_pq_encode_with_cells`
+    (nearest-cell assignment fused in — the non-residual append);
+    without, like :func:`pq_encode` with ``keep_cols`` (the residual
+    append, whose input already carries ``cell``). Output rows carry
+    two extra nullable columns ``__n/__sq``: data rows leave them
+    NULL, and each pandas batch appends ONE sentinel row (ids/codes
+    NULL) holding that batch's ``(n, Σ‖v − reconstruction‖²)`` —
+    computed with the exact expressions and accumulation order of
+    :func:`pq_quantization_error`, so
+    ``sum(__sq)/sum(__n)`` reproduces its mse. Codes are the same
+    argmin on the same float64 batch ⇒ bit-identical rows."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(books)
+    m, _, dsub = books.shape
+    id_type = corpus.schema[corpus_id].dataType.simpleString()
+    keep_cols = tuple(keep_cols)
+    keep_types = {
+        c: corpus.schema[c].dataType.simpleString() for c in keep_cols
+    }
+    with_cells = centroids is not None
+    if with_cells:
+        cell_type = centroids.schema["centroid_id"].dataType.simpleString()
+        cent_ids, cmat, cnorm = _centroid_arrays(centroids)
+        out_schema = (
+            f"vec_id {id_type}, codes array<int>, cell {cell_type}, "
+            "__n double, __sq double"
+        )
+        if cent_ids is None:
+            return (
+                corpus.select(
+                    F.col(corpus_id).alias("vec_id"),
+                    F.array().cast("array<int>").alias("codes"),
+                    F.lit(None).cast(cell_type).alias("cell"),
+                    F.lit(None).cast("double").alias("__n"),
+                    F.lit(None).cast("double").alias("__sq"),
+                ).limit(0)
+            )
+    else:
+        out_schema = (
+            f"vec_id {id_type}, codes array<int>"
+            + "".join(f", {c} {keep_types[c]}" for c in keep_cols)
+            + ", __n double, __sq double"
+        )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            sq = 0.0
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                d = sub @ books[j].T * -2.0 + (books[j] ** 2).sum(axis=1)
+                cj = np.argmin(d, axis=1)
+                codes[:, j] = cj
+                # the pq_quantization_error expressions, verbatim:
+                # same operands, same per-subspace accumulation order
+                diff = sub - books[j][cj]
+                sq += float((diff * diff).sum())
+            out = {
+                "vec_id": pdf[corpus_id].to_numpy(),
+                "codes": list(codes),
+            }
+            if with_cells:
+                order = _assign_order_np(v, cmat, cnorm)[:, 0]
+                out["cell"] = cent_ids[order]
+            else:
+                for c in keep_cols:
+                    out[c] = pdf[c].to_numpy()
+            # data rows: error columns NULL (object-None, not NaN —
+            # dtype-safe for every id type); sentinel row: ids NULL,
+            # this batch's partial — two frames, no dtype coercion
+            data = pd.DataFrame(out)
+            data["__n"] = pd.Series([None] * len(v), dtype=object)
+            data["__sq"] = pd.Series([None] * len(v), dtype=object)
+            sentinel = {k: [None] for k in data.columns}
+            sentinel["__n"] = [float(len(v))]
+            sentinel["__sq"] = [sq]
+            yield data
+            yield pd.DataFrame(sentinel)
+
+    cols = (
+        (corpus_id, vec_col)
+        if with_cells
+        else (corpus_id, vec_col) + keep_cols
+    )
+    return corpus.select(*cols).mapInPandas(run, schema=out_schema)
+
+
 def ivfpq_index(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -1493,6 +1606,78 @@ def ivfpq_index(
         corpus, books, centroids, corpus_id=corpus_id, vec_col=vec_col
     )
     return centroids, books, encoded_cells
+
+
+def ivfpq_index_and_baseline(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    train_sample: int = 65536,
+    residual: bool = False,
+):
+    """:func:`ivfpq_index` / :func:`ivfpq_residual_index` build PLUS
+    the build-time drift baseline, sharing one encode pass (round-14,
+    guide §1.2): the former snapshot-build sequence ran the corpus
+    encode once for the stored index and a second full pass
+    (:func:`pq_quantization_error` / :func:`residual_quantization_error`)
+    for the baseline — and the residual build additionally re-executed
+    the assign+centroid-subtract subtree per consumer (codebook
+    sample, encode, baseline). Returns ``(centroids, books,
+    encoded_cells, baseline)`` where ``encoded_cells`` is materialized
+    (eager localCheckpoint — the caller persists it anyway) and
+    ``baseline`` is the one-row ``(n_vectors, mse)`` frame. Artifacts
+    are value-identical to the unfused builders: same centroid/book
+    training calls, same argmin codes, and the baseline partials use
+    the :func:`pq_quantization_error` expressions verbatim
+    (see :func:`_pq_encode_with_error`)."""
+    centroids = ivf_centroids(corpus, n_centroids, corpus_id, vec_col, seed)
+    if residual:
+        cells = _ivf_assign(
+            corpus.select(
+                F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("c_vec")
+            ),
+            centroids,
+            "vec_id",
+            "c_vec",
+            keep=1,
+        )
+        # materialized once: the codebook sample collect, the encode
+        # and the baseline all read it — lazily each re-ran the
+        # assign pass + centroid join
+        resid = _ivf_residuals(cells, centroids, "vec_id", "c_vec").localCheckpoint(
+            eager=True
+        )
+        books = pq_codebooks(
+            resid, m=m, ksub=ksub, iters=iters, vec_col="__resid",
+            id_col="vec_id", seed=seed, train_sample=train_sample,
+        )
+        fused = _pq_encode_with_error(
+            resid, books, corpus_id="vec_id", vec_col="__resid",
+            keep_cols=("cell",),
+        )
+    else:
+        books = pq_codebooks(
+            corpus, m=m, ksub=ksub, iters=iters, vec_col=vec_col,
+            id_col=corpus_id, seed=seed, train_sample=train_sample,
+        )
+        fused = _pq_encode_with_error(
+            corpus, books, centroids=centroids, corpus_id=corpus_id,
+            vec_col=vec_col,
+        )
+    fused = fused.localCheckpoint(eager=True)
+    encoded_cells = fused.filter(F.col("__n").isNull()).select(
+        "vec_id", "codes", "cell"
+    )
+    baseline = fused.filter(F.col("__n").isNotNull()).agg(
+        F.sum("__n").cast("long").alias("n_vectors"),
+        (F.sum("__sq") / F.sum("__n")).alias("mse"),
+    )
+    return centroids, books, encoded_cells, baseline
 
 
 def ivfpq_topk(

@@ -102,6 +102,40 @@ def _stream_partitions(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _stage_epoch_frames(frames, src: str) -> None:
+    """Stage a bounded stream source: one parquet file per frame under
+    ``src``, written SEQUENTIALLY (each write is its own job, so file
+    modification times are strictly increasing — the file-stream
+    source's epoch order, identical to the former inline loops).
+    Callers materialize any shared upstream frame once before slicing
+    (see :func:`_stage_epoch_files`)."""
+    for i, e in enumerate(frames):
+        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+
+
+def _stage_epoch_files(
+    df, src: str, split_col: str, select=None, n: int = 3, residues=(0, 1, 2)
+) -> None:
+    """Stage ``df`` as one epoch file per residue of ``split_col % n``
+    — one write job per residue, content and order identical to the
+    former inline loops.
+
+    Round-14 measured-and-rejected: materializing ``df`` once (eager
+    localCheckpoint) so the three writes share one upstream
+    tokenize/explode pass LOST to the recompute at bench scale
+    (streaming_kmv_distinct 3.03 → 3.41 s, streaming_countmin 3.57 →
+    3.97 s, best-of-4 interleaved) — blocking the exploded unit stream
+    costs more than two extra vectorized tokenize passes. Left as the
+    recompute; don't re-try without re-measuring."""
+    frames = []
+    for r in residues:
+        e = df.filter(F.col(split_col) % n == r)
+        if select is not None:
+            e = e.select(*select)
+        frames.append(e)
+    _stage_epoch_frames(frames, src)
+
+
 # --- exact money arithmetic ------------------------------------------------
 # Stored prices/discounts are 2-decimal values. Summing them as doubles
 # produces exact-4-decimal totals whose .XX50 cases land ON the 2-dp
@@ -2156,8 +2190,7 @@ def _run_stream_dedup(spark, sf_dir, base, epoch_times=None):
         sl.filter(F.col("doc_id") % 9 == 3),
         sl.filter(F.col("doc_id") % 9 == 6).unionByName(plants),
     ]
-    for i, e in enumerate(epochs):
-        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+    _stage_epoch_frames(epochs, src)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -8359,11 +8392,9 @@ def _run_stream_quality_gate(spark, sf_dir, base, epoch_times=None):
     model_path = _gate_model_path(spark, sf_dir)
     sl = _gate_labeled_docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
     src = os.path.join(base, "src")
-    for i, e in enumerate(
-        sl.filter(F.col("doc_id") % 9 == r).select("doc_id", "text")
-        for r in (0, 3, 6)
-    ):
-        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+    _stage_epoch_files(
+        sl, src, "doc_id", select=("doc_id", "text"), n=9, residues=(0, 3, 6)
+    )
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -11583,7 +11614,10 @@ def _run_stream_ann(spark, sf_dir, base, epoch_times=None):
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus, plants, _ = _stream_ann_delta(emb)
-    centroids, books, enc = SIM.ivfpq_index(
+    # round-14: build + drift baseline share ONE corpus encode pass
+    # (the former sequence re-encoded the corpus for the baseline);
+    # artifacts are value-identical — see ivfpq_index_and_baseline
+    centroids, books, enc, baseline = SIM.ivfpq_index_and_baseline(
         corpus, n_centroids=16, m=8, ksub=16, iters=3
     )
     centroids.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
@@ -11591,9 +11625,7 @@ def _run_stream_ann(spark, sf_dir, base, epoch_times=None):
     enc.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(base, "index", "epoch=-1")
     )
-    SIM.pq_quantization_error(corpus, books).write.mode("overwrite").parquet(
-        os.path.join(base, "baseline")
-    )
+    baseline.write.mode("overwrite").parquet(os.path.join(base, "baseline"))
     src = os.path.join(base, "src")
     new = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
     epochs = [
@@ -11601,8 +11633,7 @@ def _run_stream_ann(spark, sf_dir, base, epoch_times=None):
         new.filter(F.col("vec_id") % 15 == 5),
         new.filter(F.col("vec_id") % 15 == 10).unionByName(plants),
     ]
-    for i, e in enumerate(epochs):
-        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+    _stage_epoch_frames(epochs, src)
     stream = (
         spark.readStream.schema("vec_id long, embedding array<float>")
         .option("maxFilesPerTrigger", 1)
@@ -12049,10 +12080,7 @@ def _run_stream_kmv(spark, sf_dir, base, epoch_times=None):
 
     units = _kmv_stream_units(spark, sf_dir)
     src = os.path.join(base, "src")
-    for i, r in enumerate((0, 1, 2)):
-        units.filter(F.col("doc_id") % 3 == r).select("lang", "val").coalesce(
-            1
-        ).write.mode("append" if i else "overwrite").parquet(src)
+    _stage_epoch_files(units, src, "doc_id", select=("lang", "val"))
     stream = (
         spark.readStream.schema("lang string, val string")
         .option("maxFilesPerTrigger", 1)
@@ -12697,10 +12725,7 @@ def _run_stream_hh(spark, sf_dir, base, epoch_times=None):
 
     units = _hh_stream_units(spark, sf_dir)
     src = os.path.join(base, "src")
-    for i, r in enumerate((0, 1, 2)):
-        units.filter(F.col("doc_id") % 3 == r).select("lang", "unit").coalesce(
-            1
-        ).write.mode("append" if i else "overwrite").parquet(src)
+    _stage_epoch_files(units, src, "doc_id", select=("lang", "unit"))
     stream = (
         spark.readStream.schema("lang string, unit string")
         .option("maxFilesPerTrigger", 1)
@@ -12878,17 +12903,19 @@ def _run_stream_ann_res(spark, sf_dir, base, epoch_times=None):
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus, plants, _ = _stream_ann_delta(emb)
-    centroids, books, enc = SIM.ivfpq_residual_index(
-        corpus, n_centroids=16, m=8, ksub=16, iters=3
+    # round-14: build + residual-space baseline share one assign +
+    # one encode pass (the former sequence ran assign+subtract 3x and
+    # encode 2x over the corpus); artifacts value-identical — see
+    # ivfpq_index_and_baseline
+    centroids, books, enc, baseline = SIM.ivfpq_index_and_baseline(
+        corpus, n_centroids=16, m=8, ksub=16, iters=3, residual=True
     )
     centroids.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
     SIM.pq_save_books(spark, books, os.path.join(base, "books"))
     enc.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(base, "index", "epoch=-1")
     )
-    SIM.residual_quantization_error(corpus, centroids, books).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(base, "baseline"))
+    baseline.write.mode("overwrite").parquet(os.path.join(base, "baseline"))
     src = os.path.join(base, "src")
     new = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
     epochs = [
@@ -12896,8 +12923,7 @@ def _run_stream_ann_res(spark, sf_dir, base, epoch_times=None):
         new.filter(F.col("vec_id") % 15 == 5),
         new.filter(F.col("vec_id") % 15 == 10).unionByName(plants),
     ]
-    for i, e in enumerate(epochs):
-        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+    _stage_epoch_frames(epochs, src)
     stream = (
         spark.readStream.schema("vec_id long, embedding array<float>")
         .option("maxFilesPerTrigger", 1)
@@ -13923,10 +13949,7 @@ def _run_stream_cms(spark, sf_dir, base, epoch_times=None):
 
     units = _tri_units(spark, sf_dir)
     src = os.path.join(base, "src")
-    for i, r in enumerate((0, 1, 2)):
-        units.filter(F.col("doc_id") % 3 == r).select("val").coalesce(
-            1
-        ).write.mode("append" if i else "overwrite").parquet(src)
+    _stage_epoch_files(units, src, "doc_id", select=("val",))
     stream = (
         spark.readStream.schema("val string")
         .option("maxFilesPerTrigger", 1)
@@ -14050,10 +14073,7 @@ def _run_stream_hll(spark, sf_dir, base, epoch_times=None):
 
     units = _tri_units(spark, sf_dir)
     src = os.path.join(base, "src")
-    for i, r in enumerate((0, 1, 2)):
-        units.filter(F.col("doc_id") % 3 == r).select("lang", "val").coalesce(
-            1
-        ).write.mode("append" if i else "overwrite").parquet(src)
+    _stage_epoch_files(units, src, "doc_id", select=("lang", "val"))
     stream = (
         spark.readStream.schema("lang string, val string")
         .option("maxFilesPerTrigger", 1)
@@ -14186,10 +14206,7 @@ def _run_stream_adaptive(spark, sf_dir, base, epoch_times=None):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     src = os.path.join(base, "src")
-    for i, r in enumerate((0, 1, 2)):
-        d.filter(F.col("doc_id") % 3 == r).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(src)
+    _stage_epoch_files(d, src, "doc_id")
     stream = (
         spark.readStream.schema("doc_id long, lang string")
         .option("maxFilesPerTrigger", 1)
@@ -14445,10 +14462,7 @@ def _run_stream_drift(spark, sf_dir, base, epoch_times=None):
         .alias("value"),
     )
     src = os.path.join(base, "src")
-    for i, r in enumerate((0, 1, 2)):
-        ev.filter(F.col("event_id") % 3 == r).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(src)
+    _stage_epoch_files(ev, src, "event_id")
     stream = (
         spark.readStream.schema("event_id long, value double")
         .option("maxFilesPerTrigger", 1)
@@ -14801,10 +14815,7 @@ def _run_stream_bloom(spark, sf_dir, base, epoch_times=None):
         .select("c_custkey")
     )
     src = os.path.join(base, "src")
-    for i, r in enumerate((0, 1, 2)):
-        dim.filter(F.col("c_custkey") % 3 == r).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(src)
+    _stage_epoch_files(dim, src, "c_custkey")
     stream = (
         spark.readStream.schema("c_custkey long")
         .option("maxFilesPerTrigger", 1)

@@ -30,6 +30,7 @@ __all__ = [
     "table_path",
     "load_table",
     "load_tables",
+    "read_parquet_metacached",
     "register_testdata_views",
     "read_json_table",
     "write_table",
@@ -106,6 +107,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
+
+
+def read_parquet_metacached(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with the :data:`_SCHEMA_CACHE` treatment for
+    NON-testdata artifact paths (stored models, staged indexes): the
+    DATA is re-read on every call — only the inferred StructType is
+    cached, keyed on (applicationId, path, mtime_ns), so repeated reads
+    of the same artifact (e.g. a per-epoch model reload) skip the
+    footer-inference job while a rewritten artifact (new mtime)
+    re-infers. For a directory artifact the key is the directory's
+    mtime, which overwrite-mode rewrites touch (files are deleted and
+    recreated); in-place part-file surgery that leaves the directory
+    mtime intact is outside this helper's contract — see ADVICE r13."""
+    import os as _os
+
+    try:
+        mtime = _os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
+    schema = _SCHEMA_CACHE.get(key) if mtime is not None else None
+    if schema is None:
+        df = spark.read.parquet(path)
+        if mtime is not None:
+            _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Optional[Iterable[str]] = None):

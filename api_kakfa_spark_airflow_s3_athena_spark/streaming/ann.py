@@ -49,11 +49,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
-    ivfpq_index_append,
-    ivfpq_residual_index_append,
+    _ivf_assign,
+    _ivf_residuals,
+    _pq_encode_with_error,
     pq_load_books,
-    pq_quantization_error,
-    residual_quantization_error,
 )
 
 __all__ = ["ann_index_batch", "ann_index_sink"]
@@ -86,19 +85,50 @@ def ann_index_batch(
     the codebooks were trained in — raw-space error would compare
     against the wrong baseline)."""
     spark = batch.sparkSession
-    centroids = spark.read.parquet(centroids_path)
+    # artifact reloads stay per-epoch (the nightly-swap design); only
+    # the redundant schema-inference jobs go — the centroid schema is
+    # metadata-cached on the artifact's mtime, the book artifact's
+    # schema is fixed by pq_save_books (round-14, guide §6)
+    from ..sources.tables import read_parquet_metacached
+
+    centroids = read_parquet_metacached(spark, centroids_path)
     books = pq_load_books(spark, books_path)
-    append = ivfpq_residual_index_append if residual else ivfpq_index_append
-    rows = append(batch, centroids, books, corpus_id=id_col, vec_col=vec_col)
+    # Round-14 fusion (guide §4.2): the former shape ran one Arrow
+    # crossing for the append and a SECOND full crossing (plus, in
+    # residual mode, a second assign pass and centroid join) for the
+    # drift metric, recomputing the identical argmin codes. One fused
+    # pass now emits the encoded rows AND per-batch error partials
+    # (sentinel rows), materialized once; codes and mse arithmetic are
+    # the originals' op-for-op (see _pq_encode_with_error).
+    if residual:
+        cells = _ivf_assign(
+            batch.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+            ),
+            centroids,
+            "vec_id",
+            "c_vec",
+            keep=1,
+        )
+        resid = _ivf_residuals(cells, centroids, "vec_id", "c_vec")
+        fused = _pq_encode_with_error(
+            resid, books, corpus_id="vec_id", vec_col="__resid",
+            keep_cols=("cell",),
+        )
+    else:
+        fused = _pq_encode_with_error(
+            batch, books, centroids=centroids, corpus_id=id_col,
+            vec_col=vec_col,
+        )
+    fused = fused.localCheckpoint(eager=True)
+    rows = fused.filter(F.col("__n").isNull()).select("vec_id", "codes", "cell")
     rows.write.mode("overwrite").partitionBy("cell").parquet(
         _epoch_dir(index_path, epoch_id)
     )
-    if residual:
-        err = residual_quantization_error(
-            batch, centroids, books, id_col=id_col, vec_col=vec_col
-        )
-    else:
-        err = pq_quantization_error(batch, books, vec_col=vec_col)
+    err = fused.filter(F.col("__n").isNotNull()).agg(
+        F.sum("__n").cast("long").alias("n_vectors"),
+        (F.sum("__sq") / F.sum("__n")).alias("mse"),
+    )
     err.write.mode("overwrite").parquet(_epoch_dir(metrics_path, epoch_id))
 
 

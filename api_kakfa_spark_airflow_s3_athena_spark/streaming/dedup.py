@@ -74,8 +74,14 @@ def dedup_ingest_batch(
     # every retry into a PATH_NOT_FOUND crash loop on the other.
     def _earlier(path: str, schema: T.StructType) -> DataFrame:
         if target_exists(spark, path):
+            # stores are written by this sink, so the on-disk schema is
+            # known (fields + the epoch partition column); declaring it
+            # skips the footer-inference job a bare read runs per epoch
+            stored = T.StructType(
+                list(schema.fields) + [T.StructField("epoch", T.IntegerType())]
+            )
             return (
-                spark.read.parquet(path)
+                spark.read.schema(stored).parquet(path)
                 .filter(F.col("epoch") < epoch_id)
                 .select(*[f.name for f in schema.fields])
             )
@@ -100,6 +106,14 @@ def dedup_ingest_batch(
             ]
         ),
     )
+    # The batch's band index is needed twice — as the dedup's delta
+    # bands and as this epoch's index-store append. Round-14: compute
+    # the signature pass ONCE (materialized; O(|batch|·bands) skinny
+    # rows) and share it — the former shape re-ran the full
+    # tokenize+shingle+OPH pass per consumer (guide §1.2).
+    bidx = minhash_band_index(
+        docs, text_col, id_col, num_hashes, bands, shingle_n, seed
+    ).localCheckpoint(eager=True)
     pairs = minhash_delta_dedup_pairs(
         docs,
         corpus,
@@ -111,15 +125,14 @@ def dedup_ingest_batch(
         bands=bands,
         shingle_n=shingle_n,
         seed=seed,
+        delta_bands=bidx,
     )
     # Write order: corpus -> index -> pairs. The reads above take only
     # strictly-earlier epochs, so this epoch's own directories never
     # feed its computation; writing the pairs log last means a pairs
     # epoch dir existing implies the whole epoch landed.
     docs.write.mode("overwrite").parquet(_epoch_dir(corpus_path, epoch_id))
-    minhash_band_index(
-        docs, text_col, id_col, num_hashes, bands, shingle_n, seed
-    ).write.mode("overwrite").parquet(_epoch_dir(index_path, epoch_id))
+    bidx.write.mode("overwrite").parquet(_epoch_dir(index_path, epoch_id))
     pairs.write.mode("overwrite").parquet(_epoch_dir(pairs_path, epoch_id))
 
 

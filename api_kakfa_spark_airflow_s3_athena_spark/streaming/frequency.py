@@ -82,25 +82,37 @@ def mg_summary_batch(
     spark = batch.sparkSession
     gcols = list(key_cols)
     clean = batch.where(F.col(unit_col).isNotNull())
-    bc = clean.groupBy(*gcols, unit_col).agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # Materialize the in-batch histogram once (bounded: the batch's
+    # distinct (key, unit) domain). Round-14: ``bc`` feeds the merge,
+    # the meta fold AND (via ``ranked``) both reduction outputs — left
+    # lazy, the batch scan + histogram shuffle re-ran per consumer
+    # (guide §1.2: don't recompute subtrees).
+    bc = (
+        clean.groupBy(*gcols, unit_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    bmeta = clean.groupBy(*gcols).agg(
-        F.count(F.lit(1)).cast("long").alias("n_units"),
+    # per-key unit total == sum of the histogram's counts — derived
+    # from the materialized histogram, not a second batch scan
+    bmeta = bc.groupBy(*gcols).agg(
+        F.sum("cnt").cast("long").alias("n_units"),
         F.lit(0).cast("long").alias("deduction"),
     )
     prev_sum = _prev_epoch_dir(
         spark, posixpath.join(store_path, "summary"), epoch_id
     )
     if prev_sum is not None:
+        # both stores were written by this fold ⇒ schemas known;
+        # declaring them skips two per-epoch footer-inference jobs
         merged = (
-            spark.read.parquet(prev_sum)
+            spark.read.schema(bc.schema).parquet(prev_sum)
             .unionByName(bc)
             .groupBy(*gcols, unit_col)
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
         meta = (
-            spark.read.parquet(_dir(store_path, "meta", epoch_id - 1))
+            spark.read.schema(bmeta.schema)
+            .parquet(_dir(store_path, "meta", epoch_id - 1))
             .unionByName(bmeta)
             .groupBy(*gcols)
             .agg(
@@ -115,18 +127,23 @@ def mg_summary_batch(
     # every counter, keep strictly positive — at most k survive (ties
     # at the boundary reduce to zero and drop, which only shrinks the
     # state; the error ledger charges the full t either way).
+    # ``ranked`` is materialized once (bounded rows): ``t``, ``reduced``
+    # and ``meta_out`` all read it, and lazily each would re-execute
+    # the union+histogram+window subtree per consumer.
     w = Window.partitionBy(*gcols).orderBy(F.desc("cnt"), F.col(unit_col))
-    ranked = merged.withColumn("__rn", F.row_number().over(w))
+    ranked = merged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     t = ranked.where(F.col("__rn") == num_counters + 1).select(
         *gcols, F.col("cnt").alias("__t")
     )
     reduced = (
-        ranked.join(t, gcols, "left")
+        ranked.join(F.broadcast(t), gcols, "left")
         .withColumn("cnt", F.col("cnt") - F.coalesce(F.col("__t"), F.lit(0)))
         .where(F.col("cnt") > 0)
         .select(*gcols, unit_col, "cnt")
     )
-    meta_out = meta.join(t, gcols, "left").select(
+    meta_out = meta.join(F.broadcast(t), gcols, "left").select(
         *gcols,
         "n_units",
         (F.col("deduction") + F.coalesce(F.col("__t"), F.lit(0))).alias(

@@ -61,7 +61,12 @@ def quality_gate_batch(
     write ``(id, n_feats, score, keep)`` to this epoch's overwrite
     directory."""
     spark = batch.sparkSession
-    weights = spark.read.parquet(model_path)
+    # per-epoch model RELOAD is the design (nightly retrain pickup);
+    # only the footer-inferred schema is metadata-cached, keyed on the
+    # artifact's mtime so a rewritten model re-infers (round-14)
+    from ..sources.tables import read_parquet_metacached
+
+    weights = read_parquet_metacached(spark, model_path)
     scored = linear_text_classifier(
         batch, weights, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )

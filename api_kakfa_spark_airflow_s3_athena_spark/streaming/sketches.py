@@ -106,7 +106,12 @@ def kmv_sketch_batch(
     sk = kmv_sketch(batch, group_cols, F.col(value_col), k=k)
     prev_dir = _prev_epoch_dir(spark, store_path, epoch_id)
     if prev_dir is not None:
-        merged = kmv_merge(spark.read.parquet(prev_dir), sk, group_cols, k)
+        # the prior epoch was written by this same fold, so its schema
+        # IS sk.schema — passing it skips the footer-inference job a
+        # bare read runs per epoch (guide §6: never infer on hot paths)
+        merged = kmv_merge(
+            spark.read.schema(sk.schema).parquet(prev_dir), sk, group_cols, k
+        )
     else:
         # first epoch: no prior synopsis
         merged = sk
@@ -180,7 +185,9 @@ def cms_sketch_batch(
     sk = count_min_counters(batch, unit_col, width, depth)
     prev_dir = _prev_epoch_dir(spark, store_path, epoch_id)
     if prev_dir is not None:
-        merged = cms_merge(spark.read.parquet(prev_dir), sk)
+        # prior epoch written by this fold ⇒ schema known; skip the
+        # per-epoch footer-inference job
+        merged = cms_merge(spark.read.schema(sk.schema).parquet(prev_dir), sk)
     else:
         merged = sk
     merged.write.mode("overwrite").parquet(_epoch_dir(store_path, epoch_id))
@@ -245,7 +252,10 @@ def hll_sketch_batch(
     prev_dir = _prev_epoch_dir(spark, store_path, epoch_id)
     if prev_dir is not None:
         merged = hll_merge(
-            spark.read.parquet(prev_dir).unionByName(regs), group_cols
+            # prior epoch written by this fold ⇒ schema known; skip the
+            # per-epoch footer-inference job
+            spark.read.schema(regs.schema).parquet(prev_dir).unionByName(regs),
+            group_cols,
         )
     else:
         merged = regs
@@ -329,7 +339,15 @@ def adaptive_sample_batch(
     if id_col not in kcols:
         raise ValueError("id_col must be one of keep_cols (dedup key)")
     if prev_dir is not None:
-        prev = spark.read.parquet(prev_dir)
+        # prior epoch written by this fold ⇒ stored schema is the
+        # coined projection + the constant j column; declaring it
+        # skips the per-epoch footer-inference job
+        stored_schema = batch.select(
+            *kcols,
+            F.lit(0).cast("long").alias("__coin"),
+            F.lit(0).alias("j"),
+        ).schema
+        prev = spark.read.schema(stored_schema).parquet(prev_dir)
         # max over an EMPTY prior store is NULL — an empty epoch is a
         # valid state (empty first batch), not a reason to crash
         j_prev = prev.agg(F.max("j")).collect()[0][0] or 0  # 1-row collect
@@ -430,7 +448,11 @@ def bloom_sink_batch(
     bits = bloom_bits(batch, key_col, m, n_hashes)
     prev_dir = _prev_epoch_dir(spark, store_path, epoch_id)
     if prev_dir is not None:
-        merged = bloom_merge(spark.read.parquet(prev_dir), bits)
+        # prior epoch written by this fold ⇒ schema known; skip the
+        # per-epoch footer-inference job
+        merged = bloom_merge(
+            spark.read.schema(bits.schema).parquet(prev_dir), bits
+        )
     else:
         merged = bits
     merged.write.mode("overwrite").parquet(_epoch_dir(store_path, epoch_id))

@@ -1,0 +1,105 @@
+"""Round-14 fusion seams: every restructured internal must be
+value-identical to the path it replaced.
+
+- ``minhash_delta_dedup_pairs(delta_bands=...)`` (the streaming ingest
+  sink's single-signature-pass seam) == the default two-pass path;
+- ``_pq_encode_with_error`` == ``_pq_encode_with_cells`` rows +
+  ``pq_quantization_error`` mse (non-residual), and == ``pq_encode``
+  rows + ``residual_quantization_error`` mse (residual);
+- ``ivfpq_index_and_baseline`` == ``ivfpq_index`` /
+  ``ivfpq_residual_index`` artifacts + the unfused baseline.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_kakfa_spark_airflow_s3_athena_spark.operators import dedup as DD
+from api_kakfa_spark_airflow_s3_athena_spark.operators import similarity as SIM
+
+
+def _emb(spark, n=40, dims=8, parts=4):
+    vecs = [[math.cos(i * 0.9 + j) + 0.1 * j for j in range(dims)] for i in range(n)]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).repartition(parts)
+
+
+def _docs(spark):
+    rows = [
+        (i, f"alpha beta gamma delta {i % 7} epsilon zeta eta theta {i % 3}")
+        for i in range(30)
+    ]
+    # exact copies so near-dup pairs exist
+    rows += [(100 + i, rows[i][1]) for i in range(6)]
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+
+
+def test_delta_bands_seam_matches_default(spark):
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") < 20)
+    delta = docs.filter(F.col("doc_id") >= 20)
+    index = DD.minhash_band_index(corpus, num_hashes=32, bands=8)
+    default = DD.minhash_delta_dedup_pairs(
+        delta, corpus, index, threshold=0.5, num_hashes=32, bands=8
+    ).collect()
+    bidx = DD.minhash_band_index(
+        delta, "text", "doc_id", 32, 8, 3, 1
+    ).localCheckpoint(eager=True)
+    seamed = DD.minhash_delta_dedup_pairs(
+        delta, corpus, index, threshold=0.5, num_hashes=32, bands=8,
+        delta_bands=bidx,
+    ).collect()
+    key = lambda rows: {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert key(seamed) == key(default) and len(default) > 0
+
+
+def _err_row(df):
+    r = df.collect()[0]
+    return r.n_vectors, r.mse
+
+
+def test_pq_encode_with_error_nonresidual(spark):
+    emb = _emb(spark)
+    centroids = SIM.ivf_centroids(emb, 4)
+    books = SIM.pq_codebooks(emb, m=4, ksub=4, iters=2, seed=11)
+    fused = SIM._pq_encode_with_error(emb, books, centroids=centroids)
+    rows = fused.filter(F.col("__n").isNull()).select("vec_id", "codes", "cell")
+    err = fused.filter(F.col("__n").isNotNull()).agg(
+        F.sum("__n").cast("long").alias("n_vectors"),
+        (F.sum("__sq") / F.sum("__n")).alias("mse"),
+    )
+    ref_rows = SIM._pq_encode_with_cells(emb, books, centroids).collect()
+    ref = {r.vec_id: (list(r.codes), r.cell) for r in ref_rows}
+    got = {r.vec_id: (list(r.codes), r.cell) for r in rows.collect()}
+    assert got == ref and len(ref) == 40
+    n_ref, mse_ref = _err_row(SIM.pq_quantization_error(emb, books))
+    n_got, mse_got = _err_row(err)
+    assert n_got == n_ref == 40
+    assert mse_got == pytest.approx(mse_ref, rel=1e-12)
+
+
+def test_ivfpq_index_and_baseline_residual(spark):
+    emb = _emb(spark)
+    cen_f, books_f, enc_f, base_f = SIM.ivfpq_index_and_baseline(
+        emb, n_centroids=4, m=4, ksub=4, iters=2, residual=True
+    )
+    cen_u, books_u, enc_u = SIM.ivfpq_residual_index(
+        emb, n_centroids=4, m=4, ksub=4, iters=2
+    )
+    assert sorted(r.centroid_id for r in cen_f.collect()) == sorted(
+        r.centroid_id for r in cen_u.collect()
+    )
+    import numpy as np
+
+    assert np.array_equal(np.asarray(books_f), np.asarray(books_u))
+    key = lambda rows: {r.vec_id: (list(r.codes), r.cell) for r in rows}
+    assert key(enc_f.collect()) == key(enc_u.collect())
+    n_u, mse_u = _err_row(
+        SIM.residual_quantization_error(emb, cen_u, books_u)
+    )
+    n_f, mse_f = _err_row(base_f)
+    assert n_f == n_u == 40
+    assert mse_f == pytest.approx(mse_u, rel=1e-12)

@@ -32,13 +32,14 @@ def main() -> None:
     ap.add_argument("--registry-fn", action="store_true",
                     help="probe the registry contract fn even when a bench_fn exists")
     ap.add_argument("--no-plan", action="store_true", help="skip plan capture (timing only)")
+    ap.add_argument("--round", default="r14", help="plans/<round> output directory")
     args = ap.parse_args()
 
     from api_kakfa_spark_airflow_s3_athena_spark.plans.queries import REGISTRY
     from api_kakfa_spark_airflow_s3_athena_spark.session import local_test_session
 
     spark = local_test_session("perf-probe")
-    outdir = os.path.join(os.path.dirname(__file__), "..", "plans", "r13")
+    outdir = os.path.join(os.path.dirname(__file__), "..", "plans", args.round)
     os.makedirs(outdir, exist_ok=True)
 
     # Warmup: same protocol as bench.py — pay session/codegen startup
