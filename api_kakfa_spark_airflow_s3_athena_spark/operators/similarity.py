@@ -2070,6 +2070,162 @@ def _l2_normalized(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _l2_normalize_np(v):
+    """numpy twin of :func:`_l2_normalized`, op-for-op: the norm is a
+    strict ascending-dimension accumulation of squares (the JVM
+    aggregate fold's IEEE sequence), one sqrt, one divide per element;
+    zero-norm rows pass through. Bit-identical to the JVM path on the
+    same float64 operands."""
+    import numpy as np
+
+    acc = np.zeros(len(v), dtype=np.float64)
+    for d in range(v.shape[1]):
+        col = v[:, d]
+        acc = acc + col * col
+    nrm = np.sqrt(acc)
+    return np.where(nrm[:, None] > 0, v / nrm[:, None], v)
+
+
+def _sq8_quantize_np(v):
+    """numpy twin of :func:`sq8_quantize`, op-for-op: ``maxabs`` is an
+    exact max, ``scale = maxabs/127`` one divide, codes
+    ``floor(x/scale + 0.5)`` — floor of engine-identical operands, the
+    same bit-deterministic recipe. Returns ``(codes int64, scale)``;
+    zero vectors get all-zero codes with scale 0."""
+    import numpy as np
+
+    maxabs = np.max(np.abs(v), axis=1) if v.size else np.zeros(len(v))
+    scale = maxabs / 127.0
+    safe = np.where(scale > 0, scale, 1.0)
+    codes = np.where(
+        (maxabs > 0)[:, None], np.floor(v / safe[:, None] + 0.5), 0.0
+    ).astype(np.int64)
+    return codes, scale
+
+
+def _sq8_phase1_partials(
+    scan: DataFrame,
+    out_qid_type: str,
+    q_ids,
+    q_codes,
+    candidates: int,
+    corpus_id: str,
+    vec_col: str,
+    exclude_self: bool,
+    normalize: bool,
+    probe_sets=None,
+    cell_col: str = "cell",
+    codes_col: str = None,
+    scale_col: str = None,
+) -> DataFrame:
+    """The SQ8 phase-1 scorer as one Arrow pass with per-partition
+    partial top-``candidates`` (round-14, guide §4.2 + §2.3): the
+    former shape broadcast-joined the query codes against the corpus
+    and evaluated an interpreted higher-order ``zip_with``+``aggregate``
+    dot per (query, row) pair, then exchanged EVERY pair into a
+    window sort. Here each Arrow batch computes all dots as one int64
+    matrix product and emits only its local top-``candidates`` per
+    query; the global window (the caller keeps it) ranks
+    ``≤ partitions·|Q|·candidates`` skinny rows.
+
+    Bit-exactness: the ordering key is ``double(int_dot) · c_scale``
+    — integer dot (exact in any order) and ONE IEEE multiply of
+    engine-identical operands, with quantization/normalization per
+    :func:`_sq8_quantize_np` / :func:`_l2_normalize_np` — so every
+    key equals the former JVM expression and the local cut keeps
+    exactly what the global window would rank on top (same
+    (key desc, neighbor_id) comparator; NULL-vector rows are emitted
+    with NULL keys and rank after every scored row, as before).
+    Non-finite vector components are outside the contract (the JVM
+    window ranked NaN keys first; this path ranks them with +inf —
+    documented limitation, matching the ADVICE r13 note on
+    ``_assign_order_np``).
+
+    Two input shapes: the FLAT corpus (``codes_col is None`` — vectors
+    are quantized here, optionally normalized first) and the IVF-SQ8
+    code index (``codes_col/scale_col/cell_col`` set, ``probe_sets``
+    mapping each query to its probed cells — only rows in a query's
+    probed cells are scored, exactly the former join-on-cell
+    semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    nid_type = scan.schema[corpus_id].dataType.simpleString()
+    out_schema = (
+        f"query_id {out_qid_type}, neighbor_id {nid_type}, akey double"
+    )
+    q_ids = list(q_ids)
+    nq = len(q_ids)
+    qmat_t = q_codes.T.copy()
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[corpus_id].to_numpy()
+            if codes_col is not None:
+                cmat = np.asarray(pdf[codes_col].tolist(), dtype=np.int64)
+                cscale = pdf[scale_col].to_numpy(dtype=np.float64)
+                cells = pdf[cell_col].to_numpy()
+                nn_mask = np.ones(len(ids), dtype=bool)
+            else:
+                raw = pdf[vec_col]
+                nn_mask = np.array([x is not None for x in raw])
+                vals = [np.asarray(x, dtype=np.float64) for x in raw[nn_mask]]
+                v = (
+                    np.asarray(vals)
+                    if vals
+                    else np.zeros((0, q_codes.shape[1]))
+                )
+                if normalize and len(v):
+                    v = _l2_normalize_np(v)
+                cmat, cscale = _sq8_quantize_np(v)
+                cells = None
+            ids_nn = ids[nn_mask]
+            akeys = (
+                (cmat @ qmat_t).astype(np.float64) * cscale[:, None]
+                if len(ids_nn)
+                else np.zeros((0, nq))
+            )
+            for qi, qid in enumerate(q_ids):
+                keep = np.ones(len(ids_nn), dtype=bool)
+                if cells is not None:
+                    keep &= np.isin(cells, probe_sets[qi])
+                if exclude_self:
+                    keep &= ids_nn != qid
+                if keep.any():
+                    a = akeys[keep, qi]
+                    nid = ids_nn[keep]
+                    sel = np.where(np.isnan(a), np.inf, a)
+                    order = np.lexsort((nid, -sel))[:candidates]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nid[order],
+                            "akey": a[order],
+                        }
+                    )
+                if cells is None and not nn_mask.all():
+                    # NULL-vector rows: NULL key (ranks after every
+                    # scored row, neighbor-id ties — the former plan's
+                    # NULLS LAST outcome); keep the smallest ids, the
+                    # only ones the global window could still rank in
+                    nid = ids[~nn_mask]
+                    if exclude_self:
+                        nid = nid[nid != qid]
+                    nid = np.sort(nid)[:candidates]
+                    if len(nid):
+                        yield pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": nid,
+                                "akey": [None] * len(nid),
+                            }
+                        )
+
+    return scan.mapInPandas(score, schema=out_schema)
+
+
 def sq8_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -2111,10 +2267,32 @@ def sq8_rerank_topk(
     Scale shape: corpus never shuffles in phase 1 (queries broadcast,
     per-partition scoring, skinny candidate rows out); phase 2 touches
     ``candidates × |Q|`` rows."""
-    if queries.limit(max_queries + 1).count() > max_queries:
+    import numpy as np
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    # bounded collect doubles as the query-count guard (the former
+    # separate limit+count job is gone — round-14, guide §1.5)
+    qrows = (
+        queries.select(F.col(query_id), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
         raise ValueError(
             f"sq8_rerank_topk got > {max_queries} queries; bound the "
             "query set — phase 1 is O(|Q|·|corpus|) integer ops"
+        )
+    if not qrows:
+        # typed empty result (empty-input contract)
+        return (
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.lit(0.0).alias("score"),
+                F.lit(1).alias("rank"),
+            )
+            .withColumn("query_id", F.lit(None).cast(qid_type))
+            .select("query_id", "neighbor_id", "score", "rank")
+            .limit(0)
         )
     if normalize:
         queries = _l2_normalized(
@@ -2125,34 +2303,29 @@ def sq8_rerank_topk(
             corpus.select(F.col(corpus_id).alias(corpus_id), F.col(vec_col)),
             vec_col,
         )
-    q = sq8_quantize(
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col)),
-        vec_col,
-    ).select(
-        "query_id",
-        F.col(vec_col).alias("q_vec"),
-        F.col("sq8_codes").alias("q_codes"),
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = sq8_quantize(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col)),
+    q_ids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    if normalize:
+        qmat = _l2_normalize_np(qmat)
+    q_codes, _ = _sq8_quantize_np(qmat)
+    # phase 1: one Arrow pass, int64 matrix dots, per-partition local
+    # top-candidates — the corpus never shuffles and the window below
+    # ranks only ≤ partitions·|Q|·candidates skinny partials (formerly
+    # EVERY (query, row) pair crossed the exchange and paid an
+    # interpreted per-pair fold; see _sq8_phase1_partials)
+    phase1 = _sq8_phase1_partials(
+        corpus.select(F.col(corpus_id), F.col(vec_col)),
+        qid_type,
+        q_ids,
+        q_codes,
+        candidates,
+        corpus_id,
         vec_col,
-    ).select(
-        "neighbor_id",
-        F.col(vec_col).alias("c_vec"),
-        F.col("sq8_codes").alias("c_codes"),
-        F.col("sq8_scale").alias("c_scale"),
-    )
-    joined = c.join(F.broadcast(q.select("query_id", "q_codes")))
-    if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    # phase-1 exchange carries ONLY (query_id, neighbor_id, akey) — the
-    # float vectors stay at the scan; the window ranks skinny rows and
-    # the ≤ candidates·|Q| survivors re-fetch their vectors by id
-    phase1 = joined.select(
-        "query_id",
-        "neighbor_id",
-        (_int_dot(F.col("q_codes"), F.col("c_codes")).cast("double")
-         * F.col("c_scale")).alias("akey"),
+        exclude_self,
+        normalize,
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("akey").desc(), F.col("neighbor_id")
@@ -2163,9 +2336,11 @@ def sq8_rerank_topk(
         .select("query_id", "neighbor_id")
     )
     rescored = (
-        c.select("neighbor_id", "c_vec")
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
         .join(F.broadcast(cands), "neighbor_id")
-        .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -2228,10 +2403,9 @@ def ivf_sq8_topk(
     touched only for candidates·|Q| rows. With nprobe ≥ n_centroids
     and candidates ≥ |corpus| this is row-identical to
     :func:`sq8_rerank_topk` with full coverage (test-pinned)."""
-    if queries.limit(max_queries + 1).count() > max_queries:
-        raise ValueError(
-            f"ivf_sq8_topk got > {max_queries} queries; bound the query set"
-        )
+    import numpy as np
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
     if normalize:
         queries = _l2_normalized(
             queries.select(F.col(query_id).alias(query_id), F.col(vec_col)),
@@ -2244,32 +2418,50 @@ def ivf_sq8_topk(
     centroids, codes = ivf_sq8_index(
         corpus, n_centroids, corpus_id, vec_col, seed
     )
-    q = sq8_quantize(
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col)),
-        vec_col,
-    ).select(
-        "query_id",
-        F.col(vec_col).alias("q_vec"),
-        F.col("sq8_codes").alias("q_codes"),
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    probes = _ivf_assign(
-        q.select("query_id", "q_vec"), centroids, "query_id", "q_vec",
-        keep=nprobe,
-    ).select("query_id", "cell")
-    # probed cells only: the (query, cell) pairs broadcast against the
-    # code index — a literal IN-filter on a partitionBy("cell") store
-    # (the ivfpq static-pruning recipe) when the index is persisted
-    scored = codes.join(
-        F.broadcast(probes.join(q.select("query_id", "q_codes"), "query_id")),
-        "cell",
+    # one bounded job assigns probes AND collects the query vectors
+    # (guard included) — the former shape paid a separate count job, a
+    # JVM quantize and a probe-frame broadcast join (round-14)
+    qids, qvecs, qcells = _collect_query_probes(
+        q, centroids, "query_id", "q_vec", nprobe, max_queries, "ivf_sq8_topk"
     )
-    if exclude_self:
-        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
-    phase1 = scored.select(
-        "query_id",
+    if not qids:
+        return (
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.lit(0.0).alias("score"),
+                F.lit(1).alias("rank"),
+            )
+            .withColumn("query_id", F.lit(None).cast(qid_type))
+            .select("query_id", "neighbor_id", "score", "rank")
+            .limit(0)
+        )
+    qmat = np.asarray([qvecs[qq] for qq in qids], dtype=np.float64)
+    q_codes, _ = _sq8_quantize_np(qmat)
+    probe_sets = [np.asarray(sorted(qcells[qq])) for qq in qids]
+    probed = sorted({c for s in qcells.values() for c in s})
+    # probed cells only, as a LITERAL IN-filter — static partition
+    # pruning on a partitionBy("cell") store (the ivfpq_topk recipe);
+    # scoring reads the STORED int8 codes and ranks per partition in
+    # one Arrow pass (see _sq8_phase1_partials)
+    phase1 = _sq8_phase1_partials(
+        codes.filter(F.col("cell").isin(probed)).select(
+            "cell", "neighbor_id", "sq8_codes", "sq8_scale"
+        ),
+        qid_type,
+        qids,
+        q_codes,
+        candidates,
         "neighbor_id",
-        (_int_dot(F.col("q_codes"), F.col("sq8_codes")).cast("double")
-         * F.col("sq8_scale")).alias("akey"),
+        vec_col,
+        exclude_self,
+        normalize,
+        probe_sets=probe_sets,
+        cell_col="cell",
+        codes_col="sq8_codes",
+        scale_col="sq8_scale",
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("akey").desc(), F.col("neighbor_id")

@@ -81,6 +81,84 @@ def test_pq_encode_with_error_nonresidual(spark):
     assert mse_got == pytest.approx(mse_ref, rel=1e-12)
 
 
+def test_sq8_phase1_matches_jvm_expression(spark):
+    """The round-14 Arrow phase-1 keys must be bit-identical to the
+    former JVM ``double(int_dot(q_codes, c_codes)) · c_scale`` on the
+    same quantized operands — including zero vectors, exact ties and a
+    NULL vector (NULL key, ranked last)."""
+    import numpy as np
+
+    vecs = [[math.sin(i * 0.7 + j) for j in range(6)] for i in range(25)]
+    vecs[5] = [0.0] * 6                # zero vector: scale 0, codes 0
+    vecs[7] = list(vecs[3])            # exact tie with vec 3
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((99, None))            # NULL vector row
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(3)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for normalize in (False, True):
+        got = SIM.sq8_rerank_topk(
+            q, emb, k=26, candidates=26, normalize=normalize
+        ).collect()
+        # JVM reference: quantize both sides with the original
+        # expressions and rank on the original key
+        qd = SIM.sq8_quantize(
+            SIM._l2_normalized(q, "embedding") if normalize else q,
+            "embedding",
+        ).select("query_id", "embedding", "sq8_codes").collect()
+        cd = SIM.sq8_quantize(
+            SIM._l2_normalized(emb, "embedding") if normalize else emb,
+            "embedding",
+        ).select("vec_id", "embedding", "sq8_codes", "sq8_scale").collect()
+        exp = {}
+        for qr in qd:
+            keys = []
+            for cr in cd:
+                if cr.vec_id == qr.query_id:
+                    continue
+                if cr.sq8_codes is None:
+                    keys.append((float("-inf"), cr.vec_id))
+                    continue
+                dot = sum(
+                    int(a) * int(b)
+                    for a, b in zip(qr.sq8_codes, cr.sq8_codes)
+                )
+                keys.append((float(dot) * cr.sq8_scale, cr.vec_id))
+            keys.sort(key=lambda t: (-t[0], t[1]))
+            # exact-cosine rerank ordering over ALL candidates
+            def cos(a, b):
+                if a is None or b is None:
+                    return None
+                na = math.sqrt(sum(x * x for x in a))
+                nb = math.sqrt(sum(x * x for x in b))
+                if na * nb == 0:
+                    return None
+                return round(
+                    sum(x * y for x, y in zip(a, b)) / (na * nb), 6
+                )
+            qvec = next(r.embedding for r in cd if r.vec_id == qr.query_id)
+            scored = []
+            for _, nid in keys:
+                cvec = next(r.embedding for r in cd if r.vec_id == nid)
+                scored.append((nid, cos(qvec, cvec)))
+            exp[qr.query_id] = sorted(
+                scored,
+                key=lambda t: (
+                    -(t[1] if t[1] is not None else float("-inf")),
+                    t[0],
+                ),
+            )
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        for qid, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [(r.neighbor_id, r.score) for r in rs] == exp[qid][: len(rs)]
+
+
 def test_ivfpq_index_and_baseline_residual(spark):
     emb = _emb(spark)
     cen_f, books_f, enc_f, base_f = SIM.ivfpq_index_and_baseline(
