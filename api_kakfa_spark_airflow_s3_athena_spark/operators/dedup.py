@@ -238,6 +238,143 @@ def oph_minhash_dense(
     )
 
 
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_long_np(x, seed):
+    """Vectorized twin of Spark's ``XXH64.hashLong`` (the single-long
+    path every multi-argument ``xxhash64`` chains through): uint64
+    modular arithmetic, bit-identical to the JVM — pinned by
+    tests/test_r14_fusions.py against ``F.xxhash64`` on random longs.
+    ``x``/``seed`` are uint64 ndarrays (or scalars broadcast)."""
+    import numpy as np
+
+    def rotl(v, r):
+        return (v << np.uint64(r)) | (v >> np.uint64(64 - r))
+
+    h = seed + np.uint64((_XXH_P5 + 8) & 0xFFFFFFFFFFFFFFFF)
+    h = h ^ (rotl(x * np.uint64(_XXH_P2), 31) * np.uint64(_XXH_P1))
+    h = rotl(h, 27) * np.uint64(_XXH_P1) + np.uint64(_XXH_P4)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(_XXH_P2)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(_XXH_P3)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _oph_signatures_arrow(
+    with_th: DataFrame, id_col: str, num_bins: int, shingle_n: int
+) -> DataFrame:
+    """Vectorized twin of ``_shingles_from_th`` + ``oph_minhash_dense``
+    over a materialized token-hash column — the round-14 signature
+    fast path (guide §4.2): the JVM form evaluates an interpreted
+    per-element aggregate whose accumulator CONCATENATES an array per
+    occupied bin (O(bins²) element copies per row, expression-tree
+    walks per step). Here the whole batch is flattened once and the
+    shingle chain (``xxhash64`` hashLong composition, exact uint64
+    arithmetic), per-(row, bin) minima (one lexsort) and the rotation
+    densification (one ``np.repeat``) are C-level passes.
+
+    Bit-exactness: identical hashLong composition per shingle,
+    identical signed-min per bin (``array_sort`` on (bin, val) structs
+    == lexsort by (bin, signed val)), identical fill semantics —
+    positions (prev_bin, b] take b's min, the tail wraps to the first
+    dense value, zero-shingle rows yield ``num_bins`` NULLs and NULL
+    token arrays yield a NULL signature, exactly the fold's outcomes
+    (pinned by tests/test_r14_fusions.py on real corpus + edges)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = with_th.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, sig array<bigint>"
+    nb = num_bins
+    n = shingle_n
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col]
+            raw = pdf["th"]
+            null_mask = np.array([t is None for t in raw])
+            toks_list = [
+                np.asarray(t, dtype=np.int64) for t in raw[~null_mask]
+            ]
+            sigs = [None] * len(pdf)
+            nn_pos = np.flatnonzero(~null_mask)
+            if len(toks_list):
+                lens = np.array([len(t) for t in toks_list], dtype=np.int64)
+                flat = (
+                    np.concatenate(toks_list)
+                    if lens.sum()
+                    else np.zeros(0, dtype=np.int64)
+                ).view(np.uint64)
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                s_counts = np.maximum(lens - (n - 1), 0)
+                total_s = int(s_counts.sum())
+                if total_s:
+                    grp_starts = np.repeat(starts, s_counts)
+                    grp_off = np.arange(total_s) - np.repeat(
+                        np.concatenate(([0], np.cumsum(s_counts)[:-1])),
+                        s_counts,
+                    )
+                    base = grp_starts + grp_off
+                    h = flat[base]
+                    seed42 = np.uint64(42)
+                    for k in range(1, n):
+                        h = _xxh64_long_np(
+                            flat[base + k], _xxh64_long_np(h, seed42)
+                        )
+                    hv = h.view(np.int64)
+                    rows = np.repeat(
+                        np.arange(len(lens), dtype=np.int64), s_counts
+                    )
+                    bins = hv % nb  # pmod: numpy % is sign-of-divisor
+                    order = np.lexsort((hv, bins, rows))
+                    r_s, b_s, v_s = rows[order], bins[order], hv[order]
+                    first = np.ones(len(r_s), dtype=bool)
+                    first[1:] = (r_s[1:] != r_s[:-1]) | (b_s[1:] != b_s[:-1])
+                    r_e, b_e, v_e = r_s[first], b_s[first], v_s[first]
+                    row_first = np.ones(len(r_e), dtype=bool)
+                    row_first[1:] = r_e[1:] != r_e[:-1]
+                    prev_b = np.empty_like(b_e)
+                    prev_b[0] = -1
+                    prev_b[1:] = b_e[:-1]
+                    prev_b[row_first] = -1
+                    counts_e = b_e - prev_b
+                    # per-row tail: wrap with the row's FIRST dense
+                    # value (== the first entry's min)
+                    rows_present = r_e[row_first]
+                    v0 = v_e[row_first]
+                    last_mask = np.ones(len(r_e), dtype=bool)
+                    last_mask[:-1] = r_e[1:] != r_e[:-1]
+                    tail = nb - 1 - b_e[last_mask]
+                    vals_all = np.concatenate([v_e, v0])
+                    cnts_all = np.concatenate([counts_e, tail])
+                    rows_all = np.concatenate([r_e, rows_present])
+                    is_tail = np.zeros(len(vals_all), dtype=np.int8)
+                    is_tail[len(v_e):] = 1
+                    oo = np.lexsort((is_tail, rows_all))
+                    dense = np.repeat(vals_all[oo], cnts_all[oo]).reshape(
+                        -1, nb
+                    )
+                    for i, ri in enumerate(rows_present):
+                        sigs[nn_pos[ri]] = dense[i].tolist()
+                # zero-shingle rows (incl. empty token arrays): the
+                # fold's finish step fills from a NULL head — nb NULLs
+                for ri in np.flatnonzero(s_counts == 0):
+                    sigs[nn_pos[ri]] = [None] * nb
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return with_th.mapInPandas(gen, schema=out_schema)
+
+
 def minhash_band_index(
     df: DataFrame,
     text_col: str = "text",
@@ -259,21 +396,16 @@ def minhash_band_index(
     corpus — the index rows are 3 small ints/longs however fat the
     documents are.
     """
-    bins_per_band = num_hashes // bands
-    # Two materialization points, each preventing expensive-subtree
-    # duplication (NOTES.md HOF rules): token hashes first (the shingle
-    # zip-chain references its input 2n times), then the dense
-    # signature (the band expansion references it ``bands`` times).
-    # Each downstream stage sees an attribute, bound once per row.
+    # Token hashes stay a JVM projection (cheap codegen transform);
+    # the shingle chain + OPH densification run as ONE vectorized
+    # Arrow pass (round-14 — the former interpreted fold walked an
+    # expression tree per element and concatenated an array per
+    # occupied bin; see _oph_signatures_arrow, bit-identical and
+    # test-pinned); banding back in the JVM, unchanged.
     with_th = df.select(
         F.col(id_col), token_hashes(F.col(text_col), seed).alias("th")
     )
-    with_sig = with_th.select(
-        F.col(id_col),
-        oph_minhash_dense(
-            _shingles_from_th(F.col("th"), shingle_n), num_hashes
-        ).alias("sig"),
-    )
+    with_sig = _oph_signatures_arrow(with_th, id_col, num_hashes, shingle_n)
     return _bands_from_sig(with_sig, id_col, num_hashes, bands)
 
 

@@ -287,6 +287,7 @@ def kmv_containment_screen(
     threshold_num: int = 4,
     threshold_den: int = 5,
     values_prehashed: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Containment SCREEN at synopsis cost (the decontamination
     direction of Beyer et al. 2007 §5): estimate, for every
@@ -329,15 +330,18 @@ def kmv_containment_screen(
     # ``values_prehashed``: value_col already carries kmv_hash output
     # (round-13: callers that materialize the hash stream once — for
     # the exact phase — pass it straight through instead of paying the
-    # shingle+md5 pass again here)
-    hashed = (
-        eval_units.select(
-            F.col(eval_id_col).alias("eval_id"),
-            (value_col if values_prehashed else kmv_hash(value_col)).alias("__h"),
-        )
-        .where(F.col("__h").isNotNull())
-        .distinct()
-    )
+    # shingle+md5 pass again here). ``assume_distinct``: the caller
+    # vouches the (eval_id, value) stream is already distinct (the
+    # materialized hash streams are, by construction) — skips a full
+    # re-dedup shuffle of the eval stream that is a no-op on such
+    # input (round-14, guide §2.4 "a distinct on data that is already
+    # unique").
+    hashed = eval_units.select(
+        F.col(eval_id_col).alias("eval_id"),
+        (value_col if values_prehashed else kmv_hash(value_col)).alias("__h"),
+    ).where(F.col("__h").isNotNull())
+    if not assume_distinct:
+        hashed = hashed.distinct()
     syn = synopses.select(
         F.col(key_col).alias("key"),
         F.col("kmv_hashes"),

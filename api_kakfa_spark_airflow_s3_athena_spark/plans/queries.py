@@ -12484,6 +12484,9 @@ def _kcs_frames(spark, sf_dir):
         evh, syn, "doc_id", F.col("h"), "source", _KCS_K,
         threshold_num=_KCS_NUM, threshold_den=_KCS_DEN,
         values_prehashed=True,
+        # evh is stored distinct (the .distinct() above) — the
+        # screen's internal re-dedup would be a full no-op shuffle
+        assume_distinct=True,
     )
     return screen, evh, trh
 
@@ -12502,7 +12505,12 @@ def _kcs_exact(screen_rows, evh, trh_raw, keep_keys=None):
     if keep_keys is not None:
         trh = trh.join(F.broadcast(keep_keys), "source", "leftsemi")
     inter = (
-        evh.join(trh, "h")
+        # broadcast the eval side (small by nature — the same asymmetry
+        # containment_join exploits): the former shuffle join exchanged
+        # BOTH unit streams by h; now the train stream never shuffles
+        # and the only exchange left is the (doc_id, source) rollup
+        # (round-14, guide §2.4)
+        trh.join(F.broadcast(evh), "h")
         .groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
     )
@@ -12534,7 +12542,11 @@ def _kcs_bench(spark, sf_dir):
     source) pair, exact containment ONLY for screen survivors — the
     corpus-cost pass never sees a screened-out pair."""
     screen, evh, trh_raw = _kcs_frames(spark, sf_dir)
-    surv = screen.filter("screen_pass")
+    # survivors materialized once (tiny: one row per surviving pair):
+    # they feed BOTH the exact join and the keep-key broadcast, and
+    # lazily each consumer re-ran the whole crossJoin+aggregate screen
+    # subtree (round-14, guide §1.2)
+    surv = screen.filter("screen_pass").localCheckpoint(eager=True)
     keep = surv.select(F.col("key").alias("source")).distinct()
     return _kcs_exact(surv, evh, trh_raw, keep_keys=keep).drop("n_inter")
 
@@ -12662,7 +12674,10 @@ def kmv_containment_screen_query(spark, sf_dir):
     the train corpus once, collapsed against the broadcast eval
     vocabulary before any shuffle."""
     screen, evh, trh_raw = _kcs_frames(spark, sf_dir)
-    exact_all = _kcs_exact(screen, evh, trh_raw)
+    # one row per (eval doc, source) pair — materialized once, since
+    # the survivor filter AND the calibration's hit set both consume
+    # it (lazily: two executions of the screen+exact subtree)
+    exact_all = _kcs_exact(screen, evh, trh_raw).localCheckpoint(eager=True)
     surv = exact_all.filter(
         (F.col("n_in_region") == 0)
         | (F.col("n_found") * _KCS_DEN >= F.col("n_in_region") * _KCS_NUM)

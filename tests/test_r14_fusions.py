@@ -81,6 +81,75 @@ def test_pq_encode_with_error_nonresidual(spark):
     assert mse_got == pytest.approx(mse_ref, rel=1e-12)
 
 
+def test_xxh64_long_np_matches_spark(spark):
+    """The vectorized hashLong twin must equal Spark's xxhash64 on
+    random longs, both as a single-arg hash (seed 42) and chained —
+    the composition the shingle chain relies on."""
+    import random
+
+    import numpy as np
+
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.dedup import (
+        _xxh64_long_np,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.randint(-(2**63), 2**63 - 1) for _ in range(512)] + [
+        0, -1, 1, 2**63 - 1, -(2**63)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    ref1 = [r[0] for r in df.select(F.xxhash64("x")).collect()]
+    ref2 = [r[0] for r in df.select(F.xxhash64("x", "x")).collect()]
+    x = np.array(vals, dtype=np.int64).view(np.uint64)
+    got1 = _xxh64_long_np(x, np.uint64(42)).view(np.int64)
+    got2 = _xxh64_long_np(x, _xxh64_long_np(x, np.uint64(42))).view(np.int64)
+    assert list(got1) == ref1
+    assert list(got2) == ref2
+
+
+def test_oph_signatures_arrow_matches_jvm_fold(spark):
+    """The Arrow OPH signature pass must be bit-identical to the
+    former interpreted JVM fold — including empty/short/duplicate
+    token streams and NULL text."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators.dedup import (
+        _oph_signatures_arrow,
+        _shingles_from_th,
+        oph_minhash_dense,
+        token_hashes,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta"),
+        (2, ""),
+        (3, "one"),
+        (4, "one two"),
+        (5, "one two three"),
+        (6, None),
+        (7, "a a a a a a a a"),
+        (8, "  spaced   out  tokens  here  now  "),
+    ] + [(100 + i, f"w{i % 5} w{(i + 1) % 7} w{(i + 2) % 3} common tail {i}")
+         for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    for nh in (32, 64):
+        with_th = df.select(
+            "doc_id", token_hashes(F.col("text"), 1).alias("th")
+        )
+        jvm = {
+            r.doc_id: r.sig
+            for r in with_th.select(
+                "doc_id",
+                oph_minhash_dense(
+                    _shingles_from_th(F.col("th"), 3), nh
+                ).alias("sig"),
+            ).collect()
+        }
+        arw = {
+            r.doc_id: r.sig
+            for r in _oph_signatures_arrow(with_th, "doc_id", nh, 3).collect()
+        }
+        assert arw == jvm
+
+
 def test_sq8_phase1_matches_jvm_expression(spark):
     """The round-14 Arrow phase-1 keys must be bit-identical to the
     former JVM ``double(int_dot(q_codes, c_codes)) · c_scale`` on the
