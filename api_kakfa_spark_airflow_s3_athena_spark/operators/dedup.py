@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from ..functions.vectors import cosine
+from ._util import materialize_once
 
 __all__ = [
     "exact_dedup",
@@ -2146,12 +2147,12 @@ def containment_join(
             F.array_distinct(F.col(units_col)).alias("__ua"),
         )
         .where(F.size("__ua") > 0)
-        .localCheckpoint(eager=True)
     )
-    tr = train_units.select(
+    ev = materialize_once(ev)
+    tr = materialize_once(train_units.select(
         F.col(train_id).alias("__tb"),
         F.array_distinct(F.col(units_col)).alias("__ub"),
-    ).localCheckpoint(eager=True)
+    ))
     tr_tok = tr.select(F.col("__tb"), F.explode("__ub").alias("__tok"))
     census = tr_tok.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("long").alias("__df")
@@ -2173,11 +2174,10 @@ def containment_join(
     # prefix is read twice (vocabulary broadcast + candidate join);
     # materializing the small (eval_id, token) frame keeps the census
     # shuffle + ranking window single-execution
-    prefix = (
+    prefix = materialize_once(
         ranked.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= prefix_len)
         .select("__ea", "__tok")
-        .localCheckpoint(eager=True)
     )
     # train postings collapse against the eval-prefix vocabulary
     # BEFORE the candidate shuffle

@@ -17,7 +17,7 @@ iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -316,7 +316,11 @@ def kcore(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k)
+        # materialize the surviving-node frame once per round: the
+        # count probe AND the semi-join broadcast both read it, and
+        # lazily each re-ran the round's full degree aggregation
+        # (round-14, guide §1.2)
+        keep = deg.filter(F.col("d") >= k).localCheckpoint(eager=True)
         n_keep = keep.count()
         if n_keep == 0:
             return keep.select(
@@ -375,17 +379,27 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     labels = adj.select("n").distinct().select("n", F.col("n").alias("lbl"))
-    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lbl").asc())
     for _ in range(rounds):
         votes = (
             adj.join(labels.withColumnRenamed("n", "nbr"), "nbr")
             .groupBy("n", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # argmax by (c desc, lbl asc) as ONE aggregation: max of the
+        # (c, -lbl) struct — identical winner to the former
+        # row_number window, without the per-round exchange+SORT
+        # (round-14, guide §2.4; labels are non-negative node ids, so
+        # the negation is a safe order-reversal)
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("n", "lbl")
+            votes.groupBy("n")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("lbl")).alias("neg"),
+                    )
+                ).alias("m")
+            )
+            .select("n", (-F.col("m.neg")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("community"))

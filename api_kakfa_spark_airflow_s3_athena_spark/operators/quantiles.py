@@ -221,9 +221,13 @@ def robust_stats(
     # median is referenced by BOTH the MAD chain and the final
     # aggregate; materializing the one-row-per-group frame (round-13)
     # keeps the full-data median sort single-execution
-    med = discrete_quantiles(df, gcols, value_col, id_col, [0.5]).select(
-        *gcols, F.col("value").alias("median"),
-    ).localCheckpoint(eager=True)
+    from ._util import materialize_once
+
+    med = materialize_once(
+        discrete_quantiles(df, gcols, value_col, id_col, [0.5]).select(
+            *gcols, F.col("value").alias("median"),
+        )
+    )
     with_med = df.select(*gcols, value_col, id_col).join(
         F.broadcast(med), on=gcols, how="inner"
     )

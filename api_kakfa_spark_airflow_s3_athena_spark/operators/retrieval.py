@@ -61,12 +61,13 @@ def bm25_scores(
     # corpus-wide (id, dl) SortMergeJoin; the tf frame is materialized
     # once (bounded by the matching-docs working set) so the df census
     # and the scoring pass don't each re-run tokenize+explode.
-    tf = (
+    from ._util import materialize_once
+
+    tf = materialize_once(
         base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
         .filter(F.col("term").isin(lower_terms))
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=True)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))

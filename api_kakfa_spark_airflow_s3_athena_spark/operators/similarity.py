@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import materialize_once
+
 from ..functions.vectors import cosine
 
 __all__ = [
@@ -1649,8 +1651,8 @@ def ivfpq_index_and_baseline(
         # materialized once: the codebook sample collect, the encode
         # and the baseline all read it — lazily each re-ran the
         # assign pass + centroid join
-        resid = _ivf_residuals(cells, centroids, "vec_id", "c_vec").localCheckpoint(
-            eager=True
+        resid = materialize_once(
+            _ivf_residuals(cells, centroids, "vec_id", "c_vec")
         )
         books = pq_codebooks(
             resid, m=m, ksub=ksub, iters=iters, vec_col="__resid",
@@ -1669,7 +1671,7 @@ def ivfpq_index_and_baseline(
             corpus, books, centroids=centroids, corpus_id=corpus_id,
             vec_col=vec_col,
         )
-    fused = fused.localCheckpoint(eager=True)
+    fused = materialize_once(fused)
     encoded_cells = fused.filter(F.col("__n").isNull()).select(
         "vec_id", "codes", "cell"
     )

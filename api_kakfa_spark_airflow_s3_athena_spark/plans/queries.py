@@ -12469,15 +12469,13 @@ def _kcs_frames(spark, sf_dir):
     )
     ev = tri.where(F.col("source") == "src0")
     tr = tri.where(F.col("source") != "src0")
-    evh = (
-        ev.select("doc_id", kmv_hash(F.col("val")).alias("h"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    from ..operators._util import materialize_once
+
+    evh = materialize_once(
+        ev.select("doc_id", kmv_hash(F.col("val")).alias("h")).distinct()
     )
-    trh = (
-        tr.select("source", kmv_hash(F.col("val")).alias("h"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    trh = materialize_once(
+        tr.select("source", kmv_hash(F.col("val")).alias("h")).distinct()
     )
     syn = kmv_sketch_from_hashes(trh, ["source"], "h", k=_KCS_K)
     screen = kmv_containment_screen(
@@ -12546,7 +12544,9 @@ def _kcs_bench(spark, sf_dir):
     # they feed BOTH the exact join and the keep-key broadcast, and
     # lazily each consumer re-ran the whole crossJoin+aggregate screen
     # subtree (round-14, guide §1.2)
-    surv = screen.filter("screen_pass").localCheckpoint(eager=True)
+    from ..operators._util import materialize_once
+
+    surv = materialize_once(screen.filter("screen_pass"))
     keep = surv.select(F.col("key").alias("source")).distinct()
     return _kcs_exact(surv, evh, trh_raw, keep_keys=keep).drop("n_inter")
 
@@ -12677,7 +12677,9 @@ def kmv_containment_screen_query(spark, sf_dir):
     # one row per (eval doc, source) pair — materialized once, since
     # the survivor filter AND the calibration's hit set both consume
     # it (lazily: two executions of the screen+exact subtree)
-    exact_all = _kcs_exact(screen, evh, trh_raw).localCheckpoint(eager=True)
+    from ..operators._util import materialize_once
+
+    exact_all = materialize_once(_kcs_exact(screen, evh, trh_raw))
     surv = exact_all.filter(
         (F.col("n_in_region") == 0)
         | (F.col("n_found") * _KCS_DEN >= F.col("n_in_region") * _KCS_NUM)

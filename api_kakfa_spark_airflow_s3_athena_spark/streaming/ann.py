@@ -120,7 +120,9 @@ def ann_index_batch(
             batch, books, centroids=centroids, corpus_id=id_col,
             vec_col=vec_col,
         )
-    fused = fused.localCheckpoint(eager=True)
+    from ..operators._util import materialize_once
+
+    fused = materialize_once(fused)
     rows = fused.filter(F.col("__n").isNull()).select("vec_id", "codes", "cell")
     rows.write.mode("overwrite").partitionBy("cell").parquet(
         _epoch_dir(index_path, epoch_id)

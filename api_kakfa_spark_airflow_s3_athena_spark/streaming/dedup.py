@@ -111,9 +111,13 @@ def dedup_ingest_batch(
     # the signature pass ONCE (materialized; O(|batch|·bands) skinny
     # rows) and share it — the former shape re-ran the full
     # tokenize+shingle+OPH pass per consumer (guide §1.2).
-    bidx = minhash_band_index(
-        docs, text_col, id_col, num_hashes, bands, shingle_n, seed
-    ).localCheckpoint(eager=True)
+    from ..operators._util import materialize_once
+
+    bidx = materialize_once(
+        minhash_band_index(
+            docs, text_col, id_col, num_hashes, bands, shingle_n, seed
+        )
+    )
     pairs = minhash_delta_dedup_pairs(
         docs,
         corpus,

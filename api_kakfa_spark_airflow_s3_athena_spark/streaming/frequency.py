@@ -87,10 +87,11 @@ def mg_summary_batch(
     # the meta fold AND (via ``ranked``) both reduction outputs — left
     # lazy, the batch scan + histogram shuffle re-ran per consumer
     # (guide §1.2: don't recompute subtrees).
-    bc = (
+    from ..operators._util import materialize_once
+
+    bc = materialize_once(
         clean.groupBy(*gcols, unit_col)
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
     )
     # per-key unit total == sum of the histogram's counts — derived
     # from the materialized histogram, not a second batch scan
@@ -131,8 +132,8 @@ def mg_summary_batch(
     # and ``meta_out`` all read it, and lazily each would re-execute
     # the union+histogram+window subtree per consumer.
     w = Window.partitionBy(*gcols).orderBy(F.desc("cnt"), F.col(unit_col))
-    ranked = merged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
-        eager=True
+    ranked = materialize_once(
+        merged.withColumn("__rn", F.row_number().over(w))
     )
     t = ranked.where(F.col("__rn") == num_counters + 1).select(
         *gcols, F.col("cnt").alias("__t")

@@ -81,6 +81,25 @@ def test_pq_encode_with_error_nonresidual(spark):
     assert mse_got == pytest.approx(mse_ref, rel=1e-12)
 
 
+def test_materialize_once_modes(spark, tmp_path, monkeypatch):
+    """The shared materialization seam must produce identical rows
+    under every strategy (local / reliable checkpoint / persist)."""
+    from api_kakfa_spark_airflow_s3_athena_spark.operators._util import (
+        materialize_once,
+    )
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    ref = sorted((r.id, r.v) for r in df.collect())
+    for mode in ("local", "persist", "checkpoint"):
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", mode)
+        monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ck"))
+        out = materialize_once(df)
+        assert sorted((r.id, r.v) for r in out.collect()) == ref
+        if mode == "persist":
+            out.unpersist()
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE")
+
+
 def test_xxh64_long_np_matches_spark(spark):
     """The vectorized hashLong twin must equal Spark's xxhash64 on
     random longs, both as a single-arg hash (seed 42) and chained —
